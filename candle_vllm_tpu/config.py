@@ -1,0 +1,381 @@
+"""Model / cache / scheduler configuration.
+
+Re-designs the reference's config layer
+(``/root/reference/src/openai/models/mod.rs:547-1192``): HF ``config.json``
+deserialization (including multimodal ``text_config`` nesting), rope-scaling
+/ YaRN parameter derivation, MoE configs, quantization config normalization,
+and KV-cache dtype selection — expressed as plain dataclasses consumed by
+JAX model builders.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# KV cache dtypes (reference: models/mod.rs:45-121 `KvCacheDtype`)
+# ---------------------------------------------------------------------------
+
+KV_DTYPE_AUTO = "auto"      # follow model compute dtype (bf16)
+KV_DTYPE_FP8 = "fp8"        # fp8_e4m3 with per-block scales
+KV_DTYPE_INT8 = "int8"      # turboquant-style 8-bit
+KV_DTYPE_INT4 = "int4"      # turboquant-style 4-bit (turbo4)
+
+_VALID_KV_DTYPES = (KV_DTYPE_AUTO, KV_DTYPE_FP8, KV_DTYPE_INT8, KV_DTYPE_INT4)
+
+
+@dataclass
+class QuantConfig:
+    """Normalized weight-quantization config.
+
+    The reference normalizes compressed-tensors / GPTQ / AWQ / modelopt /
+    MLX configs into a small set of methods (models/mod.rs:165-405).  We do
+    the same: ``method`` in {"gptq", "awq", "q4k", "fp8", "int8", "w4a16"}.
+    """
+
+    method: str
+    bits: int = 4
+    group_size: int = 128
+    sym: bool = True
+    # blockwise fp8 scale block shape (weight_block_size in HF configs)
+    weight_block_size: Optional[List[int]] = None
+
+    @classmethod
+    def from_hf(cls, qc: Dict[str, Any]) -> Optional["QuantConfig"]:
+        if not qc:
+            return None
+        method = (qc.get("quant_method") or "").lower()
+        if method in ("gptq", "awq"):
+            return cls(
+                method=method,
+                bits=int(qc.get("bits", 4)),
+                group_size=int(qc.get("group_size", 128)),
+                sym=bool(qc.get("sym", True)),
+            )
+        if method in ("fp8", "compressed-tensors", "modelopt"):
+            return cls(
+                method="fp8",
+                bits=8,
+                weight_block_size=qc.get("weight_block_size"),
+            )
+        return None
+
+
+@dataclass
+class MoEConfig:
+    """Mixture-of-experts routing config (reference: models/mod.rs:475-479)."""
+
+    num_experts: int
+    num_experts_per_tok: int
+    moe_intermediate_size: int
+    shared_expert_intermediate_size: Optional[int] = None
+    num_shared_experts: int = 0
+    norm_topk_prob: bool = True
+    routed_scaling_factor: float = 1.0
+    scoring_func: str = "softmax"  # or "sigmoid" (DeepSeek v3)
+    topk_method: str = "greedy"    # or "noaux_tc" / "group_limited_greedy"
+    n_group: int = 1
+    topk_group: int = 1
+    decoder_sparse_step: int = 1
+    mlp_only_layers: List[int] = field(default_factory=list)
+    first_k_dense_replace: int = 0
+
+
+@dataclass
+class RopeScaling:
+    """Rope scaling parameters (reference: models/mod.rs:600-652 YaRN math)."""
+
+    rope_type: str = "default"   # default|linear|dynamic|yarn|llama3|longrope
+    factor: float = 1.0
+    original_max_position_embeddings: Optional[int] = None
+    # yarn
+    beta_fast: float = 32.0
+    beta_slow: float = 1.0
+    attention_factor: Optional[float] = None
+    mscale: float = 1.0
+    mscale_all_dim: float = 0.0
+    # llama3
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+
+    @classmethod
+    def from_hf(cls, rs: Optional[Dict[str, Any]]) -> Optional["RopeScaling"]:
+        if not rs:
+            return None
+        rope_type = rs.get("rope_type") or rs.get("type") or "default"
+        return cls(
+            rope_type=rope_type,
+            factor=float(rs.get("factor", 1.0)),
+            original_max_position_embeddings=rs.get("original_max_position_embeddings"),
+            beta_fast=float(rs.get("beta_fast", 32.0)),
+            beta_slow=float(rs.get("beta_slow", 1.0)),
+            attention_factor=rs.get("attention_factor"),
+            mscale=float(rs.get("mscale", 1.0)),
+            mscale_all_dim=float(rs.get("mscale_all_dim", 0.0)),
+            low_freq_factor=float(rs.get("low_freq_factor", 1.0)),
+            high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
+        )
+
+
+@dataclass
+class ModelConfig:
+    """Architecture-agnostic model description built from HF config.json."""
+
+    architecture: str = "LlamaForCausalLM"
+    model_type: str = "llama"
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    head_dim: Optional[int] = None
+    vocab_size: int = 32000
+    max_model_len: int = 4096
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[RopeScaling] = None
+    partial_rotary_factor: float = 1.0
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    qkv_bias: bool = False
+    o_bias: bool = False
+    mlp_bias: bool = False
+    sliding_window: Optional[int] = None
+    # per-layer sliding window patterns (gemma2/3-style): layer i is sliding
+    # iff sliding_window_pattern and (i % pattern != pattern - 1)
+    sliding_window_pattern: Optional[int] = None
+    layer_types: Optional[List[str]] = None  # explicit per-layer attn types
+    use_qk_norm: bool = False
+    logit_softcapping: Optional[float] = None
+    attn_logit_softcapping: Optional[float] = None
+    hidden_act: str = "silu"
+    eos_token_ids: List[int] = field(default_factory=list)
+    bos_token_id: Optional[int] = None
+    dtype: Any = jnp.bfloat16
+    quant: Optional[QuantConfig] = None
+    moe: Optional[MoEConfig] = None
+    kv_cache_dtype: str = KV_DTYPE_AUTO
+    # gemma-style embedding scaling by sqrt(hidden)
+    scale_embeddings: bool = False
+    # gemma3 per-attn-type rope thetas
+    rope_local_base_freq: Optional[float] = None
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.head_dim is None:
+            self.head_dim = self.hidden_size // self.num_attention_heads
+        if self.kv_cache_dtype not in _VALID_KV_DTYPES:
+            raise ValueError(f"invalid kv_cache_dtype {self.kv_cache_dtype}")
+
+    # -- derived -----------------------------------------------------------
+    @property
+    def rotary_dim(self) -> int:
+        return int(self.head_dim * self.partial_rotary_factor)
+
+    def num_kv_heads_for(self, tp_size: int) -> int:
+        """KV heads per shard; replicate when heads < tp (reference:
+        distributed.rs:725-765 `kv_head_shard`)."""
+        if self.num_key_value_heads >= tp_size:
+            assert self.num_key_value_heads % tp_size == 0
+            return self.num_key_value_heads // tp_size
+        return 1
+
+    def is_sliding_layer(self, layer_idx: int) -> bool:
+        if self.layer_types is not None:
+            return self.layer_types[layer_idx] == "sliding_attention"
+        if self.sliding_window is None:
+            return False
+        if self.sliding_window_pattern is None:
+            return True
+        p = self.sliding_window_pattern
+        return (layer_idx % p) != (p - 1)
+
+    # -- loading -----------------------------------------------------------
+    @classmethod
+    def from_hf(cls, cfg: Dict[str, Any], **overrides: Any) -> "ModelConfig":
+        # Multimodal configs nest the text model under `text_config`
+        # (reference: models/mod.rs:755-860 load_config).
+        if "text_config" in cfg and "hidden_size" not in cfg:
+            vision = {k: v for k, v in cfg.items() if k != "text_config"}
+            inner = dict(cfg["text_config"])
+            inner.setdefault("architectures", cfg.get("architectures"))
+            inner["_outer_config"] = vision
+            cfg = inner
+
+        archs = cfg.get("architectures") or ["LlamaForCausalLM"]
+        num_heads = int(cfg.get("num_attention_heads", 32))
+        hidden = int(cfg.get("hidden_size", 4096))
+        eos = cfg.get("eos_token_id")
+        if eos is None:
+            eos_ids: List[int] = []
+        elif isinstance(eos, int):
+            eos_ids = [eos]
+        else:
+            eos_ids = list(eos)
+
+        moe = None
+        if cfg.get("num_experts") or cfg.get("n_routed_experts") or cfg.get("num_local_experts"):
+            moe = MoEConfig(
+                num_experts=int(
+                    cfg.get("num_experts")
+                    or cfg.get("n_routed_experts")
+                    or cfg.get("num_local_experts")
+                ),
+                num_experts_per_tok=int(cfg.get("num_experts_per_tok", 2)),
+                moe_intermediate_size=int(
+                    cfg.get("moe_intermediate_size", cfg.get("intermediate_size", 0))
+                ),
+                shared_expert_intermediate_size=cfg.get("shared_expert_intermediate_size"),
+                num_shared_experts=int(cfg.get("n_shared_experts", 0) or 0),
+                norm_topk_prob=bool(cfg.get("norm_topk_prob", True)),
+                routed_scaling_factor=float(cfg.get("routed_scaling_factor", 1.0)),
+                scoring_func=cfg.get("scoring_func", "softmax"),
+                topk_method=cfg.get("topk_method", "greedy"),
+                n_group=int(cfg.get("n_group", 1) or 1),
+                topk_group=int(cfg.get("topk_group", 1) or 1),
+                decoder_sparse_step=int(cfg.get("decoder_sparse_step", 1) or 1),
+                mlp_only_layers=list(cfg.get("mlp_only_layers", []) or []),
+                first_k_dense_replace=int(cfg.get("first_k_dense_replace", 0) or 0),
+            )
+
+        mc = cls(
+            architecture=archs[0],
+            model_type=cfg.get("model_type", "llama"),
+            hidden_size=hidden,
+            intermediate_size=int(cfg.get("intermediate_size", 4 * hidden)),
+            num_hidden_layers=int(cfg.get("num_hidden_layers", 32)),
+            num_attention_heads=num_heads,
+            num_key_value_heads=int(cfg.get("num_key_value_heads", num_heads)),
+            head_dim=cfg.get("head_dim"),
+            vocab_size=int(cfg.get("vocab_size", 32000)),
+            max_model_len=int(cfg.get("max_position_embeddings", 4096)),
+            rms_norm_eps=float(cfg.get("rms_norm_eps", cfg.get("layer_norm_eps", 1e-6))),
+            rope_theta=float(cfg.get("rope_theta", 10000.0)),
+            rope_scaling=RopeScaling.from_hf(cfg.get("rope_scaling")),
+            partial_rotary_factor=float(cfg.get("partial_rotary_factor", 1.0)),
+            tie_word_embeddings=bool(cfg.get("tie_word_embeddings", False)),
+            attention_bias=bool(cfg.get("attention_bias", cfg.get("use_bias", False))),
+            qkv_bias=bool(cfg.get("attention_bias", cfg.get("use_qkv_bias", False))),
+            mlp_bias=bool(cfg.get("mlp_bias", False)),
+            sliding_window=cfg.get("sliding_window"),
+            sliding_window_pattern=cfg.get("sliding_window_pattern"),
+            layer_types=cfg.get("layer_types"),
+            use_qk_norm=bool(cfg.get("use_qk_norm", False)),
+            logit_softcapping=cfg.get("final_logit_softcapping"),
+            attn_logit_softcapping=cfg.get("attn_logit_softcapping"),
+            hidden_act=cfg.get("hidden_act", cfg.get("hidden_activation", "silu")),
+            eos_token_ids=eos_ids,
+            bos_token_id=cfg.get("bos_token_id"),
+            quant=QuantConfig.from_hf(cfg.get("quantization_config", {})),
+            moe=moe,
+            rope_local_base_freq=cfg.get("rope_local_base_freq"),
+            extra={k: v for k, v in cfg.items() if k.startswith("_")},
+        )
+        for k, v in overrides.items():
+            setattr(mc, k, v)
+        return mc
+
+    @classmethod
+    def from_json(cls, path: str, **overrides: Any) -> "ModelConfig":
+        with open(path) as f:
+            return cls.from_hf(json.load(f), **overrides)
+
+
+def derive_yarn_max_len(config: ModelConfig) -> int:
+    """Effective max sequence length after rope scaling
+    (reference: models/mod.rs:889-905)."""
+    rs = config.rope_scaling
+    if rs is None or rs.rope_type not in ("yarn", "linear", "dynamic", "longrope"):
+        return config.max_model_len
+    base = rs.original_max_position_embeddings or config.max_model_len
+    return int(base * rs.factor)
+
+
+# ---------------------------------------------------------------------------
+# Cache / scheduler configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CacheConfig:
+    """Paged-KV cache sizing (reference: src/lib.rs:128-281 get_cache_config).
+
+    ``block_size`` tokens per page; ``num_gpu_blocks`` device pages and
+    ``num_cpu_blocks`` host swap pages.
+    """
+
+    block_size: int = 16
+    num_gpu_blocks: int = 1024
+    num_cpu_blocks: int = 128
+    kv_cache_dtype: str = KV_DTYPE_AUTO
+
+    def __post_init__(self) -> None:
+        if self.block_size & (self.block_size - 1):
+            raise ValueError("block_size must be a power of two")
+
+    @staticmethod
+    def kv_bytes_per_token(config: ModelConfig, kv_cache_dtype: str) -> int:
+        """Per-token KV bytes across all layers (2 = K and V)."""
+        elem = {KV_DTYPE_AUTO: 2, KV_DTYPE_FP8: 1, KV_DTYPE_INT8: 1}.get(kv_cache_dtype)
+        if elem is None:  # int4 — half a byte plus scale overhead
+            per = config.head_dim // 2 + 4
+            return 2 * config.num_hidden_layers * config.num_key_value_heads * per
+        return 2 * config.num_hidden_layers * config.num_key_value_heads * config.head_dim * elem
+
+    @classmethod
+    def from_memory_budget(
+        cls,
+        config: ModelConfig,
+        kv_bytes_budget: int,
+        block_size: int = 16,
+        kv_cache_dtype: str = KV_DTYPE_AUTO,
+        cpu_swap_bytes: int = 0,
+    ) -> "CacheConfig":
+        per_block = cls.kv_bytes_per_token(config, kv_cache_dtype) * block_size
+        num_gpu = max(1, kv_bytes_budget // per_block)
+        num_cpu = max(0, cpu_swap_bytes // per_block)
+        return cls(
+            block_size=block_size,
+            num_gpu_blocks=int(num_gpu),
+            num_cpu_blocks=int(num_cpu),
+            kv_cache_dtype=kv_cache_dtype,
+        )
+
+
+@dataclass
+class SchedulerConfig:
+    """Continuous-batching knobs (reference: scheduler/mod.rs, llm_engine.rs:95)."""
+
+    max_num_seqs: int = 64
+    max_num_batched_tokens: int = 8192
+    prefill_chunk_size: int = 8192
+    max_model_len: int = 4096
+    enable_prefix_caching: bool = True
+    preemption_mode: str = "recompute"  # or "swap"
+    # fraction of prefix-cache blocks evictable under pressure per schedule
+    # (reference: scheduler/mod.rs:37 PREFIX_CACHE_EVICT_FRACTION = 10%)
+    prefix_evict_fraction: float = 0.1
+
+    def __post_init__(self) -> None:
+        # the step token budget is authoritative; chunks can never exceed it
+        self.prefill_chunk_size = min(
+            self.prefill_chunk_size, self.max_num_batched_tokens
+        )
+
+
+@dataclass
+class ParallelConfig:
+    """Device mesh layout. TP shards attention heads / MLP; DP shards requests."""
+
+    tp_size: int = 1
+    dp_size: int = 1
+
+    @property
+    def world_size(self) -> int:
+        return self.tp_size * self.dp_size

@@ -1,0 +1,95 @@
+"""Prefix cache trie semantics (reference: prefix_cache.rs:386-599 tests)."""
+
+from candle_vllm_tpu.engine.block_engine import BlockAllocator, Device
+from candle_vllm_tpu.engine.prefix_cache import PrefixCache, hash_block
+
+
+def chain(tokens, block_size=4, seed=0):
+    parent = seed
+    out = []
+    for i in range(0, len(tokens) - block_size + 1, block_size):
+        parent = hash_block(parent, tuple(tokens[i : i + block_size]), )
+        out.append(parent)
+    return out
+
+
+def setup(num_blocks=8):
+    alloc = BlockAllocator(Device.GPU, num_blocks)
+    pc = PrefixCache(alloc)
+    alloc.evictor = pc
+    return alloc, pc
+
+
+def test_insert_and_match():
+    alloc, pc = setup()
+    tokens = list(range(12))
+    hashes = chain(tokens)
+    blocks = [alloc.allocate() for _ in hashes]
+    pc.insert(hashes, blocks)
+    assert pc.num_cached() == 3
+    matched = pc.match(hashes)
+    assert [b.block_id for b in matched] == [b.block_id for b in blocks]
+    # a diverging chain matches only the shared prefix
+    other = chain(list(range(4)) + [99] * 8)
+    assert len(pc.match(other)) == 1
+
+
+def test_first_writer_wins():
+    alloc, pc = setup()
+    hashes = chain(list(range(4)))
+    b1, b2 = alloc.allocate(), alloc.allocate()
+    pc.insert(hashes, [b1])
+    pc.insert(hashes, [b2])
+    assert pc.cached[hashes[0]] is b1
+    assert b2.block_hash is None
+
+
+def test_evictable_lifecycle():
+    alloc, pc = setup(num_blocks=2)
+    hashes = chain(list(range(8)))
+    blocks = [alloc.allocate() for _ in hashes]
+    pc.insert(hashes, blocks)
+    for b in blocks:
+        alloc.free(b)  # refcount 0 -> becomes evictable, stays cached
+    assert pc.num_evictable() == 2
+    assert alloc.get_num_free() == 2
+    # allocation pressure evicts the leaf first (block 2 of the chain)
+    fresh = alloc.allocate()
+    assert fresh.block_id == blocks[1].block_id  # leaf evicted, parent kept
+    assert pc.num_cached() == 1
+    assert pc.match(hashes) == [blocks[0]]
+
+
+def test_leaf_first_eviction_order():
+    alloc, pc = setup(num_blocks=4)
+    hashes = chain(list(range(16)))  # chain of 4
+    blocks = [alloc.allocate() for _ in hashes]
+    pc.insert(hashes, blocks)
+    for b in blocks:
+        alloc.free(b)
+    # evict twice: should remove the deepest leaves, leaving the chain head
+    evicted1 = pc.evict_one()
+    evicted2 = pc.evict_one()
+    assert {evicted1.block_id, evicted2.block_id} == {
+        blocks[3].block_id,
+        blocks[2].block_id,
+    }
+    assert len(pc.match(hashes)) == 2
+
+
+def test_match_tokens_admission_helper():
+    alloc, pc = setup()
+    tokens = list(range(12))
+    hashes = chain(tokens)
+    blocks = [alloc.allocate() for _ in hashes]
+    pc.insert(hashes, blocks)
+    assert pc.match_tokens(tokens, 4) == 12
+    assert pc.match_tokens(tokens[:8], 4) == 8
+    assert pc.match_tokens([5] + tokens, 4) == 0
+
+
+def test_seed_isolation():
+    """Image-seeded chains must not collide with text chains
+    (reference: mix_seed, prefix_cache.rs:371-383)."""
+    tokens = tuple(range(4))
+    assert hash_block(0, tokens, seed=0) != hash_block(0, tokens, seed=123)
