@@ -1,0 +1,123 @@
+"""Ragged paged attention over the fused KV page cache.
+
+This is the TPU replacement for the reference's whole attention-kernel
+surface (PagedAttention prefill+decode, flash-attn, FlashInfer plans —
+SURVEY.md §2.6): ONE op that attends a flat ragged token batch (mixed
+prefill chunks and decode rows) against paged KV, with causal masking,
+GQA, sliding windows, and logit soft-capping.
+
+Implementations:
+- ``jnp``    — gather-based reference (this file): correct everywhere,
+               used for CPU tests and as the numerical oracle.
+- ``pallas`` — flash-style TPU kernels (ops/pallas/paged_attention.py):
+               decode + prefill kernels with double-buffered page DMA.
+
+Call semantics: sequence ``i`` owns query rows
+``cu_q_lens[i] : cu_q_lens[i+1]``; its KV context is the first
+``kv_lens[i]`` slots of the pages listed in ``page_tables[i]``; query row
+``j`` of the chunk sits at absolute position ``kv_lens[i] - q_len_i + j``
+and attends causally.  Rows past ``cu_q_lens[num_seqs]`` are padding and
+produce garbage (finite) outputs that callers must ignore.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+@dataclass(frozen=True)
+class AttentionSpec:
+    num_q_heads: int
+    num_kv_heads: int
+    head_dim: int
+    sm_scale: float
+    sliding_window: Optional[int] = None
+    logit_soft_cap: Optional[float] = None
+
+    @property
+    def group_size(self) -> int:
+        assert self.num_q_heads % self.num_kv_heads == 0
+        return self.num_q_heads // self.num_kv_heads
+
+
+def ragged_paged_attention(
+    q: jnp.ndarray,            # [T, H, D]
+    kv_pages: jnp.ndarray,     # [P, ps, 2K, D]
+    kv_lens: jnp.ndarray,      # [S] int32
+    page_tables: jnp.ndarray,  # [S, MAXP] int32
+    cu_q_lens: jnp.ndarray,    # [S+1] int32
+    *,
+    spec: AttentionSpec,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if impl == "pallas":
+        from candle_vllm_tpu.ops.pallas.paged_attention import (
+            ragged_paged_attention_pallas,
+        )
+
+        return ragged_paged_attention_pallas(
+            q, kv_pages, kv_lens, page_tables, cu_q_lens, spec=spec
+        )
+    return _ragged_paged_attention_jnp(
+        q, kv_pages, kv_lens, page_tables, cu_q_lens, spec=spec
+    )
+
+
+def _ragged_paged_attention_jnp(
+    q: jnp.ndarray,
+    kv_pages: jnp.ndarray,
+    kv_lens: jnp.ndarray,
+    page_tables: jnp.ndarray,
+    cu_q_lens: jnp.ndarray,
+    *,
+    spec: AttentionSpec,
+) -> jnp.ndarray:
+    T, H, D = q.shape
+    P, ps, twoK, _ = kv_pages.shape
+    K = twoK // 2
+    G = spec.group_size
+    S, MAXP = page_tables.shape
+    L = MAXP * ps
+
+    token_ids = jnp.arange(T, dtype=jnp.int32)
+    # which sequence owns each token row
+    seq_idx = jnp.clip(
+        jnp.searchsorted(cu_q_lens[1:], token_ids, side="right"), 0, S - 1
+    ).astype(jnp.int32)
+    # absolute position of each query token within its sequence
+    q_pos = kv_lens[seq_idx] - (cu_q_lens[seq_idx + 1] - token_ids)
+
+    # gather each token's full KV context: [T, MAXP, ps, 2K, D] -> [T, L, ...]
+    pages = page_tables[seq_idx]
+    kv = kv_pages[pages].reshape(T, L, twoK, D)
+    k = kv[:, :, :K, :].astype(jnp.float32)
+    v = kv[:, :, K:, :].astype(jnp.float32)
+
+    qf = q.astype(jnp.float32).reshape(T, K, G, D)
+    scores = jnp.einsum("tkgd,tlkd->tkgl", qf, k) * spec.sm_scale
+
+    if spec.logit_soft_cap is not None:
+        cap = spec.logit_soft_cap
+        scores = cap * jnp.tanh(scores / cap)
+
+    kv_pos = jnp.arange(L, dtype=jnp.int32)[None, :]          # [1, L]
+    mask = kv_pos <= q_pos[:, None]                            # causal
+    mask &= kv_pos < kv_lens[seq_idx][:, None]                 # context bound
+    if spec.sliding_window is not None:
+        mask &= kv_pos > q_pos[:, None] - spec.sliding_window
+    scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("tkgl,tlkd->tkgd", p, v) / jnp.maximum(denom, 1e-9)
+    return out.reshape(T, H, D).astype(q.dtype)

@@ -1,0 +1,127 @@
+"""Paged KV cache device ops: slot writes, block copy (COW), host swap.
+
+Replaces the reference's native cache kernels
+(``concat_and_cache`` in attention-rs, ``copy_blocks_*`` / ``swap_blocks``
+in ``/root/reference/src/backend/cache.rs:14-258``) with XLA scatters —
+which compile to in-place dynamic-update ops when the cache buffer is
+donated to the jitted step.
+
+Layout: one fused page array per layer,
+
+    kv_pages[layer] : [num_pages, page_size, 2 * num_kv_heads, head_dim]
+
+with K heads at ``[..., :num_kv_heads, :]`` and V heads at
+``[..., num_kv_heads:, :]``.  Fusing K and V into one array halves the
+number of page DMAs in the attention kernel and keeps the sublane dim
+(2*num_kv_heads) tile-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Padding rows use a slot far past the cache end; scatter mode="drop"
+# discards them without branching.
+INVALID_SLOT = jnp.iinfo(jnp.int32).max // 2
+
+
+def allocate_kv_pages(
+    num_layers: int,
+    num_pages: int,
+    page_size: int,
+    num_kv_heads: int,
+    head_dim: int,
+    dtype=jnp.bfloat16,
+    sharding=None,
+) -> List[jnp.ndarray]:
+    shape = (num_pages, page_size, 2 * num_kv_heads, head_dim)
+    out = []
+    for _ in range(num_layers):
+        arr = jnp.zeros(shape, dtype=dtype)
+        if sharding is not None:
+            arr = jax.device_put(arr, sharding)
+        out.append(arr)
+    return out
+
+
+def write_kv(
+    kv_pages: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    slot_mapping: jnp.ndarray,
+) -> jnp.ndarray:
+    """Scatter new K/V rows into their pages.
+
+    kv_pages: [P, ps, 2K, D]; k, v: [T, K, D]; slot_mapping: [T] with
+    slot = page_id * page_size + offset (INVALID_SLOT for padding).
+    """
+    page_size = kv_pages.shape[1]
+    num_kv_heads = kv_pages.shape[2] // 2
+    page_idx = slot_mapping // page_size
+    offset = slot_mapping % page_size
+    kv = jnp.concatenate([k, v], axis=1).astype(kv_pages.dtype)  # [T, 2K, D]
+    return kv_pages.at[page_idx, offset].set(kv, mode="drop")
+
+
+def copy_blocks(kv_pages: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """COW block copies. src/dst: [N] int32 page ids (disjoint pairs).
+    Padding pairs use src == dst == an out-of-range id (dropped)."""
+    return kv_pages.at[dst].set(kv_pages[src], mode="drop")
+
+
+def gather_blocks(kv_pages: jnp.ndarray, block_ids: jnp.ndarray) -> jnp.ndarray:
+    """Pull pages to host order for swap-out. Returns [N, ps, 2K, D]."""
+    return kv_pages[block_ids]
+
+
+def scatter_blocks(
+    kv_pages: jnp.ndarray, block_ids: jnp.ndarray, data: jnp.ndarray
+) -> jnp.ndarray:
+    """Write swapped-in pages back. data: [N, ps, 2K, D]."""
+    return kv_pages.at[block_ids].set(data.astype(kv_pages.dtype), mode="drop")
+
+
+def make_slot_mapping(
+    block_ids_per_token: jnp.ndarray, positions: jnp.ndarray, page_size: int
+) -> jnp.ndarray:
+    return block_ids_per_token * page_size + positions % page_size
+
+
+class HostSwapSpace:
+    """Host-memory swap tier (reference: CacheEngine CPU cache,
+    cache_engine.rs:48-112).  Pages live as numpy arrays on host; swap ops
+    are explicit device_get / device_put of gathered page stacks."""
+
+    def __init__(self, num_layers: int, num_pages: int, page_size: int,
+                 num_kv_heads: int, head_dim: int, dtype=jnp.bfloat16):
+        import numpy as np
+
+        self._np = np
+        self.pages = [
+            np.zeros((num_pages, page_size, 2 * num_kv_heads, head_dim),
+                     dtype=jnp.dtype(dtype))
+            for _ in range(num_layers)
+        ]
+
+    def swap_out(self, kv_pages: List[jnp.ndarray], mapping: "dict[int, int]") -> None:
+        if not mapping:
+            return
+        src = jnp.asarray(sorted(mapping.keys()), dtype=jnp.int32)
+        dst = [mapping[int(s)] for s in src]
+        for layer, pages in enumerate(kv_pages):
+            data = jax.device_get(gather_blocks(pages, src))
+            self.pages[layer][dst] = data
+
+    def swap_in(self, kv_pages: List[jnp.ndarray], mapping: "dict[int, int]") -> List[jnp.ndarray]:
+        if not mapping:
+            return kv_pages
+        src = sorted(mapping.keys())
+        dst = jnp.asarray([mapping[s] for s in src], dtype=jnp.int32)
+        out = []
+        for layer, pages in enumerate(kv_pages):
+            data = jnp.asarray(self.pages[layer][src])
+            out.append(scatter_blocks(pages, dst, data))
+        return out

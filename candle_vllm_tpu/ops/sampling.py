@@ -1,0 +1,158 @@
+"""Batched on-device sampling.
+
+Replaces the reference's GPU sampler + argsort kernels
+(``/root/reference/src/openai/logits_processor.rs``, attention-rs sampler):
+frequency/presence/repetition penalties over a last-n window, temperature,
+top-k / top-p / min-p filtering, and gumbel-max sampling — all as one
+jitted, fully-vectorized function so the whole batch samples in a single
+device launch per step.
+
+Greedy rows (temperature ~ 0) take the argmax of the penalized logits.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from candle_vllm_tpu.sampling_params import SamplingParams
+
+_TEMP_EPS = 1e-5
+PENALTY_WINDOW = 64  # reference: SamplingParams.repeat_last_n default
+
+
+@dataclass
+class SamplingTensors:
+    """Host-assembled per-row sampling parameters for one step."""
+
+    temperature: jnp.ndarray   # [B] f32
+    top_k: jnp.ndarray         # [B] i32  (V = disabled)
+    top_p: jnp.ndarray         # [B] f32
+    min_p: jnp.ndarray         # [B] f32
+    presence: jnp.ndarray      # [B] f32
+    frequency: jnp.ndarray     # [B] f32
+    repetition: jnp.ndarray    # [B] f32
+    last_tokens: jnp.ndarray   # [B, W] i32, -1 padded
+    greedy: jnp.ndarray        # [B] bool
+
+    @classmethod
+    def build(
+        cls,
+        params: List[SamplingParams],
+        token_histories: List[List[int]],
+        vocab_size: int,
+        pad_to: Optional[int] = None,
+    ) -> "SamplingTensors":
+        n = len(params)
+        B = pad_to or n
+        temperature = np.ones(B, np.float32)
+        top_k = np.full(B, vocab_size, np.int32)
+        top_p = np.ones(B, np.float32)
+        min_p = np.zeros(B, np.float32)
+        presence = np.zeros(B, np.float32)
+        frequency = np.zeros(B, np.float32)
+        repetition = np.ones(B, np.float32)
+        last_tokens = np.full((B, PENALTY_WINDOW), -1, np.int32)
+        greedy = np.zeros(B, bool)
+        for i, p in enumerate(params):
+            greedy[i] = p.is_greedy
+            temperature[i] = max(p.temperature, _TEMP_EPS)
+            top_k[i] = p.top_k if p.top_k > 0 else vocab_size
+            top_p[i] = p.top_p
+            min_p[i] = p.min_p
+            presence[i] = p.presence_penalty
+            frequency[i] = p.frequency_penalty
+            repetition[i] = p.repetition_penalty
+            window = min(p.repeat_last_n, PENALTY_WINDOW)
+            hist = token_histories[i][-window:] if window > 0 else []
+            if hist:
+                last_tokens[i, -len(hist):] = hist
+        return cls(
+            temperature=jnp.asarray(temperature),
+            top_k=jnp.asarray(top_k),
+            top_p=jnp.asarray(top_p),
+            min_p=jnp.asarray(min_p),
+            presence=jnp.asarray(presence),
+            frequency=jnp.asarray(frequency),
+            repetition=jnp.asarray(repetition),
+            last_tokens=jnp.asarray(last_tokens),
+            greedy=jnp.asarray(greedy),
+        )
+
+
+jax.tree_util.register_pytree_node(
+    SamplingTensors,
+    lambda t: (
+        (t.temperature, t.top_k, t.top_p, t.min_p, t.presence, t.frequency,
+         t.repetition, t.last_tokens, t.greedy),
+        None,
+    ),
+    lambda _, c: SamplingTensors(*c),
+)
+
+
+def apply_penalties(logits: jnp.ndarray, t: SamplingTensors) -> jnp.ndarray:
+    """Window-limited penalties (reference: apply_batch_repeat_penalty,
+    logits_processor.rs:347)."""
+    B, V = logits.shape
+    valid = (t.last_tokens >= 0).astype(jnp.float32)            # [B, W]
+    tok = jnp.maximum(t.last_tokens, 0)
+    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], tok.shape)
+    counts = jnp.zeros((B, V), jnp.float32).at[rows, tok].add(valid)
+    seen = counts > 0
+
+    logits = logits.astype(jnp.float32)
+    # repetition: divide positive logits, multiply negative ones
+    rep = t.repetition[:, None]
+    rep_logits = jnp.where(logits > 0, logits / rep, logits * rep)
+    logits = jnp.where(seen, rep_logits, logits)
+    # frequency + presence
+    logits = logits - t.frequency[:, None] * counts
+    logits = logits - t.presence[:, None] * seen.astype(jnp.float32)
+    return logits
+
+
+def sample(
+    logits: jnp.ndarray,     # [B, V]
+    t: SamplingTensors,
+    key: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (token_ids [B] i32, logprobs [B] f32)."""
+    B, V = logits.shape
+    logits = apply_penalties(logits, t)
+    greedy_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    scaled = logits / t.temperature[:, None]
+
+    # ---- top-k / top-p / min-p via one descending sort ----
+    sorted_logits = -jnp.sort(-scaled, axis=-1)                 # [B, V] desc
+    # top-k threshold: the k-th largest logit
+    k_idx = jnp.clip(t.top_k - 1, 0, V - 1)
+    kth = jnp.take_along_axis(sorted_logits, k_idx[:, None], axis=-1)
+    keep = scaled >= kth
+    # top-p: keep the smallest prefix of sorted probs with cumsum >= top_p
+    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cumsum = jnp.cumsum(sorted_probs, axis=-1)
+    # count of sorted entries to keep (always >= 1)
+    n_keep = jnp.sum(cumsum - sorted_probs < t.top_p[:, None], axis=-1)
+    p_threshold = jnp.take_along_axis(
+        sorted_logits, jnp.clip(n_keep - 1, 0, V - 1)[:, None], axis=-1
+    )
+    keep &= scaled >= p_threshold
+    # min-p: drop probs below min_p * max_prob
+    probs = jax.nn.softmax(scaled, axis=-1)
+    max_prob = jnp.max(probs, axis=-1, keepdims=True)
+    keep &= probs >= t.min_p[:, None] * max_prob
+
+    filtered = jnp.where(keep, scaled, -jnp.inf)
+    gumbel = jax.random.gumbel(key, (B, V), dtype=jnp.float32)
+    sampled = jnp.argmax(filtered + gumbel, axis=-1).astype(jnp.int32)
+
+    tokens = jnp.where(t.greedy, greedy_tokens, sampled)
+    logp_all = jax.nn.log_softmax(jnp.where(t.greedy[:, None], logits, filtered), axis=-1)
+    logprobs = jnp.take_along_axis(logp_all, tokens[:, None], axis=-1)[:, 0]
+    return tokens, logprobs
