@@ -1,0 +1,275 @@
+"""Unified ragged paged-attention Pallas TPU kernel.
+
+One kernel serves every attention call in the framework — prefill chunks,
+decode rows, and mixed batches — replacing the reference's entire native
+attention surface (PagedAttention prefill+decode kernels, flash-attn,
+FlashInfer plans; see ``/root/reference/src/openai/models/layers/attention.rs``
+call sites and SURVEY.md §2.6).
+
+Design (TPU-first, not a CUDA translation):
+
+- The grid runs over *flat* query blocks of ``BQ`` rows of the ragged token
+  batch ``q[T, H, D]``.  A block may span several sequences; the kernel walks
+  the overlapped sequence range (host-precomputed per block, passed as scalar
+  prefetch) and flash-accumulates each sequence's paged KV into shared
+  per-block softmax state.  Rows outside the current sequence are masked, so
+  their state is untouched — online softmax is order-independent.
+- KV pages stay in HBM (``pl.ANY``) and are DMA'd page-by-page into a
+  double-buffered VMEM scratch, overlapping the next page's fetch with the
+  current page's MXU work.  One page = ``[page_size, 2*K, D]`` contiguous
+  bytes — the ideal DMA shape.
+- Per KV head, scores are a single ``[BQ*G, D] x [D, ps]`` MXU matmul
+  (G = query group size), so GQA costs the same page bandwidth as MQA.
+- Causal masking, context-length bounds, sliding windows, and logit
+  soft-capping are fused into the score mask; sliding windows also tighten
+  the page range so out-of-window pages are never fetched.
+
+The decode case (q_len == 1 per sequence) needs no separate kernel: a block
+of BQ decode rows covers BQ sequences whose pages are each fetched exactly
+once — the same bytes a dedicated decode kernel would move.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from candle_vllm_tpu.ops.attention import AttentionSpec
+
+NEG_INF = -1e30
+
+
+def _kernel(
+    # scalar prefetch (SMEM)
+    kv_lens_ref,     # [S]
+    pt_ref,          # [S, MAXP] page tables
+    cu_ref,          # [S+1] cumulative q lens
+    slo_ref,         # [NB] first seq overlapping each q block
+    shi_ref,         # [NB] last seq overlapping each q block
+    tused_ref,       # [1] number of real (non-padding) q rows
+    # inputs
+    q_ref,           # [BQ, H, D] VMEM block
+    kv_pages_ref,    # [P, ps, 2K, D] HBM
+    # outputs
+    out_ref,         # [BQ, H, D] VMEM block
+    # scratch
+    kv_buf,          # [2, ps, 2K, D] VMEM
+    acc_ref,         # [K, BQ*G, D] f32
+    m_ref,           # [K, BQ*G, 128] f32
+    l_ref,           # [K, BQ*G, 128] f32
+    sems,            # DMA sems [2]
+    *,
+    spec: AttentionSpec,
+    bq: int,
+):
+    b = pl.program_id(0)
+    K = spec.num_kv_heads
+    G = spec.group_size
+    D = spec.head_dim
+    ps = kv_buf.shape[1]
+    BQG = bq * G
+
+    row0 = b * bq
+    t_used = tused_ref[0]
+
+    # init flash state for this block
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[...] = jnp.zeros_like(l_ref)
+
+    def get_dma(slot, page_id):
+        return pltpu.make_async_copy(
+            kv_pages_ref.at[page_id], kv_buf.at[slot], sems.at[slot]
+        )
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (bq, ps), 0) + row0
+    kv_iota = jax.lax.broadcasted_iota(jnp.int32, (bq, ps), 1)
+
+    @pl.when(row0 < t_used)
+    def _process():
+        s_lo = slo_ref[b]
+        s_hi = shi_ref[b]
+
+        def seq_body(s, _):
+            cu_s = cu_ref[s]
+            cu_e = cu_ref[s + 1]
+            kvl = kv_lens_ref[s]
+            # position offset: q row r of this sequence sits at kv position
+            # kvl - cu_e + r
+            pos_off = kvl - cu_e
+
+            # page range this block needs from this sequence
+            hi_pos = pos_off + jnp.minimum(cu_e, row0 + bq) - 1
+            pg_hi = jnp.minimum(pl.cdiv(kvl, ps), hi_pos // ps + 1)
+            if spec.sliding_window is not None:
+                lo_pos = pos_off + jnp.maximum(cu_s, row0)
+                kv_min = jnp.maximum(lo_pos - spec.sliding_window + 1, 0)
+                pg_lo = kv_min // ps
+            else:
+                pg_lo = jnp.int32(0)
+            pg_lo = jnp.minimum(pg_lo, pg_hi)  # empty range when no pages
+
+            @pl.when(pg_lo < pg_hi)
+            def _prologue():
+                get_dma(pg_lo % 2, pt_ref[s, pg_lo]).start()
+
+            def page_body(p, _):
+                slot = p % 2
+
+                @pl.when(p + 1 < pg_hi)
+                def _prefetch():
+                    get_dma((p + 1) % 2, pt_ref[s, p + 1]).start()
+
+                get_dma(slot, pt_ref[s, p]).wait()
+
+                # mask for (row, kv) pairs: row belongs to s, causal,
+                # within context, within window
+                kv_pos = p * ps + kv_iota              # [BQ, ps]
+                q_pos = pos_off + row_iota             # [BQ, ps] (pos of row)
+                mask = (row_iota >= cu_s) & (row_iota < cu_e)
+                mask &= kv_pos <= q_pos
+                mask &= kv_pos < kvl
+                if spec.sliding_window is not None:
+                    mask &= kv_pos > q_pos - spec.sliding_window
+                mask3 = jnp.broadcast_to(
+                    mask[:, None, :], (bq, G, ps)
+                ).reshape(BQG, ps)
+
+                for h in range(K):
+                    q_h = q_ref[:, h * G : (h + 1) * G, :].reshape(BQG, D)
+                    k_h = kv_buf[slot, :, h, :]        # [ps, D]
+                    v_h = kv_buf[slot, :, K + h, :]    # [ps, D]
+                    scores = jax.lax.dot_general(
+                        q_h.astype(jnp.float32),
+                        k_h.astype(jnp.float32),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * spec.sm_scale                  # [BQG, ps]
+                    if spec.logit_soft_cap is not None:
+                        cap = spec.logit_soft_cap
+                        scores = cap * jnp.tanh(scores / cap)
+
+                    m_prev = m_ref[h, :, :1]           # [BQG, 1]
+                    l_prev = l_ref[h, :, :1]
+                    m_cur = jnp.max(
+                        jnp.where(mask3, scores, NEG_INF), axis=-1, keepdims=True
+                    )
+                    m_new = jnp.maximum(m_prev, m_cur)
+                    # exp of masked entries must be exactly 0 so rows of other
+                    # sequences (or fully-masked rows) stay untouched
+                    p_ij = jnp.where(mask3, jnp.exp(scores - m_new), 0.0)
+                    alpha = jnp.exp(m_prev - m_new)    # [BQG, 1]
+                    l_new = alpha * l_prev + jnp.sum(p_ij, axis=-1, keepdims=True)
+                    pv = jax.lax.dot_general(
+                        p_ij,
+                        v_h.astype(jnp.float32),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                   # [BQG, D]
+                    acc_ref[h] = acc_ref[h] * alpha + pv
+                    m_ref[h] = jnp.broadcast_to(m_new, (BQG, 128))
+                    l_ref[h] = jnp.broadcast_to(l_new, (BQG, 128))
+                return 0
+
+            jax.lax.fori_loop(pg_lo, pg_hi, page_body, 0)
+            return 0
+
+        jax.lax.fori_loop(s_lo, s_hi + 1, seq_body, 0)
+
+    # finalize: out = acc / l (0 for rows that saw no valid kv)
+    for h in range(K):
+        l = l_ref[h, :, :1]
+        out = acc_ref[h] / jnp.where(l > 0.0, l, 1.0)
+        out_ref[:, h * G : (h + 1) * G, :] = out.reshape(bq, G, D).astype(
+            out_ref.dtype
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "bq", "interpret", "vmem_limit_bytes")
+)
+def ragged_paged_attention_pallas(
+    q: jnp.ndarray,            # [T, H, D]
+    kv_pages: jnp.ndarray,     # [P, ps, 2K, D]
+    kv_lens: jnp.ndarray,      # [S] int32
+    page_tables: jnp.ndarray,  # [S, MAXP] int32
+    cu_q_lens: jnp.ndarray,    # [S+1] int32
+    *,
+    spec: AttentionSpec,
+    bq: int = 64,
+    interpret: bool | None = None,
+    vmem_limit_bytes: int = 100 * 1024 * 1024,
+) -> jnp.ndarray:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    T, H, D = q.shape
+    _, ps, twoK, _ = kv_pages.shape
+    K = twoK // 2
+    assert H == spec.num_q_heads and K == spec.num_kv_heads
+    G = spec.group_size
+    S = kv_lens.shape[0]
+
+    bq = min(bq, max(8, T))
+    T_pad = pl.cdiv(T, bq) * bq
+    if T_pad != T:
+        q = jnp.pad(q, ((0, T_pad - T), (0, 0), (0, 0)))
+    NB = T_pad // bq
+
+    cu = cu_q_lens.astype(jnp.int32)
+    t_used = cu[S]
+    starts = jnp.arange(NB, dtype=jnp.int32) * bq
+    ends = jnp.clip(starts + bq - 1, 0, jnp.maximum(t_used - 1, 0))
+    slo = jnp.clip(
+        jnp.searchsorted(cu[1:], starts, side="right"), 0, S - 1
+    ).astype(jnp.int32)
+    shi = jnp.clip(
+        jnp.searchsorted(cu[1:], ends, side="right"), 0, S - 1
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec(
+                (bq, H, D),
+                lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (bq, H, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ps, twoK, D), kv_pages.dtype),
+            pltpu.VMEM((K, bq * G, D), jnp.float32),
+            pltpu.VMEM((K, bq * G, 128), jnp.float32),
+            pltpu.VMEM((K, bq * G, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, spec=spec, bq=bq),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T_pad, H, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit_bytes,
+        ),
+        interpret=interpret,
+    )(
+        kv_lens.astype(jnp.int32),
+        page_tables.astype(jnp.int32),
+        cu,
+        slo,
+        shi,
+        t_used.reshape(1),
+        q,
+        kv_pages,
+    )
+    return out[:T]
