@@ -1,0 +1,202 @@
+"""Shared functional layers: linear, MLP, paged attention block.
+
+Re-designs the reference's ``src/openai/models/layers/`` (attention.rs,
+mlp.rs, others.rs) as pure functions over flat HF-named param dicts.
+Quantized variants plug in through ``ops.quant`` dispatch (the analogue of
+the reference's ``LinearX`` zoo, models/linear.rs) — weights carry their
+format in the params dict.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from candle_vllm_tpu.config import ModelConfig
+from candle_vllm_tpu.models.types import StepInput
+from candle_vllm_tpu.ops.attention import AttentionSpec, ragged_paged_attention
+from candle_vllm_tpu.ops.kv_cache import write_kv
+from candle_vllm_tpu.ops.norms import rms_norm
+from candle_vllm_tpu.ops.rope import RopeSpec, apply_rope, compute_cos_sin
+
+Params = Dict[str, jnp.ndarray]
+
+
+def linear(x: jnp.ndarray, params: Params, prefix: str) -> jnp.ndarray:
+    """y = x @ W (+ b).  Weights are stored input-major ([in, out]) so the
+    matmul needs no transpose; quantized weights dispatch on the aux
+    entries present under ``prefix`` (see ops/quant.py)."""
+    qweight = params.get(f"{prefix}.qweight")
+    if qweight is not None:
+        from candle_vllm_tpu.ops.quant import quantized_matmul
+
+        y = quantized_matmul(x, params, prefix)
+    else:
+        w = params[f"{prefix}.weight"]
+        y = jnp.dot(x, w)
+    b = params.get(f"{prefix}.bias")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def _act(name: str):
+    if name in ("silu", "swish"):
+        return jax.nn.silu
+    if name == "gelu":
+        return partial(jax.nn.gelu, approximate=False)
+    if name in ("gelu_new", "gelu_fast", "gelu_pytorch_tanh", "gelu_tanh"):
+        return partial(jax.nn.gelu, approximate=True)
+    if name == "relu":
+        return jax.nn.relu
+    raise ValueError(f"unsupported activation {name}")
+
+
+def mlp(x: jnp.ndarray, params: Params, prefix: str, hidden_act: str) -> jnp.ndarray:
+    """Gated MLP (reference: models/layers/mlp.rs gate/up/down)."""
+    act = _act(hidden_act)
+    gate = linear(x, params, f"{prefix}.gate_proj")
+    up = linear(x, params, f"{prefix}.up_proj")
+    return linear(act(gate) * up, params, f"{prefix}.down_proj")
+
+
+# ---------------------------------------------------------------------------
+# Attention block
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AttnLayerSpec:
+    """Static per-layer attention description."""
+
+    attn: AttentionSpec
+    use_qk_norm: bool = False
+    qk_norm_eps: float = 1e-6
+
+
+def paged_attention_with_write(
+    q: jnp.ndarray,           # [T, H, D]
+    k: jnp.ndarray,           # [T, K, D]
+    v: jnp.ndarray,           # [T, K, D]
+    kv_pages: jnp.ndarray,    # [P, ps, 2K, D]
+    step: StepInput,
+    spec: AttentionSpec,
+    mesh: Optional[Mesh] = None,
+    tp_axis: str = "tp",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Write this step's K/V rows into their pages, then attend.
+
+    Under a mesh, runs inside ``shard_map`` over the TP axis: each device
+    holds its KV-head shard of the pages and its query-head shard — the
+    TPU equivalent of the reference's per-rank PagedAttention
+    (attention.rs:707-718), with zero collectives (heads are fully
+    parallel; the psum happens later in o_proj's row-parallel matmul).
+    """
+    if mesh is None or mesh.shape.get(tp_axis, 1) == 1:
+        kv_pages = write_kv(kv_pages, k, v, step.slot_mapping)
+        out = ragged_paged_attention(
+            q, kv_pages, step.kv_lens, step.page_tables, step.cu_q_lens,
+            spec=spec,
+        )
+        return out, kv_pages
+
+    tp = mesh.shape[tp_axis]
+    assert spec.num_kv_heads % tp == 0, (
+        f"kv heads {spec.num_kv_heads} not divisible by tp={tp} "
+        "(kv-head replication not yet supported)"
+    )
+    local_spec = AttentionSpec(
+        num_q_heads=spec.num_q_heads // tp,
+        num_kv_heads=spec.num_kv_heads // tp,
+        head_dim=spec.head_dim,
+        sm_scale=spec.sm_scale,
+        sliding_window=spec.sliding_window,
+        logit_soft_cap=spec.logit_soft_cap,
+    )
+
+    def local(q, k, v, kv_pages, kv_lens, pt, cu, slots):
+        kv_pages = write_kv(kv_pages, k, v, slots)
+        out = ragged_paged_attention(
+            q, kv_pages, kv_lens, pt, cu, spec=local_spec
+        )
+        return out, kv_pages
+
+    head = P(None, tp_axis, None)
+    pages = P(None, None, tp_axis, None)
+    rep1 = P(None)
+    out, kv_pages = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(head, head, head, pages, rep1, P(None, None), rep1, rep1),
+        out_specs=(head, pages),
+        check_vma=False,
+    )(q, k, v, kv_pages, step.kv_lens, step.page_tables, step.cu_q_lens,
+      step.slot_mapping)
+    return out, kv_pages
+
+
+def attention_block(
+    x: jnp.ndarray,            # [T, hidden]
+    params: Params,
+    prefix: str,               # e.g. "model.layers.0.self_attn"
+    layer: AttnLayerSpec,
+    rope: RopeSpec,
+    cos_sin: Tuple[jnp.ndarray, jnp.ndarray],
+    kv_pages: jnp.ndarray,
+    step: StepInput,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full attention sublayer (reference: layers/attention.rs:28-754):
+    qkv projections, optional per-head QK-norm, rope, paged attention,
+    output projection."""
+    T = x.shape[0]
+    spec = layer.attn
+    H, K, D = spec.num_q_heads, spec.num_kv_heads, spec.head_dim
+
+    q = linear(x, params, f"{prefix}.q_proj").reshape(T, H, D)
+    k = linear(x, params, f"{prefix}.k_proj").reshape(T, K, D)
+    v = linear(x, params, f"{prefix}.v_proj").reshape(T, K, D)
+
+    if layer.use_qk_norm:
+        # Qwen3-style per-head rms norm on q/k (attention.rs QK-norm)
+        q = rms_norm(q, params[f"{prefix}.q_norm.weight"], layer.qk_norm_eps)
+        k = rms_norm(k, params[f"{prefix}.k_norm.weight"], layer.qk_norm_eps)
+
+    cos, sin = cos_sin
+    q = apply_rope(q, cos, sin, rope)
+    k = apply_rope(k, cos, sin, rope)
+
+    out, kv_pages = paged_attention_with_write(
+        q, k, v, kv_pages, step, spec, mesh=mesh
+    )
+    out = linear(out.reshape(T, H * D), params, f"{prefix}.o_proj")
+    return out, kv_pages
+
+
+def make_attn_specs(config: ModelConfig) -> "list[AttnLayerSpec]":
+    """Per-layer attention specs (sliding vs global per layer —
+    reference: gemma per-layer KV, models/mod.rs:1124-1192)."""
+    D = config.head_dim
+    specs = []
+    for i in range(config.num_hidden_layers):
+        sliding = config.sliding_window if config.is_sliding_layer(i) else None
+        specs.append(
+            AttnLayerSpec(
+                attn=AttentionSpec(
+                    num_q_heads=config.num_attention_heads,
+                    num_kv_heads=config.num_key_value_heads,
+                    head_dim=D,
+                    sm_scale=D ** -0.5,
+                    sliding_window=sliding,
+                    logit_soft_cap=config.attn_logit_softcapping,
+                ),
+                use_qk_norm=config.use_qk_norm,
+                qk_norm_eps=config.rms_norm_eps,
+            )
+        )
+    return specs

@@ -1,0 +1,161 @@
+"""Dense decoder family: Llama, Mistral, Qwen2/3, Yi, GLM4-dense, Gemma-ish.
+
+One parameterized implementation covers the reference's separate dense
+model files (``/root/reference/src/openai/models/{llama,mistral,qwen,yi,
+glm4,gemma}.rs``) — they differ only in config flags (qkv bias, qk-norm,
+sliding-window pattern, tied embeddings, embedding scaling, activation),
+all of which live in ``ModelConfig``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from candle_vllm_tpu.config import ModelConfig
+from candle_vllm_tpu.models.layers import (
+    AttnLayerSpec,
+    attention_block,
+    linear,
+    make_attn_specs,
+    mlp,
+)
+from candle_vllm_tpu.models.types import StepInput
+from candle_vllm_tpu.models.registry import register
+from candle_vllm_tpu.ops.norms import rms_norm
+from candle_vllm_tpu.ops.rope import RopeSpec, compute_cos_sin, make_rope_spec
+
+Params = Dict[str, jnp.ndarray]
+
+
+@register(
+    "LlamaForCausalLM",
+    "MistralForCausalLM",
+    "Qwen2ForCausalLM",
+    "Qwen3ForCausalLM",
+    "YiForCausalLM",
+    "Glm4ForCausalLM",
+)
+class LlamaForCausalLM:
+    """Functional dense decoder over paged KV."""
+
+    def __init__(self, config: ModelConfig, mesh: Optional[Mesh] = None):
+        self.config = config
+        self.mesh = mesh
+        self.layer_specs: List[AttnLayerSpec] = make_attn_specs(config)
+        self.rope: RopeSpec = make_rope_spec(config)
+        # gemma3-style: sliding layers use a different (local) rope theta
+        self.rope_local: Optional[RopeSpec] = None
+        if config.rope_local_base_freq is not None:
+            self.rope_local = make_rope_spec(
+                config, theta_override=config.rope_local_base_freq
+            )
+
+    # -- parameters --------------------------------------------------------
+    def param_shapes(self) -> Dict[str, Tuple[int, ...]]:
+        c = self.config
+        H, K, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
+        shapes: Dict[str, Tuple[int, ...]] = {
+            "model.embed_tokens.weight": (c.vocab_size, c.hidden_size),
+            "model.norm.weight": (c.hidden_size,),
+        }
+        if not c.tie_word_embeddings:
+            shapes["lm_head.weight"] = (c.hidden_size, c.vocab_size)
+        for i in range(c.num_hidden_layers):
+            p = f"model.layers.{i}"
+            shapes[f"{p}.input_layernorm.weight"] = (c.hidden_size,)
+            shapes[f"{p}.post_attention_layernorm.weight"] = (c.hidden_size,)
+            shapes[f"{p}.self_attn.q_proj.weight"] = (c.hidden_size, H * D)
+            shapes[f"{p}.self_attn.k_proj.weight"] = (c.hidden_size, K * D)
+            shapes[f"{p}.self_attn.v_proj.weight"] = (c.hidden_size, K * D)
+            shapes[f"{p}.self_attn.o_proj.weight"] = (H * D, c.hidden_size)
+            if c.qkv_bias:
+                shapes[f"{p}.self_attn.q_proj.bias"] = (H * D,)
+                shapes[f"{p}.self_attn.k_proj.bias"] = (K * D,)
+                shapes[f"{p}.self_attn.v_proj.bias"] = (K * D,)
+            if c.use_qk_norm:
+                shapes[f"{p}.self_attn.q_norm.weight"] = (D,)
+                shapes[f"{p}.self_attn.k_norm.weight"] = (D,)
+            shapes[f"{p}.mlp.gate_proj.weight"] = (c.hidden_size, c.intermediate_size)
+            shapes[f"{p}.mlp.up_proj.weight"] = (c.hidden_size, c.intermediate_size)
+            shapes[f"{p}.mlp.down_proj.weight"] = (c.intermediate_size, c.hidden_size)
+        return shapes
+
+    def init_params(self, seed: int = 0) -> Params:
+        """Random init (bench / tests; real loads go through
+        models/weights.py)."""
+        c = self.config
+        params: Params = {}
+        key = jax.random.PRNGKey(seed)
+        for name, shape in self.param_shapes().items():
+            key, sub = jax.random.split(key)
+            if name.endswith("norm.weight"):
+                params[name] = jnp.ones(shape, c.dtype)
+            elif name.endswith(".bias"):
+                params[name] = jnp.zeros(shape, c.dtype)
+            else:
+                std = 0.4 / (shape[0] ** 0.5)
+                params[name] = (
+                    jax.random.normal(sub, shape, jnp.float32) * std
+                ).astype(c.dtype)
+        return params
+
+    # -- forward -----------------------------------------------------------
+    def forward(
+        self,
+        params: Params,
+        kv_pages: List[jnp.ndarray],
+        step: StepInput,
+    ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        """Returns (logits [S, vocab] f32, updated kv_pages).
+
+        Only rows ``step.logits_idx`` reach the lm_head (reference gathers
+        last tokens before lm_head during prefill, llama.rs:190-194).
+        """
+        c = self.config
+        x = params["model.embed_tokens.weight"][step.token_ids]
+        if c.scale_embeddings:
+            x = (x.astype(jnp.float32) * (c.hidden_size ** 0.5)).astype(x.dtype)
+
+        cos_sin = compute_cos_sin(step.positions, self.rope)
+        cos_sin_local = (
+            compute_cos_sin(step.positions, self.rope_local)
+            if self.rope_local is not None
+            else None
+        )
+
+        new_pages: List[jnp.ndarray] = []
+        for i in range(c.num_hidden_layers):
+            p = f"model.layers.{i}"
+            spec = self.layer_specs[i]
+            is_sliding = spec.attn.sliding_window is not None
+            rope = self.rope_local if (is_sliding and self.rope_local) else self.rope
+            cs = cos_sin_local if (is_sliding and cos_sin_local) else cos_sin
+
+            h = rms_norm(x, params[f"{p}.input_layernorm.weight"], c.rms_norm_eps)
+            attn_out, pages = attention_block(
+                h, params, f"{p}.self_attn", spec, rope, cs,
+                kv_pages[i], step, mesh=self.mesh,
+            )
+            new_pages.append(pages)
+            x = x + attn_out
+
+            h = rms_norm(
+                x, params[f"{p}.post_attention_layernorm.weight"], c.rms_norm_eps
+            )
+            x = x + mlp(h, params, f"{p}.mlp", c.hidden_act)
+
+        x = rms_norm(x, params["model.norm.weight"], c.rms_norm_eps)
+        sel = x[step.logits_idx]  # [S, hidden]
+        if c.tie_word_embeddings:
+            logits = jnp.dot(sel, params["model.embed_tokens.weight"].T)
+        else:
+            logits = linear(sel, params, "lm_head")
+        logits = logits.astype(jnp.float32)
+        if c.logit_softcapping:
+            cap = c.logit_softcapping
+            logits = cap * jnp.tanh(logits / cap)
+        return logits, new_pages

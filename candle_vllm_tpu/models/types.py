@@ -1,0 +1,40 @@
+"""Step input: the dynamic arrays crossing host->device each engine step.
+
+TPU-native replacement for the reference's ``InputMetadata`` +
+``ForwardPayload`` (``/root/reference/src/openai/pipelines/inputs.rs``,
+``multiprocess.rs:91-255``): one pytree of padded, statically-shaped arrays.
+There is no per-step daemon broadcast — every host builds the same
+StepInput from its replicated scheduler state (SPMD).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class StepInput:
+    """Flat ragged token batch (mixed prefill chunks + decode rows).
+
+    T = padded token count, S = padded sequence count.
+    """
+
+    token_ids: jnp.ndarray     # [T] i32; padding rows = 0
+    positions: jnp.ndarray     # [T] i32 absolute positions (for rope)
+    slot_mapping: jnp.ndarray  # [T] i32 page*page_size+off; INVALID_SLOT pad
+    kv_lens: jnp.ndarray       # [S] i32 post-step kv length per seq; 0 pad
+    page_tables: jnp.ndarray   # [S, MAXP] i32
+    cu_q_lens: jnp.ndarray     # [S+1] i32 (padding seqs repeat final value)
+    logits_idx: jnp.ndarray    # [S] i32 rows to gather before lm_head
+
+    @property
+    def num_tokens(self) -> int:
+        return self.token_ids.shape[0]
+
+    @property
+    def num_seqs(self) -> int:
+        return self.kv_lens.shape[0]

@@ -82,7 +82,7 @@ def _ragged_paged_attention_jnp(
     spec: AttentionSpec,
 ) -> jnp.ndarray:
     T, H, D = q.shape
-    P, ps, twoK, _ = kv_pages.shape
+    P, ps, twoK, Dp = kv_pages.shape
     K = twoK // 2
     G = spec.group_size
     S, MAXP = page_tables.shape
@@ -98,9 +98,9 @@ def _ragged_paged_attention_jnp(
 
     # gather each token's full KV context: [T, MAXP, ps, 2K, D] -> [T, L, ...]
     pages = page_tables[seq_idx]
-    kv = kv_pages[pages].reshape(T, L, twoK, D)
-    k = kv[:, :, :K, :].astype(jnp.float32)
-    v = kv[:, :, K:, :].astype(jnp.float32)
+    kv = kv_pages[pages].reshape(T, L, twoK, Dp)[..., :D]
+    k = kv[:, :, 0::2, :].astype(jnp.float32)  # interleaved per head
+    v = kv[:, :, 1::2, :].astype(jnp.float32)
 
     qf = q.astype(jnp.float32).reshape(T, K, G, D)
     scores = jnp.einsum("tkgd,tlkd->tkgl", qf, k) * spec.sm_scale

@@ -10,10 +10,12 @@ Layout: one fused page array per layer,
 
     kv_pages[layer] : [num_pages, page_size, 2 * num_kv_heads, head_dim]
 
-with K heads at ``[..., :num_kv_heads, :]`` and V heads at
-``[..., num_kv_heads:, :]``.  Fusing K and V into one array halves the
-number of page DMAs in the attention kernel and keeps the sublane dim
-(2*num_kv_heads) tile-friendly.
+with K and V *interleaved per head* along the combined dim:
+``[..., 2*h, :]`` is K of head h and ``[..., 2*h+1, :]`` is V of head h.
+Fusing K and V into one array halves the number of page DMAs in the
+attention kernel; interleaving (rather than concatenating all K then all
+V) keeps the combined dim shardable across tensor-parallel devices — a
+contiguous slice of it is a set of whole (K,V) head pairs.
 """
 
 from __future__ import annotations
@@ -36,7 +38,12 @@ def allocate_kv_pages(
     head_dim: int,
     dtype=jnp.bfloat16,
     sharding=None,
+    pad_head_dim_to: int = 1,
 ) -> List[jnp.ndarray]:
+    """``pad_head_dim_to=128`` pads the lane dim up to the TPU tile width —
+    required by the Pallas attention kernel's page DMA (Mosaic cannot slice
+    sub-tile lane extents); write/attend ops pad/slice transparently."""
+    head_dim = -(-head_dim // pad_head_dim_to) * pad_head_dim_to
     shape = (num_pages, page_size, 2 * num_kv_heads, head_dim)
     out = []
     for _ in range(num_layers):
@@ -59,10 +66,14 @@ def write_kv(
     slot = page_id * page_size + offset (INVALID_SLOT for padding).
     """
     page_size = kv_pages.shape[1]
-    num_kv_heads = kv_pages.shape[2] // 2
+    T, K, D = k.shape
+    Dp = kv_pages.shape[3]
     page_idx = slot_mapping // page_size
     offset = slot_mapping % page_size
-    kv = jnp.concatenate([k, v], axis=1).astype(kv_pages.dtype)  # [T, 2K, D]
+    # interleave per head: [T, K, 2, D] -> [T, 2K, D] = k0,v0,k1,v1,...
+    kv = jnp.stack([k, v], axis=2).reshape(T, 2 * K, D).astype(kv_pages.dtype)
+    if Dp != D:  # lane-padded cache (see allocate_kv_pages)
+        kv = jnp.pad(kv, ((0, 0), (0, 0), (0, Dp - D)))
     return kv_pages.at[page_idx, offset].set(kv, mode="drop")
 
 

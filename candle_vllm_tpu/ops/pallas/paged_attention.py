@@ -141,8 +141,8 @@ def _kernel(
 
                 for h in range(K):
                     q_h = q_ref[:, h * G : (h + 1) * G, :].reshape(BQG, D)
-                    k_h = kv_buf[slot, :, h, :]        # [ps, D]
-                    v_h = kv_buf[slot, :, K + h, :]    # [ps, D]
+                    k_h = kv_buf[slot, :, 2 * h, :]      # [ps, D]
+                    v_h = kv_buf[slot, :, 2 * h + 1, :]  # [ps, D]
                     scores = jax.lax.dot_general(
                         q_h.astype(jnp.float32),
                         k_h.astype(jnp.float32),
@@ -207,9 +207,27 @@ def ragged_paged_attention_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     T, H, D = q.shape
-    _, ps, twoK, _ = kv_pages.shape
+    _, ps, twoK, Dp = kv_pages.shape
     K = twoK // 2
     assert H == spec.num_q_heads and K == spec.num_kv_heads
+    if Dp != D:
+        # lane-padded cache: pad q; zero k/q pad lanes don't affect scores,
+        # zero v pad lanes are sliced off the output
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
+        spec_p = AttentionSpec(
+            num_q_heads=spec.num_q_heads,
+            num_kv_heads=spec.num_kv_heads,
+            head_dim=Dp,
+            sm_scale=spec.sm_scale,
+            sliding_window=spec.sliding_window,
+            logit_soft_cap=spec.logit_soft_cap,
+        )
+        out = ragged_paged_attention_pallas(
+            q, kv_pages, kv_lens, page_tables, cu_q_lens,
+            spec=spec_p, bq=bq, interpret=interpret,
+            vmem_limit_bytes=vmem_limit_bytes,
+        )
+        return out[..., :D]
     G = spec.group_size
     S = kv_lens.shape[0]
 

@@ -1,0 +1,102 @@
+"""Mesh construction and parameter sharding rules.
+
+The reference implements tensor parallelism with hand-written
+column/row/vocab-parallel layers and explicit NCCL all-reduce
+(``/root/reference/src/openai/distributed.rs:210-1668``).  Here the same
+layout is expressed declaratively: each parameter gets a PartitionSpec and
+XLA inserts the collectives (psum after row-parallel o_proj/down_proj,
+all-gather for vocab-parallel logits) — riding ICI, scheduled by the
+compiler.
+
+Axes:
+- ``dp``: data parallel (replicated weights, sharded batch). The engine
+  uses it for multi-host replica groups.
+- ``tp``: tensor parallel (sharded heads / ffn / vocab).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(tp_size: int, dp_size: int = 1, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    n = dp_size * tp_size
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = np.asarray(devices[:n]).reshape(dp_size, tp_size)
+    return Mesh(arr, ("dp", "tp"))
+
+
+# Parameter-name regex -> PartitionSpec over ("dp", "tp") mesh axes.
+# Linear weights are stored transposed ([in, out]) — see models/weights.py —
+# so column-parallel layers shard the LAST dim and row-parallel the FIRST.
+# This mirrors the reference's TensorParallelColumn/RowLinear split
+# (distributed.rs:210-250, 538-711) without any explicit collectives.
+_DEFAULT_RULES: Tuple[Tuple[str, P], ...] = (
+    # embeddings: vocab-sharded (reference: VocabParallelLinear,
+    # distributed.rs:1457-1668)
+    (r"embed_tokens\.weight$", P("tp", None)),
+    (r"lm_head\.weight$", P(None, "tp")),
+    # attention: heads sharded (column-parallel qkv, row-parallel o)
+    (r"\.(q_proj|k_proj|v_proj)\.weight$", P(None, "tp")),
+    (r"\.(q_proj|k_proj|v_proj)\.bias$", P("tp")),
+    (r"\.o_proj\.weight$", P("tp", None)),
+    (r"\.o_proj\.bias$", P()),
+    # mlp: column-parallel gate/up, row-parallel down
+    (r"\.(gate_proj|up_proj)\.weight$", P(None, "tp")),
+    (r"\.(gate_proj|up_proj)\.bias$", P("tp")),
+    (r"\.down_proj\.weight$", P("tp", None)),
+    (r"\.down_proj\.bias$", P()),
+    # MoE expert banks [E, in, out] / [E, in, out]
+    (r"\.experts\.(gate_proj|up_proj)$", P(None, None, "tp")),
+    (r"\.experts\.down_proj$", P(None, "tp", None)),
+    (r"\.(gate|router)\.weight$", P()),
+    # norms replicated
+    (r".*norm.*\.weight$", P()),
+    (r".*\.bias$", P()),
+)
+
+
+@dataclass
+class ShardingPlan:
+    """Maps parameter names to NamedShardings on a mesh."""
+
+    mesh: Mesh
+    rules: Tuple[Tuple[str, P], ...] = _DEFAULT_RULES
+    _compiled: Dict[str, "re.Pattern"] = field(default_factory=dict, repr=False)
+
+    def spec(self, name: str) -> P:
+        for pattern, spec in self.rules:
+            pat = self._compiled.get(pattern)
+            if pat is None:
+                pat = self._compiled[pattern] = re.compile(pattern)
+            if pat.search(name):
+                return spec
+        return P()
+
+    def sharding(self, name: str) -> NamedSharding:
+        return NamedSharding(self.mesh, self.spec(name))
+
+    def kv_pages_sharding(self) -> NamedSharding:
+        # [num_pages, page_size, 2*K, head_dim] — KV heads sharded over tp
+        return NamedSharding(self.mesh, P(None, None, "tp", None))
+
+    def apply(self, params: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        return {
+            name: jax.device_put(arr, self.sharding(name))
+            for name, arr in params.items()
+        }
+
+
+def param_spec(name: str) -> P:
+    for pattern, spec in _DEFAULT_RULES:
+        if re.search(pattern, name):
+            return spec
+    return P()

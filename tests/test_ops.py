@@ -63,8 +63,8 @@ def build_paged_case(seq_specs, K=2, H=4, D=32, ps=4, num_pages=64, seed=0,
         k = rng.standard_normal((kv_len, K, D)).astype(np.float32)
         v = rng.standard_normal((kv_len, K, D)).astype(np.float32)
         for t in range(kv_len):
-            kv_pages[pages[t // ps], t % ps, :K] = k[t]
-            kv_pages[pages[t // ps], t % ps, K:] = v[t]
+            kv_pages[pages[t // ps], t % ps, 0::2] = k[t]  # interleaved
+            kv_pages[pages[t // ps], t % ps, 1::2] = v[t]
         q = rng.standard_normal((q_len, H, D)).astype(np.float32)
         qs.append(q)
         oracle_kv.append((k, v))
@@ -91,9 +91,10 @@ def test_write_kv_scatter():
     v = -jnp.ones((3, K, D)) * jnp.arange(1, 4)[:, None, None]
     slots = jnp.asarray([5, 6, kvc.INVALID_SLOT], jnp.int32)  # page 1, offs 1,2
     out = kvc.write_kv(pages, k, v, slots)
-    assert float(out[1, 1, 0, 0]) == 1.0
+    assert float(out[1, 1, 0, 0]) == 1.0   # K head 0 -> combined idx 0
     assert float(out[1, 2, 0, 0]) == 2.0
-    assert float(out[1, 1, K, 0]) == -1.0
+    assert float(out[1, 1, 1, 0]) == -1.0  # V head 0 -> combined idx 1 (interleaved)
+    assert float(out[1, 1, 2, 0]) == 1.0   # K head 1 -> combined idx 2
     # invalid slot dropped, nothing else written: tokens 1 and 2 only
     assert float(jnp.abs(out).sum()) == pytest.approx((1 + 2) * K * D * 2, rel=1e-5)
 
