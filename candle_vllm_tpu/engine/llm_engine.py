@@ -1,0 +1,408 @@
+"""The engine: continuous batching over a jitted TPU step.
+
+Re-designs the reference's ``LLMEngine``
+(``/root/reference/src/openai/pipelines/llm_engine.rs``) around XLA's
+compilation model: each engine step is ONE device dispatch — a jitted
+function fusing the model forward, COW block copies, and batched sampling,
+with the KV pages donated in place.  Bucketed input shapes keep the
+compiled-shape set closed (the TPU analogue of the reference's CUDA-graph
+capture, backend/graph.rs).
+
+Scheduling, block management, detokenization, and stop detection stay on
+host in pure Python — single-threaded, no locks (the reference needs
+RwLock + unsafe Send/Sync; SURVEY.md §5 'race detection').
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence as Seq, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from candle_vllm_tpu.config import (
+    CacheConfig,
+    ModelConfig,
+    ParallelConfig,
+    SchedulerConfig,
+)
+from candle_vllm_tpu.engine.block_engine import BlockEngine
+from candle_vllm_tpu.engine.detokenizer import IncrementalDetokenizer
+from candle_vllm_tpu.engine.input_builder import StepPlan, build_step_input
+from candle_vllm_tpu.engine.scheduler import Scheduler, SchedulerOutput
+from candle_vllm_tpu.engine.sequence import Sequence, SequenceGroup, SequenceStatus
+from candle_vllm_tpu.models.registry import get_model
+from candle_vllm_tpu.models.types import StepInput
+from candle_vllm_tpu.ops.kv_cache import HostSwapSpace, allocate_kv_pages, copy_blocks
+from candle_vllm_tpu.ops.sampling import SamplingTensors, sample
+from candle_vllm_tpu.parallel.sharding import ShardingPlan, make_mesh
+from candle_vllm_tpu.sampling_params import SamplingParams
+
+MAX_COPY_PAIRS = 128  # fixed-size COW copy list inside the jitted step
+
+
+# ---------------------------------------------------------------------------
+# outputs
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CompletionOutput:
+    index: int
+    text: str
+    token_ids: List[int]
+    cumulative_logprob: float = 0.0
+    finish_reason: Optional[str] = None
+    stop_reason: Any = None
+
+    @property
+    def finished(self) -> bool:
+        return self.finish_reason is not None
+
+
+@dataclass
+class RequestMetrics:
+    arrival_time: float = 0.0
+    first_token_time: Optional[float] = None
+    finished_time: Optional[float] = None
+    prompt_tokens: int = 0
+    cached_tokens: int = 0
+
+
+@dataclass
+class RequestOutput:
+    request_id: str
+    prompt_token_ids: List[int]
+    outputs: List[CompletionOutput]
+    finished: bool
+    metrics: RequestMetrics = field(default_factory=RequestMetrics)
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+
+class LLMEngine:
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        cache_config: CacheConfig,
+        scheduler_config: SchedulerConfig,
+        parallel_config: Optional[ParallelConfig] = None,
+        *,
+        params: Optional[Dict[str, jnp.ndarray]] = None,
+        model_dir: Optional[str] = None,
+        tokenizer: Any = None,
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.model_config = model_config
+        self.cache_config = cache_config
+        self.scheduler_config = scheduler_config
+        self.parallel_config = parallel_config or ParallelConfig()
+        self.tokenizer = tokenizer
+
+        if mesh is None and self.parallel_config.world_size > 1:
+            mesh = make_mesh(
+                self.parallel_config.tp_size, self.parallel_config.dp_size
+            )
+        self.mesh = mesh
+        self.plan = ShardingPlan(mesh) if mesh is not None else None
+
+        self.model = get_model(model_config, mesh=mesh)
+        if params is None and model_dir is not None:
+            from candle_vllm_tpu.models.weights import load_safetensors
+
+            params = load_safetensors(
+                model_dir, dtype=model_config.dtype, plan=self.plan
+            )
+        elif params is None:
+            params = self.model.init_params(seed=seed)
+            if self.plan is not None:
+                params = self.plan.apply(params)
+        self.params = params
+
+        # KV pages: lane-padded on TPU (Mosaic tile-aligned DMA)
+        pad = 128 if jax.default_backend() == "tpu" else 1
+        self.kv_pages: List[jnp.ndarray] = allocate_kv_pages(
+            model_config.num_hidden_layers,
+            cache_config.num_gpu_blocks,
+            cache_config.block_size,
+            model_config.num_key_value_heads,
+            model_config.head_dim,
+            dtype=model_config.dtype,
+            sharding=self.plan.kv_pages_sharding() if self.plan else None,
+            pad_head_dim_to=pad,
+        )
+        self.swap_space = (
+            HostSwapSpace(
+                model_config.num_hidden_layers,
+                cache_config.num_cpu_blocks,
+                cache_config.block_size,
+                model_config.num_key_value_heads,
+                model_config.head_dim if pad == 1 else
+                -(-model_config.head_dim // pad) * pad,
+                dtype=model_config.dtype,
+            )
+            if cache_config.num_cpu_blocks > 0
+            else None
+        )
+
+        self.block_engine = BlockEngine(
+            cache_config.block_size,
+            cache_config.num_gpu_blocks,
+            cache_config.num_cpu_blocks,
+            enable_prefix_caching=scheduler_config.enable_prefix_caching,
+        )
+        self.scheduler = Scheduler(scheduler_config, self.block_engine)
+        self.detok = IncrementalDetokenizer(tokenizer) if tokenizer else None
+
+        self._key = jax.random.PRNGKey(seed)
+        self._step_counter = 0
+        self._next_seq_id = 0
+        self._groups: Dict[str, SequenceGroup] = {}
+
+        self._jit_step = jax.jit(self._device_step, donate_argnums=(1,))
+
+    # -- the single-dispatch device step -----------------------------------
+    def _device_step(
+        self,
+        params: Dict[str, jnp.ndarray],
+        kv_pages: List[jnp.ndarray],
+        step: StepInput,
+        copy_src: jnp.ndarray,     # [MAX_COPY_PAIRS] i32 (padded out-of-range)
+        copy_dst: jnp.ndarray,
+        st: SamplingTensors,
+        key: jax.Array,
+    ):
+        kv_pages = [copy_blocks(p, copy_src, copy_dst) for p in kv_pages]
+        logits, kv_pages = self.model.forward(params, kv_pages, step)
+        tokens, logprobs = sample(logits, st, key)
+        return tokens, logprobs, kv_pages
+
+    # -- request intake ----------------------------------------------------
+    def add_request(
+        self,
+        request_id: str,
+        prompt: Optional[str] = None,
+        prompt_token_ids: Optional[List[int]] = None,
+        sampling_params: Optional[SamplingParams] = None,
+    ) -> None:
+        sampling_params = sampling_params or SamplingParams()
+        if sampling_params.n != 1:
+            raise NotImplementedError("n>1 lands with the fork support")
+        if prompt_token_ids is None:
+            assert prompt is not None and self.tokenizer is not None
+            prompt_token_ids = self.tokenizer.encode(prompt)
+            if hasattr(prompt_token_ids, "ids"):  # raw tokenizers.Encoding
+                prompt_token_ids = prompt_token_ids.ids
+        seq = Sequence(self._next_seq_id, prompt_token_ids)
+        self._next_seq_id += 1
+        group = SequenceGroup(request_id, [seq], sampling_params)
+        group.prompt = prompt
+        self._groups[request_id] = group
+        self.scheduler.add_seq_group(group)
+
+    def abort_request(self, request_id: str) -> None:
+        self.scheduler.abort(request_id)
+
+    def has_unfinished_requests(self) -> bool:
+        return self.scheduler.has_unfinished()
+
+    # -- one engine iteration ---------------------------------------------
+    def step(self) -> List[RequestOutput]:
+        sched_out = self.scheduler.schedule()
+        if sched_out.is_empty:
+            return self._collect_outputs([], sched_out)
+
+        self._execute_swaps(sched_out)
+
+        plan = build_step_input(
+            sched_out.scheduled,
+            self.block_engine,
+            self.cache_config.block_size,
+            self.scheduler_config.max_model_len,
+        )
+        S = plan.step.kv_lens.shape[0]
+
+        rows_params: List[SamplingParams] = []
+        rows_hist: List[List[int]] = []
+        row_seqs: List[Sequence] = []
+        seq_to_group: Dict[int, SequenceGroup] = {}
+        for sg in sched_out.scheduled:
+            for sid in sg.token_chunks:
+                seq_to_group[sid] = sg.group
+        for sid in plan.seq_ids:
+            group = seq_to_group[sid]
+            seq = group.seqs[sid]
+            row_seqs.append(seq)
+            rows_params.append(group.sampling_params)
+            rows_hist.append(seq.get_token_ids()[-64:])
+        st = SamplingTensors.build(
+            rows_params, rows_hist, self.model_config.vocab_size, pad_to=S
+        )
+
+        copy_src = np.full(MAX_COPY_PAIRS, 1 << 30, np.int32)
+        copy_dst = np.full(MAX_COPY_PAIRS, 1 << 30, np.int32)
+        pairs = sched_out.blocks_to_copy
+        if len(pairs) > MAX_COPY_PAIRS:
+            # overflow pairs run as a separate dispatch (rare: > 128 COW
+            # forks in one step)
+            extra_s = jnp.asarray([s for s, _ in pairs[MAX_COPY_PAIRS:]], jnp.int32)
+            extra_d = jnp.asarray([d for _, d in pairs[MAX_COPY_PAIRS:]], jnp.int32)
+            self.kv_pages = [
+                copy_blocks(p, extra_s, extra_d) for p in self.kv_pages
+            ]
+            pairs = pairs[:MAX_COPY_PAIRS]
+        for i, (s, d) in enumerate(pairs):
+            copy_src[i] = s
+            copy_dst[i] = d
+
+        self._key, sub = jax.random.split(self._key)
+        tokens, logprobs, self.kv_pages = self._jit_step(
+            self.params, self.kv_pages, plan.step, copy_src, copy_dst, st, sub
+        )
+        tokens = np.asarray(tokens)
+        logprobs = np.asarray(logprobs)
+        self._step_counter += 1
+
+        # -- host post-processing ------------------------------------------
+        now = time.monotonic()
+        for i, seq in enumerate(row_seqs):
+            group = seq_to_group[seq.seq_id]
+            q_len = None
+            for sg in sched_out.scheduled:
+                if seq.seq_id in sg.token_chunks and sg.group is group:
+                    q_len = sg.token_chunks[seq.seq_id]
+                    break
+            assert q_len is not None
+            seq.num_computed_tokens += q_len
+            if not plan.needs_sample[i]:
+                continue  # mid-prompt prefill chunk
+            if group.metrics.get("first_token_time") is None:
+                group.metrics["first_token_time"] = now
+            tok = int(tokens[plan.sample_rows[i]])
+            seq.append_token(tok, float(logprobs[plan.sample_rows[i]]))
+            self._maybe_finish(seq, group)
+
+        finished_groups = self.scheduler.free_finished()
+        return self._collect_outputs(finished_groups, sched_out)
+
+    # -- stop detection -----------------------------------------------------
+    def _maybe_finish(self, seq: Sequence, group: SequenceGroup) -> None:
+        sp = group.sampling_params
+        tok = seq.output_token_ids[-1]
+
+        delta = ""
+        if self.detok is not None:
+            delta = self.detok.step(
+                seq.seq_id, seq.get_token_ids(), seq.get_prompt_len()
+            )
+            seq.output_text += delta
+
+        if not sp.ignore_eos and (
+            tok in self.model_config.eos_token_ids or tok in sp.stop_token_ids
+        ):
+            seq.status = SequenceStatus.FINISHED_STOPPED
+            seq.stop_reason = tok
+        elif seq.get_output_len() >= sp.max_tokens:
+            seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+        elif seq.get_len() >= self.scheduler_config.max_model_len:
+            seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+        elif sp.stop and self.detok is not None:
+            for s in sp.stop:
+                idx = seq.output_text.find(s)
+                if idx != -1:
+                    seq.output_text = seq.output_text[:idx]
+                    seq.status = SequenceStatus.FINISHED_STOPPED
+                    seq.stop_reason = s
+                    break
+        if group.on_token:
+            group.on_token(seq, tok, delta, seq.is_finished)
+        if seq.is_finished and self.detok is not None:
+            self.detok.finish(seq.seq_id)
+
+    # -- cache ops ----------------------------------------------------------
+    def _execute_swaps(self, out: SchedulerOutput) -> None:
+        if out.blocks_to_swap_out:
+            assert self.swap_space is not None, "no CPU swap space configured"
+            self.swap_space.swap_out(self.kv_pages, out.blocks_to_swap_out)
+        if out.blocks_to_swap_in:
+            assert self.swap_space is not None
+            self.kv_pages = self.swap_space.swap_in(
+                self.kv_pages, out.blocks_to_swap_in
+            )
+
+    # -- outputs -------------------------------------------------------------
+    def _group_output(self, group: SequenceGroup) -> RequestOutput:
+        outs = []
+        for idx, seq in enumerate(group.seqs.values()):
+            outs.append(
+                CompletionOutput(
+                    index=idx,
+                    text=seq.output_text,
+                    token_ids=list(seq.output_token_ids),
+                    cumulative_logprob=seq.cumulative_logprob,
+                    finish_reason=seq.status.finish_reason,
+                    stop_reason=seq.stop_reason,
+                )
+            )
+        prompt_ids = group.get_seqs()[0].prompt_token_ids
+        m = RequestMetrics(
+            arrival_time=group.arrival_time,
+            first_token_time=group.metrics.get("first_token_time"),
+            finished_time=time.monotonic() if group.is_finished else None,
+            prompt_tokens=len(prompt_ids),
+            cached_tokens=group.get_seqs()[0].num_cached_tokens,
+        )
+        return RequestOutput(
+            request_id=group.request_id,
+            prompt_token_ids=prompt_ids,
+            outputs=outs,
+            finished=group.is_finished,
+            metrics=m,
+        )
+
+    def _collect_outputs(
+        self, finished: List[SequenceGroup], sched_out: SchedulerOutput
+    ) -> List[RequestOutput]:
+        outputs = []
+        for group in finished:
+            outputs.append(self._group_output(group))
+            self._groups.pop(group.request_id, None)
+        for group in sched_out.ignored:
+            outputs.append(self._group_output(group))
+            self._groups.pop(group.request_id, None)
+        return outputs
+
+    # -- offline batch API ---------------------------------------------------
+    def generate(
+        self,
+        prompts: Seq[Any],
+        sampling_params: Optional[SamplingParams] = None,
+    ) -> List[RequestOutput]:
+        """Blocking batch generation (reference: api.rs Engine::generate)."""
+        for i, p in enumerate(prompts):
+            if isinstance(p, str):
+                self.add_request(f"gen-{i}", prompt=p, sampling_params=sampling_params)
+            else:
+                self.add_request(
+                    f"gen-{i}", prompt_token_ids=list(p), sampling_params=sampling_params
+                )
+        results: Dict[str, RequestOutput] = {}
+        while self.has_unfinished_requests():
+            for out in self.step():
+                results[out.request_id] = out
+        return [results[f"gen-{i}"] for i in range(len(prompts))]
+
+    # -- introspection -------------------------------------------------------
+    def kv_usage(self) -> float:
+        return self.scheduler.kv_usage()
+
+    def num_unfinished(self) -> int:
+        return self.scheduler.num_unfinished()

@@ -205,6 +205,15 @@ class Scheduler:
                     continue
                 status = self.block_engine.can_allocate(group)
             if status != AllocStatus.OK:
+                if not self.running and not self.swapped and not out.scheduled:
+                    # nothing running that could ever free blocks — evict
+                    # prefix cache or reject, else the queue deadlocks
+                    if self._evict_prefix_pressure():
+                        continue
+                    self.waiting.popleft()
+                    self._finish_group(group, SequenceStatus.FINISHED_IGNORED)
+                    out.ignored.append(group)
+                    continue
                 break
             self.waiting.popleft()
             cached = self.block_engine.allocate(seq)

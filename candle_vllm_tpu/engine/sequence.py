@@ -174,7 +174,7 @@ class SequenceGroup:
         self.created_time = created_time if created_time is not None else int(time.time())
         self.prompt: Optional[str] = None
         self.metrics: Dict[str, float] = {}
-        # server-installed stream hook: fn(seq, token_id, finished)
+        # server-installed stream hook: fn(seq, token_id, text_delta, finished)
         self.on_token: Optional[Callable[..., Any]] = None
         # set when client disconnects; scheduler aborts on next pass
         self.cancelled = False

@@ -86,22 +86,28 @@ class LlamaForCausalLM:
 
     def init_params(self, seed: int = 0) -> Params:
         """Random init (bench / tests; real loads go through
-        models/weights.py)."""
+        models/weights.py).  One jitted dispatch for the whole tree —
+        eager per-param init costs a compile round-trip each."""
         c = self.config
-        params: Params = {}
-        key = jax.random.PRNGKey(seed)
-        for name, shape in self.param_shapes().items():
-            key, sub = jax.random.split(key)
-            if name.endswith("norm.weight"):
-                params[name] = jnp.ones(shape, c.dtype)
-            elif name.endswith(".bias"):
-                params[name] = jnp.zeros(shape, c.dtype)
-            else:
-                std = 0.4 / (shape[0] ** 0.5)
-                params[name] = (
-                    jax.random.normal(sub, shape, jnp.float32) * std
-                ).astype(c.dtype)
-        return params
+        shapes = self.param_shapes()
+
+        def init(key):
+            params: Params = {}
+            for i, (name, shape) in enumerate(shapes.items()):
+                if name.endswith("norm.weight"):
+                    params[name] = jnp.ones(shape, c.dtype)
+                elif name.endswith(".bias"):
+                    params[name] = jnp.zeros(shape, c.dtype)
+                else:
+                    std = 0.4 / (shape[0] ** 0.5)
+                    params[name] = (
+                        jax.random.normal(
+                            jax.random.fold_in(key, i), shape, jnp.float32
+                        ) * std
+                    ).astype(c.dtype)
+            return params
+
+        return jax.jit(init)(jax.random.PRNGKey(seed))
 
     # -- forward -----------------------------------------------------------
     def forward(

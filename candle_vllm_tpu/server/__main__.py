@@ -1,0 +1,165 @@
+"""Server CLI: ``python -m candle_vllm_tpu.server``.
+
+Re-designs the reference's clap CLI (``/root/reference/src/main.rs:32-197``):
+model source flags, dtype, KV sizing, scheduler knobs, TP size, port —
+wired into engine construction mirroring main.rs:242-916 startup.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+from aiohttp import web
+
+
+DUMMY_PRESETS = {
+    # name -> (hidden, inter, layers, heads, kv_heads, head_dim, vocab)
+    # tiny vocab == ByteTokenizer range so random-weight decode yields text
+    "tiny": (256, 512, 2, 4, 2, 64, 259),
+    "qwen2-0.5b": (896, 4864, 24, 14, 2, 64, 151936),
+    "llama-1b": (2048, 8192, 16, 32, 8, 64, 128256),
+    "llama-8b": (4096, 14336, 32, 32, 8, 128, 128256),
+}
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("candle-vllm-tpu server")
+    p.add_argument("--model-dir", help="local HF model directory (config.json + safetensors)")
+    p.add_argument("--dummy-model", choices=sorted(DUMMY_PRESETS),
+                   help="random-weight model for testing/benchmarks")
+    p.add_argument("--served-name", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    p.add_argument("--block-size", type=int, default=None,
+                   help="KV page size (default: 128 on TPU, 16 elsewhere)")
+    p.add_argument("--kv-blocks", type=int, default=None,
+                   help="device KV pages (default: sized from --kv-fraction)")
+    p.add_argument("--kv-fraction", type=float, default=0.7,
+                   help="fraction of free HBM for KV cache")
+    p.add_argument("--cpu-kv-blocks", type=int, default=256)
+    p.add_argument("--max-num-seqs", type=int, default=64)
+    p.add_argument("--max-num-batched-tokens", type=int, default=8192)
+    p.add_argument("--prefill-chunk-size", type=int, default=8192)
+    p.add_argument("--max-model-len", type=int, default=None)
+    p.add_argument("--disable-prefix-cache", action="store_true")
+    p.add_argument("--preemption-mode", default="recompute", choices=["recompute", "swap"])
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--holding-time-ms", type=float, default=2.0)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def build_engine(args):
+    import jax
+    import jax.numpy as jnp
+
+    from candle_vllm_tpu.config import (
+        CacheConfig,
+        ModelConfig,
+        ParallelConfig,
+        SchedulerConfig,
+    )
+    from candle_vllm_tpu.engine.llm_engine import LLMEngine
+    from candle_vllm_tpu.utils.tokenizer import load_tokenizer
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    if args.model_dir:
+        cfg = ModelConfig.from_json(
+            os.path.join(args.model_dir, "config.json"), dtype=dtype
+        )
+        tokenizer = load_tokenizer(args.model_dir)
+        model_name = args.served_name or os.path.basename(
+            os.path.normpath(args.model_dir)
+        )
+    elif args.dummy_model:
+        h, i, l, a, k, d, v = DUMMY_PRESETS[args.dummy_model]
+        cfg = ModelConfig(
+            architecture="LlamaForCausalLM",
+            hidden_size=h, intermediate_size=i, num_hidden_layers=l,
+            num_attention_heads=a, num_key_value_heads=k, head_dim=d,
+            vocab_size=max(v, 259), max_model_len=4096, dtype=dtype,
+            eos_token_ids=[1],
+        )
+        tokenizer = load_tokenizer(None)
+        model_name = args.served_name or f"dummy-{args.dummy_model}"
+    else:
+        raise SystemExit("one of --model-dir / --dummy-model is required")
+
+    if args.max_model_len:
+        cfg.max_model_len = args.max_model_len
+
+    on_tpu = jax.default_backend() == "tpu"
+    block_size = args.block_size or (128 if on_tpu else 16)
+    if args.kv_blocks:
+        num_blocks = args.kv_blocks
+    else:
+        # size from the HBM budget left after weights
+        # (reference: lib.rs:128-281 get_cache_config)
+        param_bytes = cfg.num_hidden_layers * (
+            cfg.hidden_size * (cfg.num_attention_heads + 2 * cfg.num_key_value_heads)
+            * cfg.head_dim + cfg.hidden_size * cfg.head_dim * cfg.num_attention_heads
+            + 3 * cfg.hidden_size * cfg.intermediate_size
+        ) * 2 + 2 * cfg.vocab_size * cfg.hidden_size * 2
+        hbm = 15e9 if on_tpu else 4e9
+        budget = max(int((hbm - param_bytes) * args.kv_fraction), 0)
+        kv_per_block = CacheConfig.kv_bytes_per_token(cfg, "auto") * block_size
+        num_blocks = max(16, budget // max(kv_per_block, 1))
+        # never more pages than every seq at full length could use
+        num_blocks = min(
+            num_blocks,
+            args.max_num_seqs * -(-cfg.max_model_len // block_size) + 1,
+        )
+
+    cache = CacheConfig(
+        block_size=block_size,
+        num_gpu_blocks=num_blocks,
+        num_cpu_blocks=args.cpu_kv_blocks,
+    )
+    sched = SchedulerConfig(
+        max_num_seqs=args.max_num_seqs,
+        max_num_batched_tokens=args.max_num_batched_tokens,
+        prefill_chunk_size=args.prefill_chunk_size,
+        max_model_len=cfg.max_model_len,
+        enable_prefix_caching=not args.disable_prefix_cache,
+        preemption_mode=args.preemption_mode,
+    )
+    engine = LLMEngine(
+        cfg, cache, sched, ParallelConfig(tp_size=args.tp),
+        model_dir=args.model_dir, tokenizer=tokenizer, seed=args.seed,
+    )
+    return engine, model_name
+
+
+def main(argv=None) -> None:
+    args = make_parser().parse_args(argv)
+    engine, model_name = build_engine(args)
+
+    from candle_vllm_tpu.engine.async_engine import AsyncLLMEngine
+    from candle_vllm_tpu.server.chat_template import ChatTemplate
+    from candle_vllm_tpu.server.openai_server import ServerState, build_app
+
+    template = None
+    if args.model_dir:
+        tc = os.path.join(args.model_dir, "tokenizer_config.json")
+        if os.path.exists(tc):
+            template = ChatTemplate.from_tokenizer_config(
+                tc, engine.model_config.model_type
+            )
+    if template is None:
+        tmpl = getattr(engine.tokenizer, "chat_template", None)
+        template = ChatTemplate(tmpl, engine.model_config.model_type)
+
+    state = ServerState(
+        AsyncLLMEngine(engine, holding_time_ms=args.holding_time_ms),
+        model_name,
+        template,
+    )
+    app = build_app(state)
+    web.run_app(app, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Chat template rendering.
+
+Re-designs the reference's conversation layer
+(``/root/reference/src/openai/conversation/``): minijinja(pycompat)
+rendering of the HF ``chat_template`` with SeparatorStyle fallbacks per
+model family.  Here jinja2 renders the same templates; the fallback covers
+tokenizers without one (chatml, llama2/3, gemma, mistral styles —
+default_conversation.rs:180-1298).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, List, Optional
+
+import jinja2
+
+_FALLBACKS: Dict[str, str] = {
+    # ChatML (qwen/yi/stablelm default; default_conversation.rs ChatML arm)
+    "chatml": (
+        "{% for message in messages %}"
+        "{{ '<|im_start|>' + message['role'] + '\n' + message['content'] "
+        "+ '<|im_end|>' + '\n' }}"
+        "{% endfor %}"
+        "{% if add_generation_prompt %}{{ '<|im_start|>assistant\n' }}{% endif %}"
+    ),
+    "llama3": (
+        "{% for message in messages %}"
+        "{{ '<|start_header_id|>' + message['role'] + '<|end_header_id|>\n\n' "
+        "+ message['content'] + '<|eot_id|>' }}"
+        "{% endfor %}"
+        "{% if add_generation_prompt %}"
+        "{{ '<|start_header_id|>assistant<|end_header_id|>\n\n' }}{% endif %}"
+    ),
+    "mistral": (
+        "{% for message in messages %}"
+        "{% if message['role'] == 'user' %}{{ '[INST] ' + message['content'] "
+        "+ ' [/INST]' }}{% elif message['role'] == 'system' %}"
+        "{{ message['content'] + '\n' }}"
+        "{% else %}{{ message['content'] }}{% endif %}"
+        "{% endfor %}"
+    ),
+    "gemma": (
+        "{% for message in messages %}"
+        "{{ '<start_of_turn>' + ('model' if message['role'] == 'assistant' "
+        "else message['role']) + '\n' + message['content'] "
+        "+ '<end_of_turn>\n' }}"
+        "{% endfor %}"
+        "{% if add_generation_prompt %}{{ '<start_of_turn>model\n' }}{% endif %}"
+    ),
+}
+
+
+def fallback_template(model_type: str) -> str:
+    if model_type in ("llama",):
+        return _FALLBACKS["llama3"]
+    if model_type in ("mistral", "mixtral"):
+        return _FALLBACKS["mistral"]
+    if model_type.startswith("gemma"):
+        return _FALLBACKS["gemma"]
+    return _FALLBACKS["chatml"]
+
+
+class ChatTemplate:
+    def __init__(
+        self,
+        template: Optional[str] = None,
+        model_type: str = "llama",
+        bos_token: str = "",
+        eos_token: str = "",
+    ):
+        self.source = template or fallback_template(model_type)
+        env = jinja2.Environment(
+            loader=jinja2.BaseLoader(),
+            trim_blocks=True,
+            lstrip_blocks=True,
+            extensions=["jinja2.ext.loopcontrols"],
+        )
+        # HF templates use pythonic methods jinja lacks by default
+        env.filters["tojson"] = lambda v, **kw: json.dumps(v, **kw)
+        env.globals["raise_exception"] = _raise_exception
+        self._template = env.from_string(self.source)
+        self.bos_token = bos_token
+        self.eos_token = eos_token
+
+    @classmethod
+    def from_tokenizer_config(cls, path: str, model_type: str = "llama"):
+        with open(path) as f:
+            cfg = json.load(f)
+        tmpl = cfg.get("chat_template")
+        if isinstance(tmpl, list):  # multi-template configs
+            tmpl = next(
+                (t["template"] for t in tmpl if t.get("name") == "default"),
+                tmpl[0]["template"] if tmpl else None,
+            )
+
+        def _tok(v):
+            return v["content"] if isinstance(v, dict) else (v or "")
+
+        return cls(
+            template=tmpl,
+            model_type=model_type,
+            bos_token=_tok(cfg.get("bos_token")),
+            eos_token=_tok(cfg.get("eos_token")),
+        )
+
+    def render(
+        self,
+        messages: List[Dict[str, Any]],
+        add_generation_prompt: bool = True,
+        tools: Optional[List[Dict[str, Any]]] = None,
+        **kwargs: Any,
+    ) -> str:
+        """Render messages to the prompt string
+        (reference: get_gen_prompt, openai_server.rs:47-109)."""
+        msgs = []
+        for m in messages:
+            m = dict(m)
+            c = m.get("content")
+            if isinstance(c, list):  # multimodal parts: keep text parts
+                m["content"] = "".join(
+                    p.get("text", "") for p in c if p.get("type") == "text"
+                )
+            elif c is None:
+                m["content"] = ""
+            msgs.append(m)
+        return self._template.render(
+            messages=msgs,
+            add_generation_prompt=add_generation_prompt,
+            tools=tools,
+            bos_token=self.bos_token,
+            eos_token=self.eos_token,
+            **kwargs,
+        )
+
+
+class TemplateError(ValueError):
+    pass
+
+
+def _raise_exception(message: str):
+    raise TemplateError(message)

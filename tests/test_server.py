@@ -1,0 +1,172 @@
+"""OpenAI API server tests: chat completions (sync + SSE), completions,
+models list, validation errors — tiny dummy model, aiohttp test client."""
+
+import json
+
+import pytest
+
+from candle_vllm_tpu.engine.async_engine import AsyncLLMEngine
+from candle_vllm_tpu.server.chat_template import ChatTemplate
+from candle_vllm_tpu.server.openai_server import ServerState, build_app
+
+pytest_plugins = ("aiohttp.pytest_plugin",)
+
+
+def make_state():
+    import jax.numpy as jnp
+
+    from candle_vllm_tpu.config import CacheConfig, ModelConfig, SchedulerConfig
+    from candle_vllm_tpu.engine.llm_engine import LLMEngine
+    from candle_vllm_tpu.utils.tokenizer import ByteTokenizer
+
+    cfg = ModelConfig(
+        architecture="LlamaForCausalLM",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=512,
+        max_model_len=256,
+        dtype=jnp.float32,
+        eos_token_ids=[1],
+    )
+    cache = CacheConfig(block_size=8, num_gpu_blocks=96, num_cpu_blocks=8)
+    sched = SchedulerConfig(
+        max_num_seqs=8, max_num_batched_tokens=512, prefill_chunk_size=128,
+        max_model_len=256,
+    )
+    engine = LLMEngine(cfg, cache, sched, tokenizer=ByteTokenizer(), seed=0)
+    return ServerState(
+        AsyncLLMEngine(engine), "test-model", ChatTemplate(model_type="llama")
+    )
+
+
+@pytest.fixture
+async def client(aiohttp_client):
+    state = make_state()
+    app = build_app(state)
+    return await aiohttp_client(app)
+
+
+async def test_models_and_health(client):
+    r = await client.get("/v1/models")
+    assert r.status == 200
+    data = await r.json()
+    assert data["data"][0]["id"] == "test-model"
+    r = await client.get("/health")
+    assert r.status == 200
+
+
+async def test_chat_completion_sync(client):
+    r = await client.post(
+        "/v1/chat/completions",
+        json={
+            "messages": [{"role": "user", "content": "hi there"}],
+            "max_tokens": 6,
+            "temperature": 0.0,
+        },
+    )
+    assert r.status == 200, await r.text()
+    data = await r.json()
+    assert data["object"] == "chat.completion"
+    c = data["choices"][0]
+    assert c["message"]["role"] == "assistant"
+    assert c["finish_reason"] in ("length", "stop")
+    u = data["usage"]
+    assert u["prompt_tokens"] > 0
+    assert u["completion_tokens"] >= 1
+    assert u["total_tokens"] == u["prompt_tokens"] + u["completion_tokens"]
+
+
+async def test_chat_completion_stream(client):
+    r = await client.post(
+        "/v1/chat/completions",
+        json={
+            "messages": [{"role": "user", "content": "count to ten"}],
+            "max_tokens": 5,
+            "temperature": 0.0,
+            "stream": True,
+            "stream_options": {"include_usage": True},
+        },
+    )
+    assert r.status == 200
+    body = await r.text()
+    events = [
+        line[len("data: "):]
+        for line in body.splitlines()
+        if line.startswith("data: ")
+    ]
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]
+    assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+    finish = [
+        c for c in chunks if c["choices"] and c["choices"][0].get("finish_reason")
+    ]
+    assert len(finish) == 1
+    usage_chunks = [c for c in chunks if c.get("usage")]
+    assert usage_chunks and usage_chunks[-1]["usage"]["completion_tokens"] == 5
+    # deltas concatenate to non-empty text
+    text = "".join(
+        c["choices"][0]["delta"].get("content") or ""
+        for c in chunks
+        if c["choices"]
+    )
+    assert isinstance(text, str)
+
+
+async def test_completions_endpoint(client):
+    r = await client.post(
+        "/v1/completions",
+        json={"prompt": "hello", "max_tokens": 4, "temperature": 0.0},
+    )
+    assert r.status == 200
+    data = await r.json()
+    assert data["object"] == "text_completion"
+    assert data["choices"][0]["finish_reason"] in ("length", "stop")
+
+
+async def test_validation_errors(client):
+    # over-long prompt
+    r = await client.post(
+        "/v1/chat/completions",
+        json={
+            "messages": [{"role": "user", "content": "x" * 1000}],
+            "max_tokens": 4,
+        },
+    )
+    assert r.status == 400
+    data = await r.json()
+    assert "error" in data
+    # malformed body
+    r = await client.post("/v1/chat/completions", json={"messages": "nope"})
+    assert r.status == 400
+    # prompt + max_tokens over budget
+    r = await client.post(
+        "/v1/chat/completions",
+        json={
+            "messages": [{"role": "user", "content": "hello"}],
+            "max_tokens": 10000,
+        },
+    )
+    assert r.status == 400
+    assert "max_tokens" in (await r.json())["error"]["message"]
+
+
+async def test_concurrent_requests(client):
+    import asyncio
+
+    async def one(i):
+        r = await client.post(
+            "/v1/chat/completions",
+            json={
+                "messages": [{"role": "user", "content": f"request {i}"}],
+                "max_tokens": 4,
+                "temperature": 0.0,
+            },
+        )
+        assert r.status == 200
+        return (await r.json())["choices"][0]["message"]["content"]
+
+    texts = await asyncio.gather(*(one(i) for i in range(4)))
+    assert len(texts) == 4
