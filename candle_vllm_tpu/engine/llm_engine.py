@@ -100,6 +100,7 @@ class LLMEngine:
         tokenizer: Any = None,
         mesh=None,
         seed: int = 0,
+        quantization: Optional[str] = None,
     ):
         self.model_config = model_config
         self.cache_config = cache_config
@@ -119,12 +120,19 @@ class LLMEngine:
             from candle_vllm_tpu.models.weights import load_safetensors
 
             params = load_safetensors(
-                model_dir, dtype=model_config.dtype, plan=self.plan
+                model_dir,
+                dtype=model_config.dtype,
+                plan=None if quantization else self.plan,
             )
         elif params is None:
             params = self.model.init_params(seed=seed)
-            if self.plan is not None:
-                params = self.plan.apply(params)
+        if quantization is not None:
+            # in-situ quantization at load (reference ISQ, linear.rs)
+            from candle_vllm_tpu.ops.quant import quantize_params
+
+            params = quantize_params(params, method=quantization)
+        if self.plan is not None:
+            params = self.plan.apply(params)
         self.params = params
 
         # KV pages: lane-padded on TPU (Mosaic tile-aligned DMA)

@@ -109,6 +109,12 @@ class LlamaForCausalLM:
 
         return jax.jit(init)(jax.random.PRNGKey(seed))
 
+    def _mlp_block(
+        self, params: Params, prefix: str, h: jnp.ndarray, layer_idx: int
+    ) -> jnp.ndarray:
+        """Dense MLP; MoE models override per layer."""
+        return mlp(h, params, prefix, self.config.hidden_act)
+
     # -- forward -----------------------------------------------------------
     def forward(
         self,
@@ -152,7 +158,7 @@ class LlamaForCausalLM:
             h = rms_norm(
                 x, params[f"{p}.post_attention_layernorm.weight"], c.rms_norm_eps
             )
-            x = x + mlp(h, params, f"{p}.mlp", c.hidden_act)
+            x = x + self._mlp_block(params, f"{p}.mlp", h, i)
 
         x = rms_norm(x, params["model.norm.weight"], c.rms_norm_eps)
         sel = x[step.logits_idx]  # [S, hidden]

@@ -1,0 +1,140 @@
+"""Mixture-of-experts layer.
+
+Re-designs the reference's fused-MoE zoo
+(``/root/reference/src/openai/models/layers/moe.rs``: topk_softmax +
+moe_gemm CUDA kernels) the TPU way: tokens are sorted by expert on device
+and the expert FFNs run as grouped GEMMs via ``jax.lax.ragged_dot`` —
+XLA's native MoE primitive, which tiles directly onto the MXU without
+capacity padding or token dropping.
+
+Routing variants (reference moe.rs:334-2576 + models/mod.rs MoEConfig):
+softmax / sigmoid scoring, norm_topk_prob, routed_scaling_factor, shared
+experts, DeepSeek-style grouped top-k (n_group/topk_group).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from candle_vllm_tpu.config import MoEConfig
+from candle_vllm_tpu.models.layers import _act
+
+Params = Dict[str, jnp.ndarray]
+
+
+def route(
+    x: jnp.ndarray,               # [T, hidden]
+    router_w: jnp.ndarray,        # [hidden, E]
+    moe: MoEConfig,
+    router_bias: Optional[jnp.ndarray] = None,
+    e_score_bias: Optional[jnp.ndarray] = None,  # DeepSeek noaux_tc
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (topk_weights [T, k] f32, topk_idx [T, k] i32)."""
+    logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32))
+    if router_bias is not None:
+        logits = logits + router_bias.astype(jnp.float32)
+    if moe.scoring_func == "sigmoid":
+        scores = jax.nn.sigmoid(logits)
+    else:
+        scores = jax.nn.softmax(logits, axis=-1)
+    select_scores = scores
+    if e_score_bias is not None:
+        select_scores = scores + e_score_bias.astype(jnp.float32)
+
+    if moe.topk_method in ("group_limited_greedy", "noaux_tc") and moe.n_group > 1:
+        # DeepSeek grouped routing: keep top `topk_group` groups, mask rest
+        T, E = select_scores.shape
+        g = select_scores.reshape(T, moe.n_group, E // moe.n_group)
+        # group score: sum of top-2 experts in the group (noaux_tc) or max
+        top2 = jax.lax.top_k(g, min(2, g.shape[-1]))[0]
+        group_scores = (
+            top2.sum(-1) if moe.topk_method == "noaux_tc" else g.max(-1)
+        )
+        _, keep = jax.lax.top_k(group_scores, moe.topk_group)      # [T, kg]
+        mask = jnp.zeros((T, moe.n_group), bool).at[
+            jnp.arange(T)[:, None], keep
+        ].set(True)
+        select_scores = jnp.where(
+            jnp.repeat(mask, E // moe.n_group, axis=1), select_scores, -jnp.inf
+        )
+
+    _, topk_idx = jax.lax.top_k(select_scores, moe.num_experts_per_tok)
+    topk_w = jnp.take_along_axis(scores, topk_idx, axis=-1)
+    if moe.norm_topk_prob:
+        topk_w = topk_w / jnp.maximum(
+            topk_w.sum(-1, keepdims=True), 1e-20
+        )
+    topk_w = topk_w * moe.routed_scaling_factor
+    return topk_w, topk_idx.astype(jnp.int32)
+
+
+def moe_ffn(
+    x: jnp.ndarray,            # [T, hidden]
+    params: Params,
+    prefix: str,               # e.g. "model.layers.3.mlp"
+    moe: MoEConfig,
+    hidden_act: str = "silu",
+) -> jnp.ndarray:
+    """Sparse expert FFN over stacked expert banks:
+
+      {prefix}.gate.weight            [hidden, E]       router
+      {prefix}.gate.e_score_correction_bias   [E]       optional
+      {prefix}.experts.gate_proj      [E, hidden, I]
+      {prefix}.experts.up_proj        [E, hidden, I]
+      {prefix}.experts.down_proj      [E, I, hidden]
+      {prefix}.shared_expert.*        dense MLP         optional
+      {prefix}.shared_expert_gate.weight [hidden, 1]    optional (qwen)
+    """
+    T, hidden = x.shape
+    E = moe.num_experts
+    k = moe.num_experts_per_tok
+    act = _act(hidden_act)
+
+    topk_w, topk_idx = route(
+        x,
+        params[f"{prefix}.gate.weight"],
+        moe,
+        e_score_bias=params.get(f"{prefix}.gate.e_score_correction_bias"),
+    )
+
+    # sort token-expert pairs by expert id -> grouped GEMM layout
+    flat_idx = topk_idx.reshape(T * k)
+    order = jnp.argsort(flat_idx)                       # [T*k]
+    tok_of = order // k
+    xs = x[tok_of]                                      # [T*k, hidden]
+    group_sizes = jnp.bincount(flat_idx, length=E).astype(jnp.int32)
+
+    wg = params[f"{prefix}.experts.gate_proj"]
+    wu = params[f"{prefix}.experts.up_proj"]
+    wd = params[f"{prefix}.experts.down_proj"]
+    h = act(jax.lax.ragged_dot(xs, wg, group_sizes)) * jax.lax.ragged_dot(
+        xs, wu, group_sizes
+    )
+    y = jax.lax.ragged_dot(h.astype(x.dtype), wd, group_sizes)  # [T*k, hidden]
+
+    w_sorted = topk_w.reshape(T * k)[order].astype(jnp.float32)
+    out = jnp.zeros((T, hidden), jnp.float32).at[tok_of].add(
+        y.astype(jnp.float32) * w_sorted[:, None]
+    )
+    out = out.astype(x.dtype)
+
+    if f"{prefix}.shared_expert.gate_proj.weight" in params or \
+       f"{prefix}.shared_experts.gate_proj.weight" in params:
+        sp = (
+            f"{prefix}.shared_expert"
+            if f"{prefix}.shared_expert.gate_proj.weight" in params
+            else f"{prefix}.shared_experts"
+        )
+        from candle_vllm_tpu.models.layers import mlp
+
+        shared = mlp(x, params, sp, hidden_act)
+        gate_w = params.get(f"{prefix}.shared_expert_gate.weight")
+        if gate_w is not None:  # qwen2-moe style sigmoid gate
+            shared = shared * jax.nn.sigmoid(
+                jnp.dot(x, gate_w).astype(shared.dtype)
+            )
+        out = out + shared
+    return out

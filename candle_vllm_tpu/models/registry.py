@@ -25,7 +25,7 @@ def register(*archs: str):
 
 
 def get_model(config: ModelConfig, mesh: Optional[Mesh] = None):
-    from candle_vllm_tpu.models import llama  # noqa: F401  (populates registry)
+    from candle_vllm_tpu.models import llama, qwen_moe  # noqa: F401  (populates registry)
 
     cls = _REGISTRY.get(config.architecture)
     if cls is None:

@@ -44,15 +44,16 @@ _DEFAULT_RULES: Tuple[Tuple[str, P], ...] = (
     # distributed.rs:1457-1668)
     (r"embed_tokens\.weight$", P("tp", None)),
     (r"lm_head\.weight$", P(None, "tp")),
-    # attention: heads sharded (column-parallel qkv, row-parallel o)
-    (r"\.(q_proj|k_proj|v_proj)\.weight$", P(None, "tp")),
+    # attention: heads sharded (column-parallel qkv, row-parallel o);
+    # quantized tensors (qweight/scales/qzeros) shard like their weight
+    (r"\.(q_proj|k_proj|v_proj)\.(weight|qweight|scales|qzeros)$", P(None, "tp")),
     (r"\.(q_proj|k_proj|v_proj)\.bias$", P("tp")),
-    (r"\.o_proj\.weight$", P("tp", None)),
+    (r"\.o_proj\.(weight|qweight|scales|qzeros)$", P("tp", None)),
     (r"\.o_proj\.bias$", P()),
     # mlp: column-parallel gate/up, row-parallel down
-    (r"\.(gate_proj|up_proj)\.weight$", P(None, "tp")),
+    (r"\.(gate_proj|up_proj)\.(weight|qweight|scales|qzeros)$", P(None, "tp")),
     (r"\.(gate_proj|up_proj)\.bias$", P("tp")),
-    (r"\.down_proj\.weight$", P("tp", None)),
+    (r"\.down_proj\.(weight|qweight|scales|qzeros)$", P("tp", None)),
     (r"\.down_proj\.bias$", P()),
     # MoE expert banks [E, in, out] / [E, in, out]
     (r"\.experts\.(gate_proj|up_proj)$", P(None, None, "tp")),

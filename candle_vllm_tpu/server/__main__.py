@@ -47,6 +47,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--disable-prefix-cache", action="store_true")
     p.add_argument("--preemption-mode", default="recompute", choices=["recompute", "swap"])
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--isq", choices=["w4a16", "int8"], default=None,
+                   help="in-situ weight quantization at load")
     p.add_argument("--holding-time-ms", type=float, default=2.0)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -129,6 +131,7 @@ def build_engine(args):
     engine = LLMEngine(
         cfg, cache, sched, ParallelConfig(tp_size=args.tp),
         model_dir=args.model_dir, tokenizer=tokenizer, seed=args.seed,
+        quantization=args.isq,
     )
     return engine, model_name
 
