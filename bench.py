@@ -2,31 +2,109 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Methodology (see .claude/skills/verify/SKILL.md — the axon tunnel's
-block_until_ready returns early, so): the decode loop runs entirely
-on-device (lax.fori_loop feeding each sampled token into the next step's
-paged forward — the TPU analogue of the reference's CUDA-graph decode
-replay, backend/graph.rs), and wall-clock is measured by differencing two
-loop lengths with forced host fetches.
+Default config is the north-star metric (BASELINE.json): an 8B-class
+W4A16 model (4-bit fused dequant+matmul Pallas kernels, int8 lm_head),
+1k-token context, single-request greedy decode.  ``--config 1p6b_bf16``
+benches the bf16 dense path instead.
 
-vs_baseline: fraction of the reference's LLaMa-8B BF16 single-request
-decode (119 tok/s on Hopper 80G, README.md:88), weight-bandwidth
-normalized to this chip: SOL tok/s = HBM_BW / model_bytes, so
-vs_baseline = (measured / SOL) * (119_SOL_frac_assumed=1.0) — i.e. we
-report measured/SOL_fraction relative to the reference hitting its own
-roofline. Until W4A16 lands this benches a ~1.6B BF16 dense model (the
-largest that leaves headroom on a 16G v5e alongside growth room).
+Methodology (see .claude/skills/verify/SKILL.md — the axon tunnel's
+block_until_ready returns early): the decode loop runs entirely on-device
+(lax.fori_loop feeding each sampled token into the next step's paged
+forward — the TPU analogue of the reference's CUDA-graph decode replay,
+backend/graph.rs), and wall-clock is measured by differencing two loop
+lengths with forced host fetches.
+
+vs_baseline compares against the reference's matching headline number
+(README.md:88: LLaMa-8B Marlin W4A16 171 tok/s, BF16 119 tok/s on
+Hopper 80G) — raw tok/s ratio; notes carry the chip's speed-of-light
+context (weight bytes / HBM bandwidth).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 import numpy as np
 
+CONFIGS = {
+    # name: (hidden, inter, layers, heads, kv_heads, head_dim, vocab,
+    #        quant, baseline_tok_s)
+    "8b_w4a16": (4096, 14336, 32, 32, 8, 128, 128256, "w4a16", 171.0),
+    "1p6b_bf16": (2048, 8192, 24, 16, 8, 128, 32768, None, 119.0),
+}
+
+
+def init_quantized_params(model, method, key):
+    """Random quantized weights built directly on device (an 8B float
+    detour would need 32 GB of host RAM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from candle_vllm_tpu.ops.quant import DEFAULT_GROUP, QTILE_OUT
+
+    c = model.config
+    shapes = model.param_shapes()
+
+    # merge q/k/v and gate/up shapes so each layer runs 3 fused kernels
+    merged = {}
+    skip = set()
+    for name, shape in shapes.items():
+        if name.endswith(".q_proj.weight"):
+            p = name[: -len(".q_proj.weight")]
+            kd = shapes[f"{p}.k_proj.weight"][1]
+            merged[f"{p}.qkv_proj.weight"] = (shape[0], shape[1] + 2 * kd)
+            skip |= {f"{p}.{t}_proj.weight" for t in ("q", "k", "v")}
+        elif name.endswith(".gate_proj.weight"):
+            p = name[: -len(".gate_proj.weight")]
+            merged[f"{p}.gate_up_proj.weight"] = (shape[0], shape[1] * 2)
+            skip |= {f"{p}.gate_proj.weight", f"{p}.up_proj.weight"}
+    shapes = {n: s for n, s in shapes.items() if n not in skip}
+    shapes.update(merged)
+
+    def init(key):
+        params = {}
+        for idx, (name, shape) in enumerate(shapes.items()):
+            k = jax.random.fold_in(key, idx)
+            if name.endswith("norm.weight"):
+                params[name] = jnp.ones(shape, c.dtype)
+            elif name.endswith(".bias"):
+                params[name] = jnp.zeros(shape, c.dtype)
+            elif (
+                len(shape) == 2
+                and "embed_tokens" not in name
+                and shape[0] % DEFAULT_GROUP == 0
+                and shape[1] % QTILE_OUT == 0
+            ):
+                prefix = name[: -len(".weight")]
+                is_lm_head = "lm_head" in name
+                cols = shape[1] if is_lm_head else shape[1] // 2  # int8 | w4
+                params[f"{prefix}.qweight"] = jax.random.randint(
+                    k, (shape[0], cols), -128, 128, jnp.int8
+                )
+                params[f"{prefix}.scales"] = jnp.full(
+                    (shape[0] // DEFAULT_GROUP, shape[1]),
+                    0.4 / (shape[0] ** 0.5),
+                    jnp.bfloat16,
+                )
+            else:
+                std = 0.4 / (shape[0] ** 0.5)
+                params[name] = (
+                    jax.random.normal(k, shape, jnp.float32) * std
+                ).astype(c.dtype)
+        return params
+
+    return jax.jit(init)(key)
+
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="8b_w4a16", choices=sorted(CONFIGS))
+    ap.add_argument("--ctx", type=int, default=1024)
+    ap.add_argument("--decode-steps", type=int, default=256)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -35,33 +113,43 @@ def main() -> None:
     from candle_vllm_tpu.models.types import StepInput
     from candle_vllm_tpu.ops.kv_cache import INVALID_SLOT, allocate_kv_pages
 
+    hidden, inter, layers, heads, kv_heads, head_dim, vocab, quant, baseline = \
+        CONFIGS[args.config]
     PAGE = 128
-    CTX = 1024          # prompt length prefc
-    DECODE_STEPS = 256  # timed decode span
+    CTX = args.ctx
+    DECODE_STEPS = args.decode_steps
     cfg = ModelConfig(
         architecture="LlamaForCausalLM",
-        hidden_size=2048,
-        intermediate_size=8192,
-        num_hidden_layers=24,
-        num_attention_heads=16,
-        num_key_value_heads=8,
-        head_dim=128,
-        vocab_size=32768,
+        hidden_size=hidden,
+        intermediate_size=inter,
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        num_key_value_heads=kv_heads,
+        head_dim=head_dim,
+        vocab_size=vocab,
         max_model_len=4096,
         dtype=jnp.bfloat16,
     )
     model = get_model(cfg)
-    params = model.init_params(seed=0)
+    if quant:
+        params = init_quantized_params(model, quant, jax.random.PRNGKey(0))
+    else:
+        params = model.init_params(seed=0)
     n_pages = cfg.max_model_len // PAGE
     kv_pages = allocate_kv_pages(
         cfg.num_hidden_layers, n_pages + 2, PAGE, cfg.num_key_value_heads,
         cfg.head_dim, dtype=cfg.dtype, pad_head_dim_to=128,
     )
-    param_bytes = sum(int(np.prod(p.shape)) * p.dtype.itemsize
-                     for p in params.values())
+    param_bytes = sum(
+        int(np.prod(p.shape)) * p.dtype.itemsize for p in params.values()
+    )
+    # bytes streamed per decoded token (embedding gather excluded)
+    stream_bytes = param_bytes - int(
+        np.prod(params["model.embed_tokens.weight"].shape)
+    ) * 2
 
     maxp = n_pages
-    page_table = np.arange(1, maxp + 1, dtype=np.int32)[None, :]  # seq 0
+    page_table = np.arange(1, maxp + 1, dtype=np.int32)[None, :]
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, cfg.vocab_size, size=CTX).astype(np.int32)
 
@@ -85,10 +173,8 @@ def main() -> None:
         logits_idx=jnp.full(S, CTX - 1, dtype=jnp.int32),
     )
     fwd = jax.jit(model.forward, donate_argnums=(1,))
-    t0 = time.time()
     logits, kv_pages = fwd(params, kv_pages, prefill_step)
     first_tok = int(np.asarray(jnp.argmax(logits[0])))
-    ttft = time.time() - t0  # includes compile; re-measured below
 
     t0 = time.time()
     logits2, kv_pages = fwd(params, kv_pages, prefill_step)
@@ -131,7 +217,7 @@ def main() -> None:
 
     tok, pos, kv_warm = loop(params, kv_pages, jnp.int32(first_tok),
                              jnp.int32(CTX), jnp.int32(8))
-    _ = int(np.asarray(tok))  # force full execution (compile + warm)
+    _ = int(np.asarray(tok))
     t0 = time.time()
     tok_a, pos_a, kv_warm = loop(params, kv_warm, jnp.int32(first_tok),
                                  jnp.int32(CTX), jnp.int32(8))
@@ -147,17 +233,20 @@ def main() -> None:
     toks_per_s = 1.0 / dt
 
     hbm_bw = 819e9  # v5e
-    sol_toks = hbm_bw / param_bytes
+    sol_toks = hbm_bw / stream_bytes
     result = {
-        "metric": "decode_tok_s_1req_1.6B_bf16_1k_ctx",
+        "metric": f"decode_tok_s_1req_{args.config}_{CTX//1024}k_ctx",
         "value": round(toks_per_s, 2),
         "unit": "tok/s",
-        "vs_baseline": round(toks_per_s / sol_toks, 3),
+        "vs_baseline": round(toks_per_s / baseline, 3),
         "notes": {
-            "sol_tok_s": round(sol_toks, 1),
+            "sol_tok_s_v5e": round(sol_toks, 1),
+            "sol_fraction": round(toks_per_s / sol_toks, 3),
+            "stream_bytes": stream_bytes,
             "param_bytes": param_bytes,
             "ttft_ms_1k_prompt": round(ttft * 1e3, 1),
             "backend": jax.default_backend(),
+            "reference_baseline_tok_s": baseline,
         },
     }
     print(json.dumps(result))

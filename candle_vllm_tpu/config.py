@@ -163,6 +163,14 @@ class ModelConfig:
     kv_cache_dtype: str = KV_DTYPE_AUTO
     # gemma-style embedding scaling by sqrt(hidden)
     scale_embeddings: bool = False
+    # gemma rms-norm convention: weight applied as (1 + w)
+    norm_unit_offset: bool = False
+    # gemma2/3 sandwich norms: post_attention/post_feedforward norms are
+    # applied to the sublayer OUTPUT before the residual add, with
+    # pre_feedforward_layernorm before the mlp
+    sandwich_norms: bool = False
+    # gemma attention scale override: sm_scale = query_pre_attn_scalar^-0.5
+    query_pre_attn_scalar: Optional[float] = None
     # gemma3 per-attn-type rope thetas
     rope_local_base_freq: Optional[float] = None
     extra: Dict[str, Any] = field(default_factory=dict)
@@ -277,6 +285,19 @@ class ModelConfig:
             rope_local_base_freq=cfg.get("rope_local_base_freq"),
             extra={k: v for k, v in cfg.items() if k.startswith("_")},
         )
+        mt = mc.model_type or ""
+        if mt.startswith("gemma"):
+            # gemma family conventions (reference: gemma.rs / gemma3.rs)
+            mc.scale_embeddings = True
+            mc.norm_unit_offset = True
+            mc.tie_word_embeddings = bool(cfg.get("tie_word_embeddings", True))
+            if mt != "gemma":  # gemma2/3/4: sandwich norms + qk scale
+                mc.sandwich_norms = True
+                mc.query_pre_attn_scalar = float(
+                    cfg.get("query_pre_attn_scalar", 256)
+                )
+            if mt in ("gemma3", "gemma3_text") and "use_qk_norm" not in cfg:
+                mc.use_qk_norm = True
         for k, v in overrides.items():
             setattr(mc, k, v)
         return mc

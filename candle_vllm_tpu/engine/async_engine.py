@@ -65,6 +65,7 @@ class AsyncLLMEngine:
         self.holding_time_ms = holding_time_ms
         self._intake: List[tuple] = []
         self._intake_lock = threading.Lock()
+        self._device_lock = threading.Lock()  # step vs embed serialization
         self._streams: Dict[str, RequestStream] = {}
         self._wakeup = asyncio.Event()
         self._task: Optional[asyncio.Task] = None
@@ -166,7 +167,15 @@ class AsyncLLMEngine:
         return on_token
 
     def _step_once(self) -> List[RequestOutput]:
-        return self.engine.step()
+        with self._device_lock:
+            return self.engine.step()
+
+    async def embed(self, prompts, pooling: str = "last"):
+        def run():
+            with self._device_lock:
+                return self.engine.embed(prompts, pooling)
+
+        return await asyncio.to_thread(run)
 
     async def _run(self) -> None:
         while not self._shutdown:

@@ -123,6 +123,7 @@ class LLMEngine:
                 model_dir,
                 dtype=model_config.dtype,
                 plan=None if quantization else self.plan,
+                config=model_config,
             )
         elif params is None:
             params = self.model.init_params(seed=seed)
@@ -174,6 +175,9 @@ class LLMEngine:
         self._step_counter = 0
         self._next_seq_id = 0
         self._groups: Dict[str, SequenceGroup] = {}
+        from candle_vllm_tpu.engine.stats import EngineStats
+
+        self.stats = EngineStats()
 
         self._jit_step = jax.jit(self._device_step, donate_argnums=(1,))
 
@@ -211,6 +215,7 @@ class LLMEngine:
                 prompt_token_ids = prompt_token_ids.ids
         seq = Sequence(self._next_seq_id, prompt_token_ids)
         self._next_seq_id += 1
+        self.stats.requests_received += 1
         group = SequenceGroup(request_id, [seq], sampling_params)
         group.prompt = prompt
         self._groups[request_id] = group
@@ -224,6 +229,7 @@ class LLMEngine:
 
     # -- one engine iteration ---------------------------------------------
     def step(self) -> List[RequestOutput]:
+        step_start = time.monotonic()
         sched_out = self.scheduler.schedule()
         if sched_out.is_empty:
             return self._collect_outputs([], sched_out)
@@ -299,6 +305,19 @@ class LLMEngine:
             self._maybe_finish(seq, group)
 
         finished_groups = self.scheduler.free_finished()
+        n_decode = sum(
+            1
+            for sg in sched_out.scheduled
+            for q in sg.token_chunks.values()
+            if q == 1
+        )
+        self.stats.requests_finished += len(finished_groups)
+        self.stats.record_step(
+            prefill_tokens=sched_out.num_scheduled_tokens - n_decode,
+            decode_tokens=n_decode,
+            step_time=time.monotonic() - step_start,
+            preempted=len(sched_out.preempted),
+        )
         return self._collect_outputs(finished_groups, sched_out)
 
     # -- stop detection -----------------------------------------------------
@@ -407,6 +426,57 @@ class LLMEngine:
             for out in self.step():
                 results[out.request_id] = out
         return [results[f"gen-{i}"] for i in range(len(prompts))]
+
+    # -- embeddings ----------------------------------------------------------
+    def embed(
+        self, prompts: Seq[List[int]], pooling: str = "last"
+    ) -> List[np.ndarray]:
+        """Encode prompts to pooled hidden-state vectors (reference:
+        /v1/embeddings -> process_embedding_batch, llm_engine.rs:1807).
+
+        Runs outside the continuous-batching scheduler: one prefill pass
+        per call, KV blocks allocated and freed around it."""
+        from candle_vllm_tpu.engine.input_builder import build_step_input
+        from candle_vllm_tpu.engine.scheduler import ScheduledGroup
+
+        if not hasattr(self, "_jit_hidden"):
+            self._jit_hidden = jax.jit(
+                self.model.forward_hidden, donate_argnums=(1,)
+            )
+
+        outs: List[np.ndarray] = []
+        budget = self.scheduler_config.max_num_batched_tokens
+        for ids in prompts:
+            if len(ids) > budget:
+                raise ValueError(
+                    f"embedding input ({len(ids)} tokens) exceeds the step "
+                    f"budget ({budget})"
+                )
+            seq = Sequence(self._next_seq_id, list(ids))
+            self._next_seq_id += 1
+            group = SequenceGroup(f"emb-{seq.seq_id}", [seq], SamplingParams())
+            self.block_engine.allocate(seq)
+            seq.num_cached_tokens = 0
+            seq.num_computed_tokens = 0
+            try:
+                plan = build_step_input(
+                    [ScheduledGroup(group, {seq.seq_id: len(ids)})],
+                    self.block_engine,
+                    self.cache_config.block_size,
+                    self.scheduler_config.max_model_len,
+                )
+                hidden, self.kv_pages = self._jit_hidden(
+                    self.params, self.kv_pages, plan.step
+                )
+                T = len(ids)
+                if pooling == "mean":
+                    vec = np.asarray(hidden[:T], np.float32).mean(axis=0)
+                else:  # last-token pooling
+                    vec = np.asarray(hidden[T - 1], np.float32)
+            finally:
+                self.block_engine.free(seq)
+            outs.append(vec)
+        return outs
 
     # -- introspection -------------------------------------------------------
     def kv_usage(self) -> float:

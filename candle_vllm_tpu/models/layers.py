@@ -57,11 +57,21 @@ def _act(name: str):
     raise ValueError(f"unsupported activation {name}")
 
 
+def _has_linear(params: Params, prefix: str) -> bool:
+    return f"{prefix}.weight" in params or f"{prefix}.qweight" in params
+
+
 def mlp(x: jnp.ndarray, params: Params, prefix: str, hidden_act: str) -> jnp.ndarray:
-    """Gated MLP (reference: models/layers/mlp.rs gate/up/down)."""
+    """Gated MLP (reference: models/layers/mlp.rs gate/up/down; packed
+    gate_up supported like the reference's MergedColumn layout)."""
     act = _act(hidden_act)
-    gate = linear(x, params, f"{prefix}.gate_proj")
-    up = linear(x, params, f"{prefix}.up_proj")
+    if _has_linear(params, f"{prefix}.gate_up_proj"):
+        gu = linear(x, params, f"{prefix}.gate_up_proj")
+        inter = gu.shape[-1] // 2
+        gate, up = gu[:, :inter], gu[:, inter:]
+    else:
+        gate = linear(x, params, f"{prefix}.gate_proj")
+        up = linear(x, params, f"{prefix}.up_proj")
     return linear(act(gate) * up, params, f"{prefix}.down_proj")
 
 
@@ -77,6 +87,7 @@ class AttnLayerSpec:
     attn: AttentionSpec
     use_qk_norm: bool = False
     qk_norm_eps: float = 1e-6
+    norm_unit_offset: bool = False  # gemma (1 + w) convention
 
 
 def paged_attention_with_write(
@@ -158,14 +169,22 @@ def attention_block(
     spec = layer.attn
     H, K, D = spec.num_q_heads, spec.num_kv_heads, spec.head_dim
 
-    q = linear(x, params, f"{prefix}.q_proj").reshape(T, H, D)
-    k = linear(x, params, f"{prefix}.k_proj").reshape(T, K, D)
-    v = linear(x, params, f"{prefix}.v_proj").reshape(T, K, D)
+    if _has_linear(params, f"{prefix}.qkv_proj"):
+        qkv = linear(x, params, f"{prefix}.qkv_proj")
+        q = qkv[:, : H * D].reshape(T, H, D)
+        k = qkv[:, H * D : (H + K) * D].reshape(T, K, D)
+        v = qkv[:, (H + K) * D :].reshape(T, K, D)
+    else:
+        q = linear(x, params, f"{prefix}.q_proj").reshape(T, H, D)
+        k = linear(x, params, f"{prefix}.k_proj").reshape(T, K, D)
+        v = linear(x, params, f"{prefix}.v_proj").reshape(T, K, D)
 
     if layer.use_qk_norm:
-        # Qwen3-style per-head rms norm on q/k (attention.rs QK-norm)
-        q = rms_norm(q, params[f"{prefix}.q_norm.weight"], layer.qk_norm_eps)
-        k = rms_norm(k, params[f"{prefix}.k_norm.weight"], layer.qk_norm_eps)
+        # Qwen3/Gemma3-style per-head rms norm on q/k (attention.rs QK-norm)
+        q = rms_norm(q, params[f"{prefix}.q_norm.weight"], layer.qk_norm_eps,
+                     add_unit_offset=layer.norm_unit_offset)
+        k = rms_norm(k, params[f"{prefix}.k_norm.weight"], layer.qk_norm_eps,
+                     add_unit_offset=layer.norm_unit_offset)
 
     cos, sin = cos_sin
     q = apply_rope(q, cos, sin, rope)
@@ -182,6 +201,7 @@ def make_attn_specs(config: ModelConfig) -> "list[AttnLayerSpec]":
     """Per-layer attention specs (sliding vs global per layer —
     reference: gemma per-layer KV, models/mod.rs:1124-1192)."""
     D = config.head_dim
+    scale_base = config.query_pre_attn_scalar or D
     specs = []
     for i in range(config.num_hidden_layers):
         sliding = config.sliding_window if config.is_sliding_layer(i) else None
@@ -191,12 +211,13 @@ def make_attn_specs(config: ModelConfig) -> "list[AttnLayerSpec]":
                     num_q_heads=config.num_attention_heads,
                     num_kv_heads=config.num_key_value_heads,
                     head_dim=D,
-                    sm_scale=D ** -0.5,
+                    sm_scale=scale_base ** -0.5,
                     sliding_window=sliding,
                     logit_soft_cap=config.attn_logit_softcapping,
                 ),
                 use_qk_norm=config.use_qk_norm,
                 qk_norm_eps=config.rms_norm_eps,
+                norm_unit_offset=config.norm_unit_offset,
             )
         )
     return specs

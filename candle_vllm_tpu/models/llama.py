@@ -38,6 +38,11 @@ Params = Dict[str, jnp.ndarray]
     "Qwen3ForCausalLM",
     "YiForCausalLM",
     "Glm4ForCausalLM",
+    "GemmaForCausalLM",
+    "Gemma2ForCausalLM",
+    "Gemma3ForCausalLM",
+    "Gemma3ForConditionalGeneration",
+    "Phi3ForCausalLM",
 )
 class LlamaForCausalLM:
     """Functional dense decoder over paged KV."""
@@ -68,6 +73,9 @@ class LlamaForCausalLM:
             p = f"model.layers.{i}"
             shapes[f"{p}.input_layernorm.weight"] = (c.hidden_size,)
             shapes[f"{p}.post_attention_layernorm.weight"] = (c.hidden_size,)
+            if c.sandwich_norms:
+                shapes[f"{p}.pre_feedforward_layernorm.weight"] = (c.hidden_size,)
+                shapes[f"{p}.post_feedforward_layernorm.weight"] = (c.hidden_size,)
             shapes[f"{p}.self_attn.q_proj.weight"] = (c.hidden_size, H * D)
             shapes[f"{p}.self_attn.k_proj.weight"] = (c.hidden_size, K * D)
             shapes[f"{p}.self_attn.v_proj.weight"] = (c.hidden_size, K * D)
@@ -127,6 +135,28 @@ class LlamaForCausalLM:
         Only rows ``step.logits_idx`` reach the lm_head (reference gathers
         last tokens before lm_head during prefill, llama.rs:190-194).
         """
+        x, new_pages = self.forward_hidden(params, kv_pages, step)
+        c = self.config
+        sel = x[step.logits_idx]  # [S, hidden]
+        if c.tie_word_embeddings:
+            logits = jnp.dot(sel, params["model.embed_tokens.weight"].T)
+        else:
+            logits = linear(sel, params, "lm_head")
+        logits = logits.astype(jnp.float32)
+        if c.logit_softcapping:
+            cap = c.logit_softcapping
+            logits = cap * jnp.tanh(logits / cap)
+        return logits, new_pages
+
+    def forward_hidden(
+        self,
+        params: Params,
+        kv_pages: List[jnp.ndarray],
+        step: StepInput,
+    ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        """Returns (final-norm hidden states [T, hidden], updated kv_pages)
+        — the embeddings path (reference: forward_embedding variants,
+        llama.rs / llm_engine.rs process_embedding_batch)."""
         c = self.config
         x = params["model.embed_tokens.weight"][step.token_ids]
         if c.scale_embeddings:
@@ -147,27 +177,39 @@ class LlamaForCausalLM:
             rope = self.rope_local if (is_sliding and self.rope_local) else self.rope
             cs = cos_sin_local if (is_sliding and cos_sin_local) else cos_sin
 
-            h = rms_norm(x, params[f"{p}.input_layernorm.weight"], c.rms_norm_eps)
+            uo = c.norm_unit_offset
+            h = rms_norm(x, params[f"{p}.input_layernorm.weight"],
+                         c.rms_norm_eps, add_unit_offset=uo)
             attn_out, pages = attention_block(
                 h, params, f"{p}.self_attn", spec, rope, cs,
                 kv_pages[i], step, mesh=self.mesh,
             )
             new_pages.append(pages)
-            x = x + attn_out
+            if c.sandwich_norms:
+                # gemma2/3: norm the sublayer output before the residual
+                attn_out = rms_norm(
+                    attn_out, params[f"{p}.post_attention_layernorm.weight"],
+                    c.rms_norm_eps, add_unit_offset=uo,
+                )
+                x = x + attn_out
+                h = rms_norm(
+                    x, params[f"{p}.pre_feedforward_layernorm.weight"],
+                    c.rms_norm_eps, add_unit_offset=uo,
+                )
+                m = self._mlp_block(params, f"{p}.mlp", h, i)
+                m = rms_norm(
+                    m, params[f"{p}.post_feedforward_layernorm.weight"],
+                    c.rms_norm_eps, add_unit_offset=uo,
+                )
+                x = x + m
+            else:
+                x = x + attn_out
+                h = rms_norm(
+                    x, params[f"{p}.post_attention_layernorm.weight"],
+                    c.rms_norm_eps, add_unit_offset=uo,
+                )
+                x = x + self._mlp_block(params, f"{p}.mlp", h, i)
 
-            h = rms_norm(
-                x, params[f"{p}.post_attention_layernorm.weight"], c.rms_norm_eps
-            )
-            x = x + self._mlp_block(params, f"{p}.mlp", h, i)
-
-        x = rms_norm(x, params["model.norm.weight"], c.rms_norm_eps)
-        sel = x[step.logits_idx]  # [S, hidden]
-        if c.tie_word_embeddings:
-            logits = jnp.dot(sel, params["model.embed_tokens.weight"].T)
-        else:
-            logits = linear(sel, params, "lm_head")
-        logits = logits.astype(jnp.float32)
-        if c.logit_softcapping:
-            cap = c.logit_softcapping
-            logits = cap * jnp.tanh(logits / cap)
-        return logits, new_pages
+        x = rms_norm(x, params["model.norm.weight"], c.rms_norm_eps,
+                     add_unit_offset=c.norm_unit_offset)
+        return x, new_pages

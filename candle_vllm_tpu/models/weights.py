@@ -48,14 +48,38 @@ def _iter_safetensors(model_dir: str) -> Iterator[Tuple[str, np.ndarray]]:
                 yield name, f.get_tensor(name)
 
 
+def split_fused_weights(params: Dict, config) -> Dict:
+    """Split merged projections (Phi3-style ``qkv_proj`` /
+    ``gate_up_proj``) into the canonical separate tensors.  The reference
+    supports both packed and separate layouts (attention.rs:193-357)."""
+    H = config.num_attention_heads * config.head_dim
+    K = config.num_key_value_heads * config.head_dim
+    out: Dict = {}
+    for name, a in params.items():
+        if ".qkv_proj." in name:
+            q, k, v = a[..., :H], a[..., H : H + K], a[..., H + K : H + 2 * K]
+            out[name.replace(".qkv_proj.", ".q_proj.")] = q
+            out[name.replace(".qkv_proj.", ".k_proj.")] = k
+            out[name.replace(".qkv_proj.", ".v_proj.")] = v
+        elif ".gate_up_proj." in name:
+            half = a.shape[-1] // 2
+            out[name.replace(".gate_up_proj.", ".gate_proj.")] = a[..., :half]
+            out[name.replace(".gate_up_proj.", ".up_proj.")] = a[..., half:]
+        else:
+            out[name] = a
+    return out
+
+
 def load_safetensors(
     model_dir: str,
     dtype=jnp.bfloat16,
     plan: Optional[ShardingPlan] = None,
+    config=None,
 ) -> Dict[str, jnp.ndarray]:
     """Load every tensor, transposing linears to input-major and placing
     shards directly on their devices (no full-model host copy)."""
     params: Dict[str, jnp.ndarray] = {}
+    fused = False
     for name, arr in _iter_safetensors(model_dir):
         if arr.ndim == 2 and not _NO_TRANSPOSE.search(name):
             arr = arr.T
@@ -63,10 +87,12 @@ def load_safetensors(
             tgt = dtype
         else:
             tgt = arr.dtype
-        a = jnp.asarray(arr, tgt)
-        if plan is not None:
-            a = jax.device_put(a, plan.sharding(name))
-        params[name] = a
+        fused |= ".qkv_proj." in name or ".gate_up_proj." in name
+        params[name] = jnp.asarray(arr, tgt)
+    if fused and config is not None:
+        params = split_fused_weights(params, config)
+    if plan is not None:
+        params = plan.apply(params)
     return params
 
 

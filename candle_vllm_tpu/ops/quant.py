@@ -42,25 +42,33 @@ Params = Dict[str, jnp.ndarray]
 
 def pack_int4(q: np.ndarray, tile_out: int = QTILE_OUT) -> np.ndarray:
     """[in, out] int4 values (as int8 in [-8, 7]) -> [in, out/2] packed
-    int8 in per-tile concat-halves layout."""
+    int8 in per-tile concat-halves layout.
+
+    Nibble convention (chosen so the kernel unpacks with ONE int8->bf16
+    convert plus two float ops — Mosaic has no int8 vector shifts):
+    the HIGH nibble holds its value in signed two's complement, the LOW
+    nibble biased by +8 (unsigned [0,15]).  Interpreting the byte b as a
+    signed float: hi = floor(b/16) recovers the signed high value and
+    lo = b - 16*hi the biased low value; the -8 bias folds into the
+    matmul via the group's activation row-sum."""
     n_in, n_out = q.shape
     assert n_out % tile_out == 0, (n_out, tile_out)
     half = tile_out // 2
     t = q.reshape(n_in, n_out // tile_out, 2, half)
-    lo = t[:, :, 0, :].astype(np.int8) & 0xF
-    hi = t[:, :, 1, :].astype(np.int8) & 0xF
-    packed = (lo | (hi << 4)).astype(np.int8)
+    lo = (t[:, :, 0, :].astype(np.int16) + 8).astype(np.uint8)   # [0,15]
+    hi = (t[:, :, 1, :].astype(np.int8) & 0xF).astype(np.uint8)  # signed bits
+    packed = (lo | (hi << 4)).astype(np.uint8).view(np.int8)
     return np.ascontiguousarray(packed.reshape(n_in, n_out // 2))
 
 
 def unpack_int4(packed: np.ndarray, tile_out: int = QTILE_OUT) -> np.ndarray:
-    """Inverse of pack_int4 (host-side, for tests)."""
+    """Inverse of pack_int4 (host-side, for tests); returns signed q."""
     n_in, half_out = packed.shape
     n_out = half_out * 2
     half = tile_out // 2
     p = packed.reshape(n_in, n_out // tile_out, half)
-    lo = ((p.astype(np.int8) << 4).astype(np.int8) >> 4).astype(np.int8)
-    hi = (p.astype(np.int8) >> 4).astype(np.int8)
+    lo = (p.view(np.uint8) & 0xF).astype(np.int8) - 8
+    hi = (p.astype(np.int8) >> 4).astype(np.int8)  # arithmetic: signed
     t = np.stack([lo, hi], axis=2)  # [in, tiles, 2, half]
     return t.reshape(n_in, n_out)
 
@@ -95,19 +103,64 @@ def quantize_int8(
     return np.ascontiguousarray(q.reshape(n_in, n_out)), scale
 
 
+def merge_fused_projections(params: Params) -> Params:
+    """Concatenate q/k/v -> qkv_proj and gate/up -> gate_up_proj so each
+    becomes ONE fused dequant+matmul launch (reference packs qkv the same
+    way, attention.rs:193-357).  Only valid single-shard: merged tensors
+    cannot be column-sharded evenly across TP."""
+    out = dict(params)
+    prefixes = {
+        n[: -len(".q_proj.weight")]
+        for n in params
+        if n.endswith(".q_proj.weight")
+    }
+    for p in prefixes:
+        names = [f"{p}.{t}_proj.weight" for t in ("q", "k", "v")]
+        if all(n in out for n in names) and not any(
+            f"{p}.{t}_proj.bias" in out for t in ("q", "k", "v")
+        ):
+            out[f"{p}.qkv_proj.weight"] = jnp.concatenate(
+                [out.pop(n) for n in names], axis=1
+            )
+    mlp_prefixes = {
+        n[: -len(".gate_proj.weight")]
+        for n in params
+        if n.endswith(".gate_proj.weight") and n.count("experts") == 0
+    }
+    for p in mlp_prefixes:
+        names = [f"{p}.gate_proj.weight", f"{p}.up_proj.weight"]
+        if all(n in out for n in names):
+            out[f"{p}.gate_up_proj.weight"] = jnp.concatenate(
+                [out.pop(n) for n in names], axis=1
+            )
+    return out
+
+
 def quantize_params(
     params: Params,
     method: str = "w4a16",
     group_size: int = DEFAULT_GROUP,
-    keep_regex: str = r"(embed_tokens|norm|\.bias$|lm_head)",
+    keep_regex: str = r"(embed_tokens|norm|\.bias$)",
+    lm_head_method: Optional[str] = "int8",
+    merge_fused: bool = False,
 ) -> Params:
     """In-situ quantization of a loaded bf16 param dict (reference ISQ,
-    linear.rs:from_linear_x).  Embeddings / norms / lm_head stay bf16."""
+    linear.rs:from_linear_x).  Embeddings / norms stay bf16; the lm_head
+    (streamed every decode step) defaults to int8 — the reference's GGUF
+    models similarly keep output.weight at a higher bit width (q6k)."""
     import re
 
+    if merge_fused:
+        params = merge_fused_projections(params)
     keep = re.compile(keep_regex)
     out: Params = {}
     for name, arr in params.items():
+        tensor_method = method
+        if "lm_head" in name:
+            if lm_head_method is None:
+                out[name] = arr
+                continue
+            tensor_method = lm_head_method
         if (
             not name.endswith(".weight")
             or keep.search(name)
@@ -119,15 +172,75 @@ def quantize_params(
             continue
         w = np.asarray(jax.device_get(arr), np.float32)
         prefix = name[: -len(".weight")]
-        if method == "w4a16":
+        if tensor_method == "w4a16":
             qw, s = quantize_w4a16(w, group_size)
-        elif method == "int8":
+        elif tensor_method == "int8":
             qw, s = quantize_int8(w, group_size)
         else:
-            raise ValueError(f"unknown quant method {method}")
+            raise ValueError(f"unknown quant method {tensor_method}")
         out[f"{prefix}.qweight"] = jnp.asarray(qw)
         out[f"{prefix}.scales"] = jnp.asarray(s, jnp.bfloat16)
     return out
+
+
+# ---------------------------------------------------------------------------
+# checkpoint conversion (reference: convert_marlin.py / gptq_repack,
+# backend/gptq.rs — GPTQ/AWQ int32-packed checkpoints -> our layout)
+# ---------------------------------------------------------------------------
+
+
+def _unpack_gptq_qweight(qweight: np.ndarray) -> np.ndarray:
+    """GPTQ packs 8 sequential 4-bit rows per int32 along IN.
+    [in/8, out] i32 -> [in, out] uint8 in [0,15]."""
+    shifts = np.arange(0, 32, 4, dtype=np.uint32)
+    w = (qweight[:, None, :].view(np.uint32) >> shifts[None, :, None]) & 0xF
+    return w.reshape(-1, qweight.shape[1]).astype(np.uint8)
+
+
+def _unpack_awq_qweight(qweight: np.ndarray) -> np.ndarray:
+    """AWQ packs 8 4-bit cols per int32 along OUT; packed position k of a
+    word carries logical column [0,2,4,6,1,3,5,7][k].
+    [in, out/8] i32 -> [in, out] uint8."""
+    order = np.array([0, 2, 4, 6, 1, 3, 5, 7])
+    shifts = (np.arange(8, dtype=np.uint32) * 4)
+    w = (qweight[:, :, None].view(np.uint32) >> shifts[None, None, :]) & 0xF
+    cols = np.empty((qweight.shape[0], qweight.shape[1] * 8), np.uint8)
+    for k in range(8):
+        cols[:, order[k]::8] = w[:, :, k].astype(np.uint8)
+    return cols
+
+
+def _unpack_int32_zeros(qzeros: np.ndarray, awq: bool) -> np.ndarray:
+    """[groups, out/8] i32 -> [groups, out] uint8 zero points."""
+    if awq:
+        return _unpack_awq_qweight(qzeros)
+    shifts = np.arange(0, 32, 4, dtype=np.uint32)
+    z = (qzeros[:, :, None].view(np.uint32) >> shifts[None, None, :]) & 0xF
+    return z.reshape(qzeros.shape[0], -1).astype(np.uint8)
+
+
+def convert_gptq_tensor(
+    qweight: np.ndarray,   # [in/8, out] int32
+    qzeros: np.ndarray,    # [in/g, out/8] int32
+    scales: np.ndarray,    # [in/g, out] f16
+    awq: bool = False,
+    gptq_zero_plus_one: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (packed qweight [in, out/2] int8, scales f32, zoffs f32)
+    in our layout: w = (nibble - 8) * s - zoff."""
+    if awq:
+        q = _unpack_awq_qweight(qweight)
+    else:
+        q = _unpack_gptq_qweight(qweight)
+    z = _unpack_int32_zeros(qzeros, awq).astype(np.int16)
+    if gptq_zero_plus_one and not awq:
+        # classic GPTQ stores z-1
+        z = z + 1
+    s = scales.astype(np.float32)
+    signed = q.astype(np.int16) - 8  # our nibble convention
+    packed = pack_int4(signed.astype(np.int8).clip(-8, 7))
+    zoff = (z.astype(np.float32) - 8.0) * s
+    return packed, s, zoff
 
 
 # ---------------------------------------------------------------------------
@@ -141,14 +254,14 @@ def dequantize(params: Params, prefix: str) -> jnp.ndarray:
     s = params[f"{prefix}.scales"].astype(jnp.float32)
     n_in = qw.shape[0]
     g = n_in // s.shape[0]
-    if qw.shape[1] * 2 == s.shape[1]:  # w4a16 packed
+    if qw.shape[1] * 2 == s.shape[1]:  # w4a16 packed (lo biased, hi signed)
         half = QTILE_OUT // 2
         n_out = s.shape[1]
-        p = qw.reshape(n_in, n_out // QTILE_OUT, half)
-        lo = jax.lax.shift_right_arithmetic(
-            jax.lax.shift_left(p, jnp.int8(4)), jnp.int8(4)
-        )
-        hi = jax.lax.shift_right_arithmetic(p, jnp.int8(4))
+        pu = jax.lax.bitcast_convert_type(qw, jnp.uint8)
+        pu = pu.reshape(n_in, n_out // QTILE_OUT, half)
+        p32 = qw.reshape(n_in, n_out // QTILE_OUT, half).astype(jnp.int32)
+        lo = (pu & 0xF).astype(jnp.int32) - 8
+        hi = jax.lax.shift_right_arithmetic(p32, 4)
         q = jnp.stack([lo, hi], axis=2).reshape(n_in, n_out)
     else:  # int8
         q = qw
@@ -170,6 +283,8 @@ def quantized_matmul(x: jnp.ndarray, params: Params, prefix: str) -> jnp.ndarray
         qw = params[f"{prefix}.qweight"]
         s = params[f"{prefix}.scales"]
         is_w4 = qw.shape[1] * 2 == s.shape[1]
-        return quant_matmul_pallas(x, qw, s, w4=is_w4)
+        return quant_matmul_pallas(
+            x, qw, s, params.get(f"{prefix}.qzeros"), w4=is_w4
+        )
     w = dequantize(params, prefix)
     return jnp.dot(x, w.astype(x.dtype))

@@ -35,13 +35,21 @@ from candle_vllm_tpu.server.api_types import (
     CompletionResponse,
     CompletionTokensDetails,
     DeltaMessage,
+    EmbeddingObject,
     EmbeddingsRequest,
+    EmbeddingsResponse,
     ModelCard,
     ModelList,
     PromptTokensDetails,
     Usage,
 )
 from candle_vllm_tpu.server.chat_template import ChatTemplate, TemplateError
+from candle_vllm_tpu.tools import (
+    StreamToolParser,
+    family_for_model,
+    parse_complete,
+    validate_tool_call,
+)
 
 KEEPALIVE_SECS = 10.0
 MIN_DECODE_RESERVE = 4096  # reference: openai_server.rs admission reserve
@@ -190,14 +198,23 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
     out = await state.async_engine.generate(
         request_id, prompt=None, prompt_token_ids=prompt_ids, sampling_params=sp
     )
-    choices = [
-        ChatChoice(
-            index=o.index,
-            message=ChatChoiceMessage(role="assistant", content=o.text),
-            finish_reason=o.finish_reason,
+    family = family_for_model(state.engine.model_config.model_type)
+    choices = []
+    for o in out.outputs:
+        content, reasoning, calls = parse_complete(o.text, family)
+        calls = [c for c in calls if validate_tool_call(c, req.tools) is None]
+        choices.append(
+            ChatChoice(
+                index=o.index,
+                message=ChatChoiceMessage(
+                    role="assistant",
+                    content=content or None,
+                    reasoning_content=reasoning,
+                    tool_calls=[c.to_openai() for c in calls] or None,
+                ),
+                finish_reason="tool_calls" if calls else o.finish_reason,
+            )
         )
-        for o in out.outputs
-    ]
     resp = ChatCompletionResponse(
         id=request_id,
         model=req.model or state.model_name,
@@ -244,7 +261,33 @@ async def _stream_chat(
     stream = await state.async_engine.add_request(
         request_id, prompt_token_ids=prompt_ids, sampling_params=sp
     )
+    family = family_for_model(state.engine.model_config.model_type)
+    parser = StreamToolParser(family, req.tools)
     final: Optional[RequestOutput] = None
+
+    async def send_events(events) -> None:
+        for pe in events:
+            if pe.kind == "content" and pe.text:
+                delta = DeltaMessage(content=pe.text)
+            elif pe.kind == "reasoning" and pe.text:
+                delta = DeltaMessage(reasoning_content=pe.text)
+            elif pe.kind == "tool_calls":
+                delta = DeltaMessage(
+                    tool_calls=[
+                        {**c.to_openai(), "index": i}
+                        for i, c in enumerate(pe.calls or [])
+                    ]
+                )
+            else:
+                continue
+            await send(
+                ChatCompletionChunk(
+                    id=request_id,
+                    model=model,
+                    choices=[ChatChunkChoice(index=0, delta=delta)],
+                )
+            )
+
     try:
         it = stream.__aiter__()
         while True:
@@ -259,6 +302,8 @@ async def _stream_chat(
                 break
             if ev.finished:
                 final = ev.output
+                await send_events(parser.finish())
+                reason = parser.finish_reason or ev.finish_reason
                 await send(
                     ChatCompletionChunk(
                         id=request_id,
@@ -267,23 +312,13 @@ async def _stream_chat(
                             ChatChunkChoice(
                                 index=0,
                                 delta=DeltaMessage(),
-                                finish_reason=ev.finish_reason,
+                                finish_reason=reason,
                             )
                         ],
                     )
                 )
             elif ev.text_delta:
-                await send(
-                    ChatCompletionChunk(
-                        id=request_id,
-                        model=model,
-                        choices=[
-                            ChatChunkChoice(
-                                index=0, delta=DeltaMessage(content=ev.text_delta)
-                            )
-                        ],
-                    )
-                )
+                await send_events(parser.feed(ev.text_delta))
         if include_usage and final is not None:
             await send(
                 ChatCompletionChunk(
@@ -365,9 +400,52 @@ async def completions(request: web.Request) -> web.StreamResponse:
 
 
 async def embeddings(request: web.Request) -> web.Response:
-    return _error(
-        501, "embeddings are not implemented yet", type_="not_implemented"
+    state: ServerState = request.app["state"]
+    try:
+        req = EmbeddingsRequest.model_validate(await request.json())
+    except Exception as e:
+        return _error(400, f"invalid request: {e}")
+
+    raw = req.input
+    if isinstance(raw, str):
+        inputs = [state.tokenizer.encode(raw)]
+    elif raw and isinstance(raw[0], int):
+        inputs = [list(raw)]  # type: ignore[arg-type]
+    elif raw and isinstance(raw[0], str):
+        inputs = [state.tokenizer.encode(p) for p in raw]  # type: ignore[union-attr]
+    else:
+        inputs = [list(p) for p in raw]  # type: ignore[union-attr]
+    max_model_len = state.engine.scheduler_config.max_model_len
+    for ids in inputs:
+        if not ids:
+            return _error(400, "empty embedding input")
+        if len(ids) > max_model_len:
+            return _error(400, f"input ({len(ids)} tokens) exceeds max_model_len")
+
+    try:
+        vecs = await state.async_engine.embed(inputs, pooling=req.pooling)
+    except ValueError as e:
+        return _error(400, str(e))
+    data = []
+    for i, v in enumerate(vecs):
+        if req.encoding_format == "base64":
+            import base64
+
+            import numpy as np
+
+            emb = base64.b64encode(
+                np.asarray(v, np.float32).tobytes()
+            ).decode()
+        else:
+            emb = [float(f) for f in v]
+        data.append(EmbeddingObject(index=i, embedding=emb))
+    total = sum(len(ids) for ids in inputs)
+    resp = EmbeddingsResponse(
+        data=data,
+        model=req.model or state.model_name,
+        usage=Usage(prompt_tokens=total, total_tokens=total),
     )
+    return web.json_response(resp.model_dump())
 
 
 async def list_models(request: web.Request) -> web.Response:
@@ -381,6 +459,15 @@ async def health(request: web.Request) -> web.Response:
     return web.json_response({"status": "ok"})
 
 
+async def metrics(request: web.Request) -> web.Response:
+    state: ServerState = request.app["state"]
+    eng = state.engine
+    body = eng.stats.prometheus(
+        eng.kv_usage(), len(eng.scheduler.running), len(eng.scheduler.waiting)
+    )
+    return web.Response(text=body, content_type="text/plain")
+
+
 def build_app(state: ServerState) -> web.Application:
     app = web.Application()
     app["state"] = state
@@ -389,6 +476,7 @@ def build_app(state: ServerState) -> web.Application:
     app.router.add_post("/v1/embeddings", embeddings)
     app.router.add_get("/v1/models", list_models)
     app.router.add_get("/health", health)
+    app.router.add_get("/metrics", metrics)
 
     async def on_startup(app):
         await state.async_engine.start()

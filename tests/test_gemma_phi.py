@@ -1,0 +1,112 @@
+"""Gemma-family structure (sandwich norms, unit-offset RMS, softcaps,
+query scale) and Phi3 fused-weight splitting."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from candle_vllm_tpu.config import ModelConfig
+from candle_vllm_tpu.models.registry import get_model
+from tests.test_model_forward import run_steps
+
+
+def gemma_config(**kw):
+    cfg = ModelConfig.from_hf(
+        dict(
+            architectures=["Gemma2ForCausalLM"],
+            model_type="gemma2",
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            vocab_size=128,
+            max_position_embeddings=256,
+            hidden_activation="gelu_pytorch_tanh",
+            query_pre_attn_scalar=32,
+            sliding_window=16,
+            sliding_window_pattern=2,
+            attn_logit_softcapping=50.0,
+            final_logit_softcapping=30.0,
+            **kw,
+        ),
+        dtype=jnp.float32,
+    )
+    return cfg
+
+
+def test_gemma_config_flags():
+    cfg = gemma_config()
+    assert cfg.scale_embeddings and cfg.norm_unit_offset and cfg.sandwich_norms
+    assert cfg.tie_word_embeddings
+    assert cfg.query_pre_attn_scalar == 32
+
+
+def test_gemma_forward_consistency():
+    cfg = gemma_config()
+    model = get_model(cfg)
+    shapes = model.param_shapes()
+    assert "model.layers.0.pre_feedforward_layernorm.weight" in shapes
+    assert "model.layers.0.post_feedforward_layernorm.weight" in shapes
+    assert "lm_head.weight" not in shapes  # tied
+    params = model.init_params(seed=0)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, 128, size=21).tolist()
+    full = run_steps(model, params, prompt, [21])
+    chunked = run_steps(model, params, prompt, [12, 9])
+    np.testing.assert_allclose(full, chunked, rtol=3e-4, atol=3e-4)
+    # final softcap bounds logits
+    assert np.abs(full).max() <= 30.0 + 1e-3
+
+
+def test_gemma3_local_rope():
+    cfg = gemma_config()
+    cfg.model_type = "gemma3"
+    cfg.rope_local_base_freq = 10000.0
+    cfg.rope_theta = 1000000.0
+    model = get_model(cfg)
+    assert model.rope_local is not None
+    params = model.init_params(seed=1)
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(0, 128, size=10).tolist()
+    out = run_steps(model, params, prompt, [10])
+    assert np.isfinite(out).all()
+
+
+def test_phi3_fused_weight_split():
+    from candle_vllm_tpu.models.weights import split_fused_weights
+
+    cfg = ModelConfig(
+        architecture="Phi3ForCausalLM",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=128,
+        dtype=jnp.float32,
+    )
+    H = 4 * cfg.head_dim
+    K = 2 * cfg.head_dim
+    rng = np.random.default_rng(2)
+    fused = {
+        "model.layers.0.self_attn.qkv_proj.weight": jnp.asarray(
+            rng.standard_normal((64, H + 2 * K)), jnp.float32
+        ),
+        "model.layers.0.mlp.gate_up_proj.weight": jnp.asarray(
+            rng.standard_normal((64, 256)), jnp.float32
+        ),
+        "model.norm.weight": jnp.ones(64),
+    }
+    split = split_fused_weights(fused, cfg)
+    assert split["model.layers.0.self_attn.q_proj.weight"].shape == (64, H)
+    assert split["model.layers.0.self_attn.k_proj.weight"].shape == (64, K)
+    assert split["model.layers.0.self_attn.v_proj.weight"].shape == (64, K)
+    assert split["model.layers.0.mlp.gate_proj.weight"].shape == (64, 128)
+    assert split["model.layers.0.mlp.up_proj.weight"].shape == (64, 128)
+    assert "model.norm.weight" in split
+    qkv = np.asarray(fused["model.layers.0.self_attn.qkv_proj.weight"])
+    np.testing.assert_array_equal(
+        np.asarray(split["model.layers.0.self_attn.v_proj.weight"]),
+        qkv[:, H + K :],
+    )

@@ -170,3 +170,50 @@ async def test_concurrent_requests(client):
 
     texts = await asyncio.gather(*(one(i) for i in range(4)))
     assert len(texts) == 4
+
+
+async def test_embeddings_endpoint(client):
+    r = await client.post(
+        "/v1/embeddings",
+        json={"input": "hello world", "pooling": "mean"},
+    )
+    assert r.status == 200, await r.text()
+    data = await r.json()
+    assert data["object"] == "list"
+    emb = data["data"][0]["embedding"]
+    assert len(emb) == 64  # hidden size of the test model
+    assert data["usage"]["prompt_tokens"] == 11
+    # base64 variant decodes to the same vector
+    r2 = await client.post(
+        "/v1/embeddings",
+        json={"input": "hello world", "pooling": "mean",
+              "encoding_format": "base64"},
+    )
+    import base64
+
+    import numpy as np
+
+    raw = (await r2.json())["data"][0]["embedding"]
+    v2 = np.frombuffer(base64.b64decode(raw), np.float32)
+    np.testing.assert_allclose(v2, np.asarray(emb, np.float32), rtol=1e-5)
+    # empty input -> 400
+    r3 = await client.post("/v1/embeddings", json={"input": ""})
+    assert r3.status == 400
+
+
+async def test_metrics_endpoint(client):
+    await client.post(
+        "/v1/chat/completions",
+        json={"messages": [{"role": "user", "content": "hi"}],
+              "max_tokens": 3, "temperature": 0.0},
+    )
+    r = await client.get("/metrics")
+    assert r.status == 200
+    text = await r.text()
+    assert "candle_vllm_tpu_decode_tokens_total" in text
+    assert "candle_vllm_tpu_kv_usage" in text
+    vals = dict(
+        line.rsplit(" ", 1) for line in text.strip().splitlines()
+    )
+    assert float(vals["candle_vllm_tpu_requests_finished"]) >= 1
+    assert float(vals["candle_vllm_tpu_decode_tokens_total"]) >= 2
