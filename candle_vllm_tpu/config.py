@@ -173,6 +173,12 @@ class ModelConfig:
     query_pre_attn_scalar: Optional[float] = None
     # gemma3 per-attn-type rope thetas
     rope_local_base_freq: Optional[float] = None
+    # MLA (DeepSeek V2/V3; reference: mla_attention.rs)
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: Optional[int] = None
+    qk_rope_head_dim: Optional[int] = None
+    qk_nope_head_dim: Optional[int] = None
+    v_head_dim: Optional[int] = None
     extra: Dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -283,6 +289,11 @@ class ModelConfig:
             quant=QuantConfig.from_hf(cfg.get("quantization_config", {})),
             moe=moe,
             rope_local_base_freq=cfg.get("rope_local_base_freq"),
+            q_lora_rank=cfg.get("q_lora_rank"),
+            kv_lora_rank=cfg.get("kv_lora_rank"),
+            qk_rope_head_dim=cfg.get("qk_rope_head_dim"),
+            qk_nope_head_dim=cfg.get("qk_nope_head_dim"),
+            v_head_dim=cfg.get("v_head_dim"),
             extra={k: v for k, v in cfg.items() if k.startswith("_")},
         )
         mt = mc.model_type or ""

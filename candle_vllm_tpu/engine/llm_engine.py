@@ -136,29 +136,48 @@ class LLMEngine:
             params = self.plan.apply(params)
         self.params = params
 
-        # KV pages: lane-padded on TPU (Mosaic tile-aligned DMA)
+        # KV pages: lane-padded on TPU (Mosaic tile-aligned DMA); int8
+        # cache carries per-(token,head) scale planes (TurboQuant-style,
+        # reference cache_engine.rs:401-518)
         pad = 128 if jax.default_backend() == "tpu" else 1
-        self.kv_pages: List[jnp.ndarray] = allocate_kv_pages(
+        self.kv_quantized = cache_config.kv_cache_dtype == "int8"
+        kv_dtype = jnp.int8 if self.kv_quantized else model_config.dtype
+        kv_heads, kv_head_dim = self.model.kv_cache_spec()
+        pages = allocate_kv_pages(
             model_config.num_hidden_layers,
             cache_config.num_gpu_blocks,
             cache_config.block_size,
-            model_config.num_key_value_heads,
-            model_config.head_dim,
-            dtype=model_config.dtype,
+            kv_heads,
+            kv_head_dim,
+            dtype=kv_dtype,
             sharding=self.plan.kv_pages_sharding() if self.plan else None,
             pad_head_dim_to=pad,
         )
+        if self.kv_quantized:
+            from candle_vllm_tpu.ops.kv_cache import allocate_kv_scales
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            scales = allocate_kv_scales(
+                model_config.num_hidden_layers,
+                cache_config.num_gpu_blocks,
+                cache_config.block_size,
+                kv_heads,
+                sharding=NamedSharding(self.plan.mesh, P(None, "tp", None))
+                if self.plan else None,
+            )
+            self.kv_pages = list(zip(pages, scales))
+        else:
+            self.kv_pages = pages
         self.swap_space = (
             HostSwapSpace(
                 model_config.num_hidden_layers,
                 cache_config.num_cpu_blocks,
                 cache_config.block_size,
-                model_config.num_key_value_heads,
-                model_config.head_dim if pad == 1 else
-                -(-model_config.head_dim // pad) * pad,
+                kv_heads,
+                kv_head_dim if pad == 1 else -(-kv_head_dim // pad) * pad,
                 dtype=model_config.dtype,
             )
-            if cache_config.num_cpu_blocks > 0
+            if cache_config.num_cpu_blocks > 0 and not self.kv_quantized
             else None
         )
 
@@ -192,7 +211,15 @@ class LLMEngine:
         st: SamplingTensors,
         key: jax.Array,
     ):
-        kv_pages = [copy_blocks(p, copy_src, copy_dst) for p in kv_pages]
+        def _copy(p):
+            if isinstance(p, tuple):  # quantized: (pages, scales)
+                return (
+                    copy_blocks(p[0], copy_src, copy_dst),
+                    copy_blocks(p[1], copy_src, copy_dst),
+                )
+            return copy_blocks(p, copy_src, copy_dst)
+
+        kv_pages = [_copy(p) for p in kv_pages]
         logits, kv_pages = self.model.forward(params, kv_pages, step)
         tokens, logprobs = sample(logits, st, key)
         return tokens, logprobs, kv_pages
@@ -270,7 +297,11 @@ class LLMEngine:
             extra_s = jnp.asarray([s for s, _ in pairs[MAX_COPY_PAIRS:]], jnp.int32)
             extra_d = jnp.asarray([d for _, d in pairs[MAX_COPY_PAIRS:]], jnp.int32)
             self.kv_pages = [
-                copy_blocks(p, extra_s, extra_d) for p in self.kv_pages
+                (copy_blocks(p[0], extra_s, extra_d),
+                 copy_blocks(p[1], extra_s, extra_d))
+                if isinstance(p, tuple)
+                else copy_blocks(p, extra_s, extra_d)
+                for p in self.kv_pages
             ]
             pairs = pairs[:MAX_COPY_PAIRS]
         for i, (s, d) in enumerate(pairs):
@@ -356,6 +387,11 @@ class LLMEngine:
 
     # -- cache ops ----------------------------------------------------------
     def _execute_swaps(self, out: SchedulerOutput) -> None:
+        if out.blocks_to_swap_out or out.blocks_to_swap_in:
+            assert not self.kv_quantized, (
+                "host swap of a quantized KV cache is not supported yet; "
+                "use preemption_mode='recompute'"
+            )
         if out.blocks_to_swap_out:
             assert self.swap_space is not None, "no CPU swap space configured"
             self.swap_space.swap_out(self.kv_pages, out.blocks_to_swap_out)

@@ -108,7 +108,16 @@ def paged_attention_with_write(
     (attention.rs:707-718), with zero collectives (heads are fully
     parallel; the psum happens later in o_proj's row-parallel matmul).
     """
+    quantized = isinstance(kv_pages, tuple)
     if mesh is None or mesh.shape.get(tp_axis, 1) == 1:
+        if quantized:
+            pages, scales = kv_pages
+            pages, scales = write_kv(pages, k, v, step.slot_mapping, scales)
+            out = ragged_paged_attention(
+                q, pages, step.kv_lens, step.page_tables, step.cu_q_lens,
+                spec=spec, kv_scales=scales,
+            )
+            return out, (pages, scales)
         kv_pages = write_kv(kv_pages, k, v, step.slot_mapping)
         out = ragged_paged_attention(
             q, kv_pages, step.kv_lens, step.page_tables, step.cu_q_lens,
@@ -130,6 +139,30 @@ def paged_attention_with_write(
         logit_soft_cap=spec.logit_soft_cap,
     )
 
+    head = P(None, tp_axis, None)
+    pages_spec = P(None, None, tp_axis, None)
+    rep1 = P(None)
+
+    if quantized:
+        def local_q(q, k, v, pages, scales, kv_lens, pt, cu, slots):
+            pages, scales = write_kv(pages, k, v, slots, scales)
+            out = ragged_paged_attention(
+                q, pages, kv_lens, pt, cu, spec=local_spec, kv_scales=scales
+            )
+            return out, pages, scales
+
+        pages, scales = kv_pages
+        out, pages, scales = jax.shard_map(
+            local_q,
+            mesh=mesh,
+            in_specs=(head, head, head, pages_spec, P(None, tp_axis, None),
+                      rep1, P(None, None), rep1, rep1),
+            out_specs=(head, pages_spec, P(None, tp_axis, None)),
+            check_vma=False,
+        )(q, k, v, pages, scales, step.kv_lens, step.page_tables,
+          step.cu_q_lens, step.slot_mapping)
+        return out, (pages, scales)
+
     def local(q, k, v, kv_pages, kv_lens, pt, cu, slots):
         kv_pages = write_kv(kv_pages, k, v, slots)
         out = ragged_paged_attention(
@@ -137,14 +170,11 @@ def paged_attention_with_write(
         )
         return out, kv_pages
 
-    head = P(None, tp_axis, None)
-    pages = P(None, None, tp_axis, None)
-    rep1 = P(None)
     out, kv_pages = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(head, head, head, pages, rep1, P(None, None), rep1, rep1),
-        out_specs=(head, pages),
+        in_specs=(head, head, head, pages_spec, rep1, P(None, None), rep1, rep1),
+        out_specs=(head, pages_spec),
         check_vma=False,
     )(q, k, v, kv_pages, step.kv_lens, step.page_tables, step.cu_q_lens,
       step.slot_mapping)

@@ -123,6 +123,11 @@ class LlamaForCausalLM:
         """Dense MLP; MoE models override per layer."""
         return mlp(h, params, prefix, self.config.hidden_act)
 
+    def kv_cache_spec(self) -> Tuple[int, int]:
+        """(num_kv_heads, head_dim) the KV cache must be allocated with
+        (MLA models override with their compressed latent shape)."""
+        return self.config.num_key_value_heads, self.config.head_dim
+
     # -- forward -----------------------------------------------------------
     def forward(
         self,

@@ -25,7 +25,11 @@ def register(*archs: str):
 
 
 def get_model(config: ModelConfig, mesh: Optional[Mesh] = None):
-    from candle_vllm_tpu.models import llama, qwen_moe  # noqa: F401  (populates registry)
+    from candle_vllm_tpu.models import (  # noqa: F401  (populates registry)
+        deepseek,
+        llama,
+        qwen_moe,
+    )
 
     cls = _REGISTRY.get(config.architecture)
     if cls is None:

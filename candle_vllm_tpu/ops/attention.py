@@ -55,6 +55,7 @@ def ragged_paged_attention(
     cu_q_lens: jnp.ndarray,    # [S+1] int32
     *,
     spec: AttentionSpec,
+    kv_scales: Optional[jnp.ndarray] = None,  # [P, 2K, ps] (int8 cache)
     impl: str = "auto",
 ) -> jnp.ndarray:
     if impl == "auto":
@@ -65,10 +66,12 @@ def ragged_paged_attention(
         )
 
         return ragged_paged_attention_pallas(
-            q, kv_pages, kv_lens, page_tables, cu_q_lens, spec=spec
+            q, kv_pages, kv_lens, page_tables, cu_q_lens, spec=spec,
+            kv_scales=kv_scales,
         )
     return _ragged_paged_attention_jnp(
-        q, kv_pages, kv_lens, page_tables, cu_q_lens, spec=spec
+        q, kv_pages, kv_lens, page_tables, cu_q_lens, spec=spec,
+        kv_scales=kv_scales,
     )
 
 
@@ -80,6 +83,7 @@ def _ragged_paged_attention_jnp(
     cu_q_lens: jnp.ndarray,
     *,
     spec: AttentionSpec,
+    kv_scales: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     T, H, D = q.shape
     P, ps, twoK, Dp = kv_pages.shape
@@ -98,9 +102,13 @@ def _ragged_paged_attention_jnp(
 
     # gather each token's full KV context: [T, MAXP, ps, 2K, D] -> [T, L, ...]
     pages = page_tables[seq_idx]
-    kv = kv_pages[pages].reshape(T, L, twoK, Dp)[..., :D]
-    k = kv[:, :, 0::2, :].astype(jnp.float32)  # interleaved per head
-    v = kv[:, :, 1::2, :].astype(jnp.float32)
+    kv = kv_pages[pages].reshape(T, L, twoK, Dp)[..., :D].astype(jnp.float32)
+    if kv_scales is not None:
+        # [T, MAXP, 2K, ps] -> [T, L, 2K] per-(token,head) scales
+        sc = jnp.swapaxes(kv_scales[pages], 2, 3).reshape(T, L, twoK)
+        kv = kv * sc[..., None].astype(jnp.float32)
+    k = kv[:, :, 0::2, :]  # interleaved per head
+    v = kv[:, :, 1::2, :]
 
     qf = q.astype(jnp.float32).reshape(T, K, G, D)
     scores = jnp.einsum("tkgd,tlkd->tkgl", qf, k) * spec.sm_scale

@@ -20,7 +20,7 @@ contiguous slice of it is a set of whole (K,V) head pairs.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,16 +54,41 @@ def allocate_kv_pages(
     return out
 
 
+def allocate_kv_scales(
+    num_layers: int,
+    num_pages: int,
+    page_size: int,
+    num_kv_heads: int,
+    sharding=None,
+) -> List[jnp.ndarray]:
+    """Per-(token, head) dequant scales for a quantized KV cache.
+    Layout [P, 2K, page_size] — scale rows are lane vectors the attention
+    kernel broadcasts across score columns."""
+    out = []
+    for _ in range(num_layers):
+        arr = jnp.ones((num_pages, 2 * num_kv_heads, page_size), jnp.float32)
+        if sharding is not None:
+            arr = jax.device_put(arr, sharding)
+        out.append(arr)
+    return out
+
+
 def write_kv(
     kv_pages: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     slot_mapping: jnp.ndarray,
+    kv_scales: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Scatter new K/V rows into their pages.
 
     kv_pages: [P, ps, 2K, D]; k, v: [T, K, D]; slot_mapping: [T] with
     slot = page_id * page_size + offset (INVALID_SLOT for padding).
+
+    With a quantized cache (int8 pages + ``kv_scales`` [P, ps, 2K]),
+    rows are scaled per (token, head) to absmax/127 — the TPU analogue of
+    the reference's TurboQuant KV compression (cache_engine.rs:401-518).
+    Returns (pages, scales) in that case.
     """
     page_size = kv_pages.shape[1]
     T, K, D = k.shape
@@ -71,7 +96,23 @@ def write_kv(
     page_idx = slot_mapping // page_size
     offset = slot_mapping % page_size
     # interleave per head: [T, K, 2, D] -> [T, 2K, D] = k0,v0,k1,v1,...
-    kv = jnp.stack([k, v], axis=2).reshape(T, 2 * K, D).astype(kv_pages.dtype)
+    kv = jnp.stack([k, v], axis=2).reshape(T, 2 * K, D)
+    if kv_scales is not None:
+        # kv_scales layout: [P, 2K, page_size] (lane-aligned for the
+        # attention kernel's per-head scale rows)
+        absmax = jnp.max(jnp.abs(kv.astype(jnp.float32)), axis=-1)  # [T, 2K]
+        scale = jnp.maximum(absmax / 127.0, 1e-8)
+        q = jnp.clip(
+            jnp.round(kv.astype(jnp.float32) / scale[..., None]), -127, 127
+        ).astype(jnp.int8)
+        if Dp != D:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
+        pages = kv_pages.at[page_idx, offset].set(q, mode="drop")
+        scales = kv_scales.at[page_idx, :, offset].set(
+            scale.astype(kv_scales.dtype), mode="drop"
+        )
+        return pages, scales
+    kv = kv.astype(kv_pages.dtype)
     if Dp != D:  # lane-padded cache (see allocate_kv_pages)
         kv = jnp.pad(kv, ((0, 0), (0, 0), (0, Dp - D)))
     return kv_pages.at[page_idx, offset].set(kv, mode="drop")

@@ -54,18 +54,17 @@ def _kernel(
     # inputs
     q_ref,           # [BQ, H, D] VMEM block
     kv_pages_ref,    # [P, ps, 2K, D] HBM
-    # outputs
-    out_ref,         # [BQ, H, D] VMEM block
-    # scratch
-    kv_buf,          # [2, ps, 2K, D] VMEM
-    acc_ref,         # [K, BQ*G, D] f32
-    m_ref,           # [K, BQ*G, 128] f32
-    l_ref,           # [K, BQ*G, 128] f32
-    sems,            # DMA sems [2]
-    *,
+    *rest,           # [kv_scales_ref] + outputs + scratch
     spec: AttentionSpec,
     bq: int,
+    quantized: bool = False,
 ):
+    if quantized:
+        (kv_scales_ref, out_ref, kv_buf, acc_ref, m_ref, l_ref, sems,
+         sc_buf, sc_sems) = rest
+    else:
+        out_ref, kv_buf, acc_ref, m_ref, l_ref, sems = rest
+        kv_scales_ref = sc_buf = sc_sems = None
     b = pl.program_id(0)
     K = spec.num_kv_heads
     G = spec.group_size
@@ -85,6 +84,21 @@ def _kernel(
         return pltpu.make_async_copy(
             kv_pages_ref.at[page_id], kv_buf.at[slot], sems.at[slot]
         )
+
+    def get_scale_dma(slot, page_id):
+        return pltpu.make_async_copy(
+            kv_scales_ref.at[page_id], sc_buf.at[slot], sc_sems.at[slot]
+        )
+
+    def start_page(slot, page_id):
+        get_dma(slot, page_id).start()
+        if quantized:
+            get_scale_dma(slot, page_id).start()
+
+    def wait_page(slot, page_id):
+        get_dma(slot, page_id).wait()
+        if quantized:
+            get_scale_dma(slot, page_id).wait()
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (bq, ps), 0) + row0
     kv_iota = jax.lax.broadcasted_iota(jnp.int32, (bq, ps), 1)
@@ -115,16 +129,16 @@ def _kernel(
 
             @pl.when(pg_lo < pg_hi)
             def _prologue():
-                get_dma(pg_lo % 2, pt_ref[s, pg_lo]).start()
+                start_page(pg_lo % 2, pt_ref[s, pg_lo])
 
             def page_body(p, _):
                 slot = p % 2
 
                 @pl.when(p + 1 < pg_hi)
                 def _prefetch():
-                    get_dma((p + 1) % 2, pt_ref[s, p + 1]).start()
+                    start_page((p + 1) % 2, pt_ref[s, p + 1])
 
-                get_dma(slot, pt_ref[s, p]).wait()
+                wait_page(slot, pt_ref[s, p])
 
                 # mask for (row, kv) pairs: row belongs to s, causal,
                 # within context, within window
@@ -149,6 +163,10 @@ def _kernel(
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ) * spec.sm_scale                  # [BQG, ps]
+                    if quantized:
+                        # int8 cache: fold the per-(token,head) K scale
+                        # into the score columns (fused dequant)
+                        scores = scores * sc_buf[slot, 2 * h, :][None, :]
                     if spec.logit_soft_cap is not None:
                         cap = spec.logit_soft_cap
                         scores = cap * jnp.tanh(scores / cap)
@@ -164,8 +182,12 @@ def _kernel(
                     p_ij = jnp.where(mask3, jnp.exp(scores - m_new), 0.0)
                     alpha = jnp.exp(m_prev - m_new)    # [BQG, 1]
                     l_new = alpha * l_prev + jnp.sum(p_ij, axis=-1, keepdims=True)
+                    p_v = p_ij
+                    if quantized:
+                        # fold the V scale into the probabilities
+                        p_v = p_ij * sc_buf[slot, 2 * h + 1, :][None, :]
                     pv = jax.lax.dot_general(
-                        p_ij,
+                        p_v,
                         v_h.astype(jnp.float32),
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -198,6 +220,7 @@ def ragged_paged_attention_pallas(
     kv_lens: jnp.ndarray,      # [S] int32
     page_tables: jnp.ndarray,  # [S, MAXP] int32
     cu_q_lens: jnp.ndarray,    # [S+1] int32
+    kv_scales: jnp.ndarray | None = None,  # [P, 2K, ps] f32 (int8 cache)
     *,
     spec: AttentionSpec,
     bq: int = 64,
@@ -223,11 +246,12 @@ def ragged_paged_attention_pallas(
             logit_soft_cap=spec.logit_soft_cap,
         )
         out = ragged_paged_attention_pallas(
-            q, kv_pages, kv_lens, page_tables, cu_q_lens,
+            q, kv_pages, kv_lens, page_tables, cu_q_lens, kv_scales,
             spec=spec_p, bq=bq, interpret=interpret,
             vmem_limit_bytes=vmem_limit_bytes,
         )
         return out[..., :D]
+    quantized = kv_scales is not None
     G = spec.group_size
     S = kv_lens.shape[0]
 
@@ -258,7 +282,7 @@ def ragged_paged_attention_pallas(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ] + ([pl.BlockSpec(memory_space=pl.ANY)] if quantized else []),
         out_specs=pl.BlockSpec(
             (bq, H, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -268,19 +292,14 @@ def ragged_paged_attention_pallas(
             pltpu.VMEM((K, bq * G, 128), jnp.float32),
             pltpu.VMEM((K, bq * G, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + (
+            [pltpu.VMEM((2, twoK, ps), jnp.float32),
+             pltpu.SemaphoreType.DMA((2,))]
+            if quantized else []
+        ),
     )
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, spec=spec, bq=bq),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T_pad, H, D), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=vmem_limit_bytes,
-        ),
-        interpret=interpret,
-    )(
+    inputs = [
         kv_lens.astype(jnp.int32),
         page_tables.astype(jnp.int32),
         cu,
@@ -289,5 +308,17 @@ def ragged_paged_attention_pallas(
         t_used.reshape(1),
         q,
         kv_pages,
-    )
+    ]
+    if quantized:
+        inputs.append(kv_scales.astype(jnp.float32))
+    out = pl.pallas_call(
+        functools.partial(_kernel, spec=spec, bq=bq, quantized=quantized),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T_pad, H, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit_bytes,
+        ),
+        interpret=interpret,
+    )(*inputs)
     return out[:T]

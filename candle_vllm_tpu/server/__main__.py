@@ -49,6 +49,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
     p.add_argument("--isq", choices=["w4a16", "int8"], default=None,
                    help="in-situ weight quantization at load")
+    p.add_argument("--kvcache-dtype", choices=["auto", "int8"], default="auto",
+                   help="KV cache dtype (int8 = quantized, ~2x capacity)")
     p.add_argument("--holding-time-ms", type=float, default=2.0)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -117,8 +119,9 @@ def build_engine(args):
 
     cache = CacheConfig(
         block_size=block_size,
-        num_gpu_blocks=num_blocks,
-        num_cpu_blocks=args.cpu_kv_blocks,
+        num_gpu_blocks=num_blocks * (2 if args.kvcache_dtype == "int8" else 1),
+        num_cpu_blocks=0 if args.kvcache_dtype == "int8" else args.cpu_kv_blocks,
+        kv_cache_dtype=args.kvcache_dtype,
     )
     sched = SchedulerConfig(
         max_num_seqs=args.max_num_seqs,

@@ -1,0 +1,136 @@
+"""Quantized (int8) KV cache: write/dequant roundtrip, attention accuracy
+through both implementations, engine E2E, TP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from candle_vllm_tpu.config import CacheConfig, ModelConfig, SchedulerConfig
+from candle_vllm_tpu.ops.attention import (
+    AttentionSpec,
+    _ragged_paged_attention_jnp,
+    ragged_paged_attention,
+)
+from candle_vllm_tpu.ops.kv_cache import (
+    allocate_kv_pages,
+    allocate_kv_scales,
+    write_kv,
+)
+from candle_vllm_tpu.ops.pallas.paged_attention import (
+    ragged_paged_attention_pallas,
+)
+
+
+def test_write_quantized_roundtrip():
+    ps, K, D = 8, 2, 32
+    pages = jnp.zeros((4, ps, 2 * K, D), jnp.int8)
+    scales = jnp.ones((4, 2 * K, ps), jnp.float32)
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.standard_normal((3, K, D)) * 2.0, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((3, K, D)) * 0.5, jnp.float32)
+    slots = jnp.asarray([8, 9, 10], jnp.int32)  # page 1, offs 0..2
+    pages, scales = write_kv(pages, k, v, slots, scales)
+    # dequantize token 1 head 0 K row
+    deq = np.asarray(pages[1, 1, 0], np.float32) * float(scales[1, 0, 1])
+    np.testing.assert_allclose(deq, np.asarray(k[1, 0]), atol=2e-2)
+    deq_v = np.asarray(pages[1, 2, 3], np.float32) * float(scales[1, 3, 2])
+    np.testing.assert_allclose(deq_v, np.asarray(v[2, 1]), atol=2e-2)
+
+
+def make_quant_case(rng, q_lens, kv_lens, H=4, K=2, D=32, ps=8):
+    """Build a quantized cache by writing float K/V through write_kv."""
+    S = len(q_lens)
+    T = sum(q_lens)
+    total_pages = sum(-(-l // ps) for l in kv_lens) + 2
+    maxp = max(-(-l // ps) for l in kv_lens)
+    pages = jnp.zeros((total_pages, ps, 2 * K, D), jnp.int8)
+    scales = jnp.ones((total_pages, 2 * K, ps), jnp.float32)
+    fpages = jnp.zeros((total_pages, ps, 2 * K, D), jnp.float32)
+    pt = np.zeros((S, maxp), np.int32)
+    nxt = 1
+    for s, l in enumerate(kv_lens):
+        n = -(-l // ps)
+        pt[s, :n] = range(nxt, nxt + n)
+        nxt += n
+    for s, l in enumerate(kv_lens):
+        k = jnp.asarray(rng.standard_normal((l, K, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((l, K, D)), jnp.float32)
+        pos = np.arange(l)
+        slots = jnp.asarray(pt[s, pos // ps] * ps + pos % ps, jnp.int32)
+        pages, scales = write_kv(pages, k, v, slots, scales)
+        fpages = write_kv(fpages, k, v, slots)
+    q = jnp.asarray(rng.standard_normal((T, H, D)), jnp.float32)
+    cu = np.zeros(S + 1, np.int32)
+    cu[1:] = np.cumsum(q_lens)
+    spec = AttentionSpec(num_q_heads=H, num_kv_heads=K, head_dim=D,
+                         sm_scale=D ** -0.5)
+    return (q, pages, scales, fpages, jnp.asarray(kv_lens, jnp.int32),
+            jnp.asarray(pt), jnp.asarray(cu), spec)
+
+
+def test_quantized_attention_jnp_close_to_fp():
+    rng = np.random.default_rng(1)
+    q, pages, scales, fpages, kv_lens, pt, cu, spec = make_quant_case(
+        rng, [1, 7, 1], [20, 7, 33]
+    )
+    fp = _ragged_paged_attention_jnp(q, fpages, kv_lens, pt, cu, spec=spec)
+    qt = _ragged_paged_attention_jnp(
+        q, pages, kv_lens, pt, cu, spec=spec, kv_scales=scales
+    )
+    np.testing.assert_allclose(
+        np.asarray(qt), np.asarray(fp), rtol=5e-2, atol=5e-2
+    )
+
+
+def test_quantized_attention_pallas_matches_jnp():
+    rng = np.random.default_rng(2)
+    q, pages, scales, fpages, kv_lens, pt, cu, spec = make_quant_case(
+        rng, [1, 5, 1, 12], [9, 21, 16, 12]
+    )
+    ref = _ragged_paged_attention_jnp(
+        q, pages, kv_lens, pt, cu, spec=spec, kv_scales=scales
+    )
+    got = ragged_paged_attention_pallas(
+        q, pages, kv_lens, pt, cu, scales, spec=spec, bq=8, interpret=True
+    )
+    T = int(cu[-1])
+    np.testing.assert_allclose(
+        np.asarray(got[:T]), np.asarray(ref[:T]), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_engine_with_int8_kv_cache():
+    from candle_vllm_tpu.engine.llm_engine import LLMEngine
+    from candle_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = ModelConfig(
+        architecture="LlamaForCausalLM",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=128,
+        max_model_len=128,
+        dtype=jnp.float32,
+    )
+    sched = SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=256,
+                            prefill_chunk_size=64, max_model_len=128)
+    rng = np.random.default_rng(3)
+    ps = [rng.integers(0, 128, size=12).tolist() for _ in range(2)]
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+    ref = LLMEngine(
+        cfg, CacheConfig(block_size=8, num_gpu_blocks=64, num_cpu_blocks=0),
+        sched, seed=0,
+    ).generate(ps, sp)
+    got = LLMEngine(
+        cfg,
+        CacheConfig(block_size=8, num_gpu_blocks=64, num_cpu_blocks=0,
+                    kv_cache_dtype="int8"),
+        sched, seed=0,
+    ).generate(ps, sp)
+    for a, b in zip(ref, got):
+        # int8 KV noise may flip late tokens; early tokens should agree
+        assert a.outputs[0].token_ids[:2] == b.outputs[0].token_ids[:2]
+        assert len(b.outputs[0].token_ids) == 6

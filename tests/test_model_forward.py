@@ -43,9 +43,13 @@ def run_steps(model, params, prompt, chunk_plan, decode_tokens=()):
     cfg = model.config
     be = BlockEngine(PAGE, num_gpu_blocks=64, num_cpu_blocks=8,
                      enable_prefix_caching=False)
+    kv_heads, kv_dim = (
+        model.kv_cache_spec()
+        if hasattr(model, "kv_cache_spec")
+        else (cfg.num_key_value_heads, cfg.head_dim)
+    )
     kv_pages = allocate_kv_pages(
-        cfg.num_hidden_layers, 64, PAGE, cfg.num_key_value_heads,
-        cfg.head_dim, dtype=cfg.dtype,
+        cfg.num_hidden_layers, 64, PAGE, kv_heads, kv_dim, dtype=cfg.dtype,
     )
     seq = Sequence(0, list(prompt))
     group = SequenceGroup("r0", [seq], SamplingParams())
