@@ -138,14 +138,13 @@ class BlockEngine:
     # -- prompt allocation -------------------------------------------------------
     def _prompt_block_hashes(self, seq: Sequence, extra_seed: int = 0) -> List[int]:
         """Chain hashes for each *full* prompt block
-        (reference: prefix_cache.rs:371-383 hash_block/mix_seed)."""
-        tokens = seq.get_token_ids()
-        hashes: List[int] = []
-        parent = extra_seed
-        for start in range(0, len(tokens) - self.block_size + 1, self.block_size):
-            parent = hash_block(parent, tuple(tokens[start : start + self.block_size]))
-            hashes.append(parent)
-        return hashes
+        (reference: prefix_cache.rs:371-383 hash_block/mix_seed).
+        Runs in native code when csrc/ is built (engine/host_ops.py)."""
+        from candle_vllm_tpu.engine import host_ops
+
+        return host_ops.chain_hashes(
+            seq.get_token_ids(), self.block_size, seed=extra_seed
+        )
 
     def can_allocate(self, seq_group: SequenceGroup) -> AllocStatus:
         seq = seq_group.get_seqs()[0]

@@ -81,6 +81,8 @@ def build_step_input(
     sample_rows: List[int] = []
     needs_sample: List[bool] = []
 
+    from candle_vllm_tpu.engine import host_ops
+
     t = 0
     for i, (seq, q_len) in enumerate(rows):
         start = seq.num_computed_tokens
@@ -89,13 +91,16 @@ def build_step_input(
             f"seq {seq.seq_id}: chunk [{start}:{start+q_len}) out of range "
             f"(len {seq.get_len()})"
         )
-        block_ids = block_engine.get_block_ids(seq)
-        for j, tok in enumerate(toks):
-            pos = start + j
-            token_ids[t] = tok
-            positions[t] = pos
-            slot_mapping[t] = block_ids[pos // page_size] * page_size + pos % page_size
-            t += 1
+        block_ids = np.asarray(block_engine.get_block_ids(seq), np.int32)
+        token_ids[t : t + q_len] = toks
+        host_ops.fill_slots(
+            positions[t : t + q_len],
+            slot_mapping[t : t + q_len],
+            block_ids,
+            start,
+            page_size,
+        )
+        t += q_len
         kv_lens[i] = start + q_len
         page_tables[i, : len(block_ids)] = block_ids
         cu[i + 1] = t

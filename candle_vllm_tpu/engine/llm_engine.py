@@ -58,6 +58,7 @@ class CompletionOutput:
     cumulative_logprob: float = 0.0
     finish_reason: Optional[str] = None
     stop_reason: Any = None
+    logprobs: Optional[List[Dict[str, Any]]] = None
 
     @property
     def finished(self) -> bool:
@@ -222,7 +223,10 @@ class LLMEngine:
         kv_pages = [_copy(p) for p in kv_pages]
         logits, kv_pages = self.model.forward(params, kv_pages, step)
         tokens, logprobs = sample(logits, st, key)
-        return tokens, logprobs, kv_pages
+        # top-k alternatives for the API's logprobs field
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        top_vals, top_ids = jax.lax.top_k(logp, 8)
+        return tokens, logprobs, top_vals, top_ids, kv_pages
 
     # -- request intake ----------------------------------------------------
     def add_request(
@@ -233,17 +237,21 @@ class LLMEngine:
         sampling_params: Optional[SamplingParams] = None,
     ) -> None:
         sampling_params = sampling_params or SamplingParams()
-        if sampling_params.n != 1:
-            raise NotImplementedError("n>1 lands with the fork support")
         if prompt_token_ids is None:
             assert prompt is not None and self.tokenizer is not None
             prompt_token_ids = self.tokenizer.encode(prompt)
             if hasattr(prompt_token_ids, "ids"):  # raw tokenizers.Encoding
                 prompt_token_ids = prompt_token_ids.ids
-        seq = Sequence(self._next_seq_id, prompt_token_ids)
-        self._next_seq_id += 1
+        # n-best: best_of parallel sequences, top-n returned (reference:
+        # SequenceGroup n-best, sequence.rs:343-477).  Each sequence runs
+        # its own prompt pass; sampling rows draw independent gumbel noise
+        # so they diverge from the first token.
+        seqs = []
+        for _ in range(sampling_params.best_of or sampling_params.n):
+            seqs.append(Sequence(self._next_seq_id, prompt_token_ids))
+            self._next_seq_id += 1
         self.stats.requests_received += 1
-        group = SequenceGroup(request_id, [seq], sampling_params)
+        group = SequenceGroup(request_id, seqs, sampling_params)
         group.prompt = prompt
         self._groups[request_id] = group
         self.scheduler.add_seq_group(group)
@@ -309,11 +317,15 @@ class LLMEngine:
             copy_dst[i] = d
 
         self._key, sub = jax.random.split(self._key)
-        tokens, logprobs, self.kv_pages = self._jit_step(
+        want_logprobs = any(p.logprobs for p in rows_params)
+        tokens, logprobs, top_vals, top_ids, self.kv_pages = self._jit_step(
             self.params, self.kv_pages, plan.step, copy_src, copy_dst, st, sub
         )
         tokens = np.asarray(tokens)
         logprobs = np.asarray(logprobs)
+        if want_logprobs:
+            top_vals = np.asarray(top_vals)
+            top_ids = np.asarray(top_ids)
         self._step_counter += 1
 
         # -- host post-processing ------------------------------------------
@@ -331,8 +343,21 @@ class LLMEngine:
                 continue  # mid-prompt prefill chunk
             if group.metrics.get("first_token_time") is None:
                 group.metrics["first_token_time"] = now
-            tok = int(tokens[plan.sample_rows[i]])
-            seq.append_token(tok, float(logprobs[plan.sample_rows[i]]))
+            row = plan.sample_rows[i]
+            tok = int(tokens[row])
+            seq.append_token(tok, float(logprobs[row]))
+            if group.sampling_params.logprobs:
+                k = min(group.sampling_params.logprobs, top_ids.shape[1])
+                seq.output_logprobs.append(
+                    {
+                        "token": tok,
+                        "logprob": float(logprobs[row]),
+                        "top": {
+                            int(top_ids[row, j]): float(top_vals[row, j])
+                            for j in range(k)
+                        },
+                    }
+                )
             self._maybe_finish(seq, group)
 
         finished_groups = self.scheduler.free_finished()
@@ -404,7 +429,14 @@ class LLMEngine:
     # -- outputs -------------------------------------------------------------
     def _group_output(self, group: SequenceGroup) -> RequestOutput:
         outs = []
-        for idx, seq in enumerate(group.seqs.values()):
+        seqs = list(group.seqs.values())
+        sp = group.sampling_params
+        if sp.best_of and sp.best_of > sp.n and group.is_finished:
+            # n-best selection: top-n by cumulative logprob
+            seqs = sorted(
+                seqs, key=lambda s: s.cumulative_logprob, reverse=True
+            )[: sp.n]
+        for idx, seq in enumerate(seqs):
             outs.append(
                 CompletionOutput(
                     index=idx,
@@ -413,6 +445,7 @@ class LLMEngine:
                     cumulative_logprob=seq.cumulative_logprob,
                     finish_reason=seq.status.finish_reason,
                     stop_reason=seq.stop_reason,
+                    logprobs=seq.output_logprobs or None,
                 )
             )
         prompt_ids = group.get_seqs()[0].prompt_token_ids

@@ -216,9 +216,10 @@ class Scheduler:
                     continue
                 break
             self.waiting.popleft()
-            cached = self.block_engine.allocate(seq)
-            seq.num_computed_tokens = cached
-            seq.status = SequenceStatus.RUNNING
+            for s in group.get_unfinished():  # n-best: every sibling
+                cached = self.block_engine.allocate(s)
+                s.num_computed_tokens = cached
+                s.status = SequenceStatus.RUNNING
             chunks = self._schedule_prefill_chunks(group, budget, chunk_cap)
             if not chunks:
                 # allocated but no budget left this step — it will be picked

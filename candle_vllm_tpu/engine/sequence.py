@@ -67,6 +67,7 @@ class Sequence:
         "stop_reason",
         "_cumulative_logprob",
         "last_sampled_logprobs",
+        "output_logprobs",
     )
 
     def __init__(self, seq_id: int, prompt_token_ids: List[int]):
@@ -82,6 +83,8 @@ class Sequence:
         self.stop_reason: Optional[Any] = None
         self._cumulative_logprob = 0.0
         self.last_sampled_logprobs: Optional[Dict[int, float]] = None
+        # per sampled token: {"token": id, "logprob": f, "top": {id: f}}
+        self.output_logprobs: List[Dict[str, Any]] = []
 
     # -- token accessors -----------------------------------------------------
     def get_len(self) -> int:

@@ -53,6 +53,9 @@ def make_parser() -> argparse.ArgumentParser:
                    help="KV cache dtype (int8 = quantized, ~2x capacity)")
     p.add_argument("--holding-time-ms", type=float, default=2.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mcp-config", default=None,
+                   help="JSON config of MCP servers whose tools are "
+                        "injected into chat requests")
     return p
 
 
@@ -158,10 +161,17 @@ def main(argv=None) -> None:
         tmpl = getattr(engine.tokenizer, "chat_template", None)
         template = ChatTemplate(tmpl, engine.model_config.model_type)
 
+    mcp_manager = None
+    if args.mcp_config:
+        from candle_vllm_tpu.mcp import MCPManager
+
+        mcp_manager = MCPManager.from_config(args.mcp_config)
+
     state = ServerState(
         AsyncLLMEngine(engine, holding_time_ms=args.holding_time_ms),
         model_name,
         template,
+        mcp_manager=mcp_manager,
     )
     app = build_app(state)
     web.run_app(app, host=args.host, port=args.port)

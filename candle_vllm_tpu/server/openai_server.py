@@ -61,12 +61,14 @@ class ServerState:
         async_engine: AsyncLLMEngine,
         model_name: str,
         chat_template: ChatTemplate,
+        mcp_manager=None,
     ):
         self.async_engine = async_engine
         self.engine = async_engine.engine
         self.model_name = model_name
         self.chat_template = chat_template
         self.tokenizer = self.engine.tokenizer
+        self.mcp_manager = mcp_manager
 
 
 def _error(status: int, message: str, type_: str = "invalid_request_error"):
@@ -95,6 +97,7 @@ def _sampling_from_chat(
         stop=req.stop,
         ignore_eos=req.ignore_eos,
         max_tokens=max_tokens,
+        logprobs=(req.top_logprobs or 1) if req.logprobs else None,
         skip_special_tokens=req.skip_special_tokens,
     )
 
@@ -170,6 +173,9 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
     except Exception as e:
         return _error(400, f"invalid request: {e}")
 
+    # request tools + cached MCP tools (reference: openai/mod.rs:201-247)
+    if state.mcp_manager is not None and state.mcp_manager.cached_tools:
+        req.tools = (req.tools or []) + state.mcp_manager.cached_tools
     try:
         prompt = state.chat_template.render(
             [m.model_dump(exclude_none=True) for m in req.messages],
@@ -188,8 +194,8 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
         err = _admission_check(state, len(prompt_ids))
     if err is not None:
         return _error(400, err)
-    if sp.n != 1:
-        return _error(400, "n>1 is not supported yet")
+    if sp.n != 1 and req.stream:
+        return _error(400, "streaming with n>1 is not supported")
 
     request_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
     if req.stream:
@@ -200,12 +206,30 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
     )
     family = family_for_model(state.engine.model_config.model_type)
     choices = []
-    for o in out.outputs:
+    for i, o in enumerate(out.outputs):
         content, reasoning, calls = parse_complete(o.text, family)
         calls = [c for c in calls if validate_tool_call(c, req.tools) is None]
+        logprobs = None
+        if req.logprobs and o.logprobs:
+            logprobs = {
+                "content": [
+                    {
+                        "token": state.tokenizer.decode([lp["token"]]),
+                        "logprob": lp["logprob"],
+                        "top_logprobs": [
+                            {
+                                "token": state.tokenizer.decode([tid]),
+                                "logprob": tlp,
+                            }
+                            for tid, tlp in lp["top"].items()
+                        ],
+                    }
+                    for lp in o.logprobs
+                ]
+            }
         choices.append(
             ChatChoice(
-                index=o.index,
+                index=i,
                 message=ChatChoiceMessage(
                     role="assistant",
                     content=content or None,
@@ -213,6 +237,7 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
                     tool_calls=[c.to_openai() for c in calls] or None,
                 ),
                 finish_reason="tool_calls" if calls else o.finish_reason,
+                logprobs=logprobs,
             )
         )
     resp = ChatCompletionResponse(
@@ -480,9 +505,13 @@ def build_app(state: ServerState) -> web.Application:
 
     async def on_startup(app):
         await state.async_engine.start()
+        if state.mcp_manager is not None:
+            await state.mcp_manager.start()
 
     async def on_cleanup(app):
         await state.async_engine.stop()
+        if state.mcp_manager is not None:
+            await state.mcp_manager.close()
 
     app.on_startup.append(on_startup)
     app.on_cleanup.append(on_cleanup)

@@ -195,3 +195,45 @@ def test_preemption_by_swap():
     ).generate(ps, sp)
     for a, b in zip(ref, swapped):
         assert a.outputs[0].token_ids == b.outputs[0].token_ids
+
+
+def test_n_best_sampling():
+    rng = np.random.default_rng(10)
+    p = rng.integers(0, 128, size=8).tolist()
+    eng = make_engine()
+    out = eng.generate(
+        [p], SamplingParams(n=3, temperature=0.9, max_tokens=5, seed=1)
+    )[0]
+    assert len(out.outputs) == 3
+    texts = {tuple(o.token_ids) for o in out.outputs}
+    assert len(texts) >= 2  # sampled branches diverge
+    # greedy n: all identical
+    out2 = make_engine().generate(
+        [p], SamplingParams(n=2, temperature=0.0, max_tokens=4)
+    )[0]
+    assert out2.outputs[0].token_ids == out2.outputs[1].token_ids
+
+
+def test_best_of_selects_top_n():
+    rng = np.random.default_rng(11)
+    p = rng.integers(0, 128, size=8).tolist()
+    out = make_engine().generate(
+        [p], SamplingParams(n=1, best_of=4, temperature=1.2, max_tokens=4)
+    )[0]
+    assert len(out.outputs) == 1
+
+
+def test_logprobs_returned():
+    rng = np.random.default_rng(12)
+    p = rng.integers(0, 128, size=6).tolist()
+    out = make_engine().generate(
+        [p], SamplingParams(temperature=0.0, max_tokens=3, logprobs=4)
+    )[0]
+    lps = out.outputs[0].logprobs
+    assert lps is not None and len(lps) == 3
+    for lp in lps:
+        assert lp["logprob"] <= 0.0
+        assert len(lp["top"]) == 4
+        # greedy token must be the argmax -> appears in top list
+        assert lp["token"] in lp["top"]
+        assert abs(max(lp["top"].values()) - lp["logprob"]) < 1e-4
