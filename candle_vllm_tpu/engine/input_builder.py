@@ -52,6 +52,7 @@ def build_step_input(
     max_model_len: int,
     token_buckets: Sequence[int] = tuple(_TOKEN_BUCKETS),
     seq_buckets: Sequence[int] = tuple(_SEQ_BUCKETS),
+    state_slot_map: Optional[Dict[int, int]] = None,
 ) -> StepPlan:
     """Flatten this step's scheduled chunks into one padded StepInput.
 
@@ -76,6 +77,7 @@ def build_step_input(
     page_tables = np.zeros((S, maxp), np.int32)
     cu = np.zeros(S + 1, np.int32)
     logits_idx = np.zeros(S, np.int32)
+    state_slots = np.zeros(S, np.int32)
 
     seq_ids: List[int] = []
     sample_rows: List[int] = []
@@ -105,6 +107,8 @@ def build_step_input(
         page_tables[i, : len(block_ids)] = block_ids
         cu[i + 1] = t
         logits_idx[i] = t - 1
+        if state_slot_map:
+            state_slots[i] = state_slot_map.get(seq.seq_id, 0)
         seq_ids.append(seq.seq_id)
         sample_rows.append(i)
         # only chunks that reach the end of the known tokens produce a
@@ -121,6 +125,7 @@ def build_step_input(
         page_tables=page_tables,
         cu_q_lens=cu,
         logits_idx=logits_idx,
+        state_slots=state_slots,
     )
     return StepPlan(
         step=step,

@@ -144,31 +144,52 @@ class LLMEngine:
         self.kv_quantized = cache_config.kv_cache_dtype == "int8"
         kv_dtype = jnp.int8 if self.kv_quantized else model_config.dtype
         kv_heads, kv_head_dim = self.model.kv_cache_spec()
-        pages = allocate_kv_pages(
-            model_config.num_hidden_layers,
-            cache_config.num_gpu_blocks,
-            cache_config.block_size,
-            kv_heads,
-            kv_head_dim,
-            dtype=kv_dtype,
-            sharding=self.plan.kv_pages_sharding() if self.plan else None,
-            pad_head_dim_to=pad,
-        )
-        if self.kv_quantized:
-            from candle_vllm_tpu.ops.kv_cache import allocate_kv_scales
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            scales = allocate_kv_scales(
+        # recurrent-state slot pool (hybrid GDN models)
+        self._state_pool_size = scheduler_config.max_num_seqs * 2 + 2
+        self._state_slot_free = list(range(self._state_pool_size))
+        self._state_slots: Dict[int, int] = {}
+        if hasattr(self.model, "make_caches"):
+            # hybrid GDN/mamba: the model builds its per-layer cache mix
+            assert not self.kv_quantized, (
+                "quantized KV with hybrid state models not supported yet"
+            )
+            assert scheduler_config.preemption_mode == "recompute", (
+                "swap preemption would lose recurrent state; use recompute"
+            )
+            self.kv_pages = self.model.make_caches(
+                cache_config.num_gpu_blocks,
+                cache_config.block_size,
+                model_config.dtype,
+                self._state_pool_size,
+                pad_head_dim_to=pad,
+                kv_sharding=self.plan.kv_pages_sharding() if self.plan else None,
+            )
+        else:
+            pages = allocate_kv_pages(
                 model_config.num_hidden_layers,
                 cache_config.num_gpu_blocks,
                 cache_config.block_size,
                 kv_heads,
-                sharding=NamedSharding(self.plan.mesh, P(None, "tp", None))
-                if self.plan else None,
+                kv_head_dim,
+                dtype=kv_dtype,
+                sharding=self.plan.kv_pages_sharding() if self.plan else None,
+                pad_head_dim_to=pad,
             )
-            self.kv_pages = list(zip(pages, scales))
-        else:
-            self.kv_pages = pages
+            if self.kv_quantized:
+                from candle_vllm_tpu.ops.kv_cache import allocate_kv_scales
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                scales = allocate_kv_scales(
+                    model_config.num_hidden_layers,
+                    cache_config.num_gpu_blocks,
+                    cache_config.block_size,
+                    kv_heads,
+                    sharding=NamedSharding(self.plan.mesh, P(None, "tp", None))
+                    if self.plan else None,
+                )
+                self.kv_pages = list(zip(pages, scales))
+            else:
+                self.kv_pages = pages
         self.swap_space = (
             HostSwapSpace(
                 model_config.num_hidden_layers,
@@ -178,7 +199,9 @@ class LLMEngine:
                 kv_head_dim if pad == 1 else -(-kv_head_dim // pad) * pad,
                 dtype=model_config.dtype,
             )
-            if cache_config.num_cpu_blocks > 0 and not self.kv_quantized
+            if cache_config.num_cpu_blocks > 0
+            and not self.kv_quantized
+            and not hasattr(self.model, "make_caches")
             else None
         )
 
@@ -213,6 +236,8 @@ class LLMEngine:
         key: jax.Array,
     ):
         def _copy(p):
+            if isinstance(p, dict):  # GDN state pool: no block COW
+                return p
             if isinstance(p, tuple):  # quantized: (pages, scales)
                 return (
                     copy_blocks(p[0], copy_src, copy_dst),
@@ -271,11 +296,18 @@ class LLMEngine:
 
         self._execute_swaps(sched_out)
 
+        if hasattr(self.model, "make_caches"):
+            # recurrent-state slot assignment (hybrid GDN layers)
+            for sg in sched_out.scheduled:
+                for sid in sg.token_chunks:
+                    if sid not in self._state_slots:
+                        self._state_slots[sid] = self._state_slot_free.pop()
         plan = build_step_input(
             sched_out.scheduled,
             self.block_engine,
             self.cache_config.block_size,
             self.scheduler_config.max_model_len,
+            state_slot_map=self._state_slots,
         )
         S = plan.step.kv_lens.shape[0]
 
@@ -361,6 +393,12 @@ class LLMEngine:
             self._maybe_finish(seq, group)
 
         finished_groups = self.scheduler.free_finished()
+        if self._state_slots:
+            for g in list(finished_groups) + list(sched_out.preempted):
+                for sid in list(g.seqs):
+                    slot = self._state_slots.pop(sid, None)
+                    if slot is not None:
+                        self._state_slot_free.append(slot)
         n_decode = sum(
             1
             for sg in sched_out.scheduled

@@ -1,0 +1,170 @@
+"""Qwen3-Next / Qwen3.5-class hybrid models: GDN linear attention + full
+attention interleaved by ``layer_types``.
+
+Reference: ``/root/reference/src/openai/models/qwen3_5.rs`` (hybrid layer
+dispatch at :78-119) and ``models/layers/deltanet.rs`` (GatedDeltaNet with
+in_proj_qkvz/in_proj_ba weight layout, depthwise conv, A_log/dt_bias
+gating, gated-RMSNorm output).
+
+GDN layers carry recurrent + conv state in a slot pool instead of KV pages
+(reference: MambaCache); full-attention layers use the paged KV cache.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+
+from candle_vllm_tpu.models.layers import linear
+from candle_vllm_tpu.models.llama import Params
+from candle_vllm_tpu.models.qwen_moe import QwenMoeForCausalLM
+from candle_vllm_tpu.models.registry import register
+from candle_vllm_tpu.models.types import StepInput
+from candle_vllm_tpu.ops.gdn import gdn_mixed
+from candle_vllm_tpu.ops.kv_cache import allocate_kv_pages
+from candle_vllm_tpu.ops.norms import rms_norm
+
+
+@register("Qwen3NextForCausalLM")
+class Qwen3NextForCausalLM(QwenMoeForCausalLM):
+    """Hybrid decoder; extra config carried in ModelConfig.extra:
+    linear_num_value_heads / linear_num_key_heads / linear_key_head_dim /
+    linear_value_head_dim / linear_conv_kernel_dim (HF names)."""
+
+    def __init__(self, config, mesh=None):
+        super().__init__(config, mesh=mesh)
+        e = config.extra
+        self.hv = int(e.get("linear_num_value_heads", 8))
+        self.hk = int(e.get("linear_num_key_heads", 4))
+        self.dk = int(e.get("linear_key_head_dim", 64))
+        self.dv = int(e.get("linear_value_head_dim", 64))
+        self.conv_w = int(e.get("linear_conv_kernel_dim", 4))
+        self.key_dim = self.hk * self.dk
+        self.value_dim = self.hv * self.dv
+        self.conv_dim = 2 * self.key_dim + self.value_dim
+        lt = config.layer_types or []
+        self.gdn_layers = [
+            i for i in range(config.num_hidden_layers)
+            if (lt[i] if i < len(lt) else "linear_attention") == "linear_attention"
+        ]
+
+    def is_gdn(self, i: int) -> bool:
+        return i in self.gdn_layers
+
+    def is_moe_layer(self, i: int) -> bool:
+        if self.config.moe is None:
+            return False
+        return super().is_moe_layer(i)
+
+    def param_shapes(self) -> Dict[str, Tuple[int, ...]]:
+        shapes = super().param_shapes()
+        c = self.config
+        for i in self.gdn_layers:
+            a = f"model.layers.{i}.self_attn"
+            for k in list(shapes):
+                if k.startswith(a + "."):
+                    shapes.pop(k)
+            g = f"model.layers.{i}.linear_attn"
+            shapes[f"{g}.in_proj_qkvz.weight"] = (
+                c.hidden_size, 2 * self.key_dim + 2 * self.value_dim
+            )
+            shapes[f"{g}.in_proj_ba.weight"] = (c.hidden_size, 2 * self.hv)
+            shapes[f"{g}.conv1d.weight"] = (self.conv_dim, self.conv_w)
+            shapes[f"{g}.A_log"] = (self.hv,)
+            shapes[f"{g}.dt_bias"] = (self.hv,)
+            shapes[f"{g}.norm.weight"] = (self.dv,)
+            shapes[f"{g}.out_proj.weight"] = (self.value_dim, c.hidden_size)
+        return shapes
+
+    # -- cache construction (engine delegates here) -------------------------
+    def make_caches(
+        self,
+        num_pages: int,
+        page_size: int,
+        dtype,
+        pool_size: int,
+        pad_head_dim_to: int = 1,
+        kv_sharding=None,
+    ) -> List:
+        caches: List = []
+        kv_heads, kv_dim = self.kv_cache_spec()
+        for i in range(self.config.num_hidden_layers):
+            if self.is_gdn(i):
+                caches.append(
+                    {
+                        "rec": jnp.zeros(
+                            (pool_size, self.hv, self.dk, self.dv), jnp.float32
+                        ),
+                        "conv": jnp.zeros(
+                            (pool_size, self.conv_dim, self.conv_w - 1),
+                            jnp.float32,
+                        ),
+                    }
+                )
+            else:
+                caches.append(
+                    allocate_kv_pages(
+                        1, num_pages, page_size, kv_heads, kv_dim,
+                        dtype=dtype, sharding=kv_sharding,
+                        pad_head_dim_to=pad_head_dim_to,
+                    )[0]
+                )
+        return caches
+
+    def _gdn_block(
+        self, params: Params, g: str, x: jnp.ndarray, cache: Dict,
+        step: StepInput,
+    ) -> Tuple[jnp.ndarray, Dict]:
+        T = x.shape[0]
+        qkvz = linear(x, params, f"{g}.in_proj_qkvz")
+        ba = linear(x, params, f"{g}.in_proj_ba")
+        kd, vd = self.key_dim, self.value_dim
+        mixed_qkv = qkvz[:, : 2 * kd + vd]
+        z = qkvz[:, 2 * kd + vd :].reshape(T, self.hv, self.dv)
+        b = ba[:, : self.hv]
+        a = ba[:, self.hv :]
+        out, rec, conv = gdn_mixed(
+            mixed_qkv, z, a, b,
+            params[f"{g}.conv1d.weight"],
+            params.get(f"{g}.conv1d.bias"),
+            params[f"{g}.A_log"],
+            params[f"{g}.dt_bias"],
+            params[f"{g}.norm.weight"],
+            cache["rec"], cache["conv"],
+            step.state_slots, step.cu_q_lens, step.kv_lens,
+            num_k_heads=self.hk, num_v_heads=self.hv,
+            head_k_dim=self.dk, head_v_dim=self.dv,
+            scale=self.dk ** -0.5,
+        )
+        out = linear(out.astype(x.dtype), params, f"{g}.out_proj")
+        return out, {"rec": rec, "conv": conv}
+
+    def forward_hidden(self, params, kv_pages, step: StepInput):
+        from candle_vllm_tpu.models.layers import attention_block
+        from candle_vllm_tpu.ops.rope import compute_cos_sin
+
+        c = self.config
+        x = params["model.embed_tokens.weight"][step.token_ids]
+        cos_sin = compute_cos_sin(step.positions, self.rope)
+        new_caches: List = []
+        for i in range(c.num_hidden_layers):
+            p = f"model.layers.{i}"
+            h = rms_norm(x, params[f"{p}.input_layernorm.weight"],
+                         c.rms_norm_eps)
+            if self.is_gdn(i):
+                attn_out, cache = self._gdn_block(
+                    params, f"{p}.linear_attn", h, kv_pages[i], step
+                )
+            else:
+                attn_out, cache = attention_block(
+                    h, params, f"{p}.self_attn", self.layer_specs[i],
+                    self.rope, cos_sin, kv_pages[i], step, mesh=self.mesh,
+                )
+            new_caches.append(cache)
+            x = x + attn_out
+            h = rms_norm(x, params[f"{p}.post_attention_layernorm.weight"],
+                         c.rms_norm_eps)
+            x = x + self._mlp_block(params, f"{p}.mlp", h, i)
+        x = rms_norm(x, params["model.norm.weight"], c.rms_norm_eps)
+        return x, new_caches

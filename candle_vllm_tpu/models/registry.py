@@ -29,6 +29,7 @@ def get_model(config: ModelConfig, mesh: Optional[Mesh] = None):
         deepseek,
         llama,
         qwen_moe,
+        qwen_next,
     )
 
     cls = _REGISTRY.get(config.architecture)

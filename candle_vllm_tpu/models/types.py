@@ -30,6 +30,10 @@ class StepInput:
     page_tables: jnp.ndarray   # [S, MAXP] i32
     cu_q_lens: jnp.ndarray     # [S+1] i32 (padding seqs repeat final value)
     logits_idx: jnp.ndarray    # [S] i32 rows to gather before lm_head
+    # recurrent-state pool slot per sequence (hybrid GDN/mamba layers;
+    # reference: mamba slot mapping, inputs.rs:67). Zeros for pure
+    # attention models.
+    state_slots: jnp.ndarray = None  # [S] i32
 
     @property
     def num_tokens(self) -> int:
