@@ -39,63 +39,11 @@ CONFIGS = {
 def init_quantized_params(model, method, key):
     """Random quantized weights built directly on device (an 8B float
     detour would need 32 GB of host RAM)."""
-    import jax
-    import jax.numpy as jnp
+    from candle_vllm_tpu.ops.quant import random_quantized_params
 
-    from candle_vllm_tpu.ops.quant import DEFAULT_GROUP, QTILE_OUT
+    return random_quantized_params(model, method, key)
 
-    c = model.config
-    shapes = model.param_shapes()
 
-    # merge q/k/v and gate/up shapes so each layer runs 3 fused kernels
-    merged = {}
-    skip = set()
-    for name, shape in shapes.items():
-        if name.endswith(".q_proj.weight"):
-            p = name[: -len(".q_proj.weight")]
-            kd = shapes[f"{p}.k_proj.weight"][1]
-            merged[f"{p}.qkv_proj.weight"] = (shape[0], shape[1] + 2 * kd)
-            skip |= {f"{p}.{t}_proj.weight" for t in ("q", "k", "v")}
-        elif name.endswith(".gate_proj.weight"):
-            p = name[: -len(".gate_proj.weight")]
-            merged[f"{p}.gate_up_proj.weight"] = (shape[0], shape[1] * 2)
-            skip |= {f"{p}.gate_proj.weight", f"{p}.up_proj.weight"}
-    shapes = {n: s for n, s in shapes.items() if n not in skip}
-    shapes.update(merged)
-
-    def init(key):
-        params = {}
-        for idx, (name, shape) in enumerate(shapes.items()):
-            k = jax.random.fold_in(key, idx)
-            if name.endswith("norm.weight"):
-                params[name] = jnp.ones(shape, c.dtype)
-            elif name.endswith(".bias"):
-                params[name] = jnp.zeros(shape, c.dtype)
-            elif (
-                len(shape) == 2
-                and "embed_tokens" not in name
-                and shape[0] % DEFAULT_GROUP == 0
-                and shape[1] % QTILE_OUT == 0
-            ):
-                prefix = name[: -len(".weight")]
-                is_lm_head = "lm_head" in name
-                cols = shape[1] if is_lm_head else shape[1] // 2  # int8 | w4
-                params[f"{prefix}.qweight"] = jax.random.randint(
-                    k, (shape[0], cols), -128, 128, jnp.int8
-                )
-                params[f"{prefix}.scales"] = jnp.full(
-                    (shape[0] // DEFAULT_GROUP, shape[1]),
-                    0.4 / (shape[0] ** 0.5),
-                    jnp.bfloat16,
-                )
-            else:
-                std = 0.4 / (shape[0] ** 0.5)
-                params[name] = (
-                    jax.random.normal(k, shape, jnp.float32) * std
-                ).astype(c.dtype)
-        return params
-
-    return jax.jit(init)(key)
 
 
 def main() -> None:

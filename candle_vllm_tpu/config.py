@@ -165,6 +165,8 @@ class ModelConfig:
     scale_embeddings: bool = False
     # gemma rms-norm convention: weight applied as (1 + w)
     norm_unit_offset: bool = False
+    # "rmsnorm" | "layernorm" (StableLM-class models use LayerNorm+bias)
+    norm_type: str = "rmsnorm"
     # gemma2/3 sandwich norms: post_attention/post_feedforward norms are
     # applied to the sublayer OUTPUT before the residual add, with
     # pre_feedforward_layernorm before the mlp
@@ -297,6 +299,14 @@ class ModelConfig:
             extra={k: v for k, v in cfg.items() if k.startswith("_")},
         )
         mt = mc.model_type or ""
+        if mt.startswith("stablelm"):
+            # StableLM: LayerNorm + bias, partial rotary, qkv bias
+            # (reference: stable_lm.rs)
+            mc.norm_type = "layernorm"
+            mc.partial_rotary_factor = float(
+                cfg.get("partial_rotary_factor", 0.25)
+            )
+            mc.qkv_bias = bool(cfg.get("use_qkv_bias", False))
         if mt.startswith("gemma"):
             # gemma family conventions (reference: gemma.rs / gemma3.rs)
             mc.scale_embeddings = True

@@ -195,6 +195,12 @@ class AsyncLLMEngine:
                 # a failed step fails the in-flight requests, not the server
                 # (reference: fail_current_scheduled_groups,
                 # llm_engine.rs:1655-1682)
+                import logging
+                import traceback
+
+                logging.getLogger(__name__).error(
+                    "engine step failed: %s\n%s", e, traceback.format_exc()
+                )
                 for request_id, stream in list(self._streams.items()):
                     stream.put_threadsafe(
                         StreamEvent(

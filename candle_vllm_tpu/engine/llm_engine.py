@@ -120,16 +120,33 @@ class LLMEngine:
         if params is None and model_dir is not None:
             from candle_vllm_tpu.models.weights import load_safetensors
 
+            # streaming ISQ: quantize per tensor at load so the bf16
+            # weights never co-reside in HBM (reference ISQ, linear.rs)
             params = load_safetensors(
                 model_dir,
                 dtype=model_config.dtype,
-                plan=None if quantization else self.plan,
+                plan=self.plan,
                 config=model_config,
+                quantize=quantization,
             )
         elif params is None:
-            params = self.model.init_params(seed=seed)
-        if quantization is not None:
-            # in-situ quantization at load (reference ISQ, linear.rs)
+            if quantization is not None and self.plan is None:
+                from candle_vllm_tpu.ops.quant import random_quantized_params
+
+                params = random_quantized_params(
+                    self.model, quantization, jax.random.PRNGKey(seed)
+                )
+            elif quantization is not None:
+                # TP: merged projections can't column-shard; quantize the
+                # separate tensors
+                from candle_vllm_tpu.ops.quant import quantize_params
+
+                params = quantize_params(
+                    self.model.init_params(seed=seed), method=quantization
+                )
+            else:
+                params = self.model.init_params(seed=seed)
+        elif quantization is not None:
             from candle_vllm_tpu.ops.quant import quantize_params
 
             params = quantize_params(params, method=quantization)

@@ -25,7 +25,7 @@ from candle_vllm_tpu.models.layers import (
 )
 from candle_vllm_tpu.models.types import StepInput
 from candle_vllm_tpu.models.registry import register
-from candle_vllm_tpu.ops.norms import rms_norm
+from candle_vllm_tpu.ops.norms import layer_norm, rms_norm
 from candle_vllm_tpu.ops.rope import RopeSpec, compute_cos_sin, make_rope_spec
 
 Params = Dict[str, jnp.ndarray]
@@ -43,6 +43,8 @@ Params = Dict[str, jnp.ndarray]
     "Gemma3ForCausalLM",
     "Gemma3ForConditionalGeneration",
     "Phi3ForCausalLM",
+    "StableLmForCausalLM",
+    "StableLmEpochForCausalLM",
 )
 class LlamaForCausalLM:
     """Functional dense decoder over paged KV."""
@@ -69,10 +71,15 @@ class LlamaForCausalLM:
         }
         if not c.tie_word_embeddings:
             shapes["lm_head.weight"] = (c.hidden_size, c.vocab_size)
+        if c.norm_type == "layernorm":
+            shapes["model.norm.bias"] = (c.hidden_size,)
         for i in range(c.num_hidden_layers):
             p = f"model.layers.{i}"
             shapes[f"{p}.input_layernorm.weight"] = (c.hidden_size,)
             shapes[f"{p}.post_attention_layernorm.weight"] = (c.hidden_size,)
+            if c.norm_type == "layernorm":
+                shapes[f"{p}.input_layernorm.bias"] = (c.hidden_size,)
+                shapes[f"{p}.post_attention_layernorm.bias"] = (c.hidden_size,)
             if c.sandwich_norms:
                 shapes[f"{p}.pre_feedforward_layernorm.weight"] = (c.hidden_size,)
                 shapes[f"{p}.post_feedforward_layernorm.weight"] = (c.hidden_size,)
@@ -127,6 +134,19 @@ class LlamaForCausalLM:
         """(num_kv_heads, head_dim) the KV cache must be allocated with
         (MLA models override with their compressed latent shape)."""
         return self.config.num_key_value_heads, self.config.head_dim
+
+    def _norm(self, params: Params, x: jnp.ndarray, name: str) -> jnp.ndarray:
+        """rmsnorm or StableLM-class LayerNorm+bias per config.norm_type."""
+        c = self.config
+        if c.norm_type == "layernorm":
+            return layer_norm(
+                x, params[f"{name}.weight"], params.get(f"{name}.bias"),
+                c.rms_norm_eps,
+            )
+        return rms_norm(
+            x, params[f"{name}.weight"], c.rms_norm_eps,
+            add_unit_offset=c.norm_unit_offset,
+        )
 
     # -- forward -----------------------------------------------------------
     def forward(
@@ -183,8 +203,7 @@ class LlamaForCausalLM:
             cs = cos_sin_local if (is_sliding and cos_sin_local) else cos_sin
 
             uo = c.norm_unit_offset
-            h = rms_norm(x, params[f"{p}.input_layernorm.weight"],
-                         c.rms_norm_eps, add_unit_offset=uo)
+            h = self._norm(params, x, f"{p}.input_layernorm")
             attn_out, pages = attention_block(
                 h, params, f"{p}.self_attn", spec, rope, cs,
                 kv_pages[i], step, mesh=self.mesh,
@@ -209,12 +228,8 @@ class LlamaForCausalLM:
                 x = x + m
             else:
                 x = x + attn_out
-                h = rms_norm(
-                    x, params[f"{p}.post_attention_layernorm.weight"],
-                    c.rms_norm_eps, add_unit_offset=uo,
-                )
+                h = self._norm(params, x, f"{p}.post_attention_layernorm")
                 x = x + self._mlp_block(params, f"{p}.mlp", h, i)
 
-        x = rms_norm(x, params["model.norm.weight"], c.rms_norm_eps,
-                     add_unit_offset=c.norm_unit_offset)
+        x = self._norm(params, x, "model.norm")
         return x, new_pages

@@ -75,22 +75,42 @@ def load_safetensors(
     dtype=jnp.bfloat16,
     plan: Optional[ShardingPlan] = None,
     config=None,
+    quantize: Optional[str] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Load every tensor, transposing linears to input-major and placing
-    shards directly on their devices (no full-model host copy)."""
+    shards directly on their devices (no full-model host copy).
+
+    With ``quantize`` ("w4a16"/"int8"), each eligible linear is quantized
+    host-side BEFORE device placement, so the bf16 weights of an 8B+
+    model never co-reside in HBM (reference ISQ streams similarly)."""
+    from candle_vllm_tpu.ops.quant import quantize_tensor_np
+
     params: Dict[str, jnp.ndarray] = {}
     fused = False
     for name, arr in _iter_safetensors(model_dir):
         if arr.ndim == 2 and not _NO_TRANSPOSE.search(name):
             arr = arr.T
+        fused |= ".qkv_proj." in name or ".gate_up_proj." in name
+        if quantize and not fused:
+            q = quantize_tensor_np(name, np.ascontiguousarray(arr), quantize)
+            if q:
+                prefix = name[: -len(".weight")]
+                params[f"{prefix}.qweight"] = jnp.asarray(q["qweight"])
+                params[f"{prefix}.scales"] = jnp.asarray(
+                    q["scales"], jnp.bfloat16
+                )
+                continue
         if arr.dtype == np.float32 or str(arr.dtype) == "bfloat16":
             tgt = dtype
         else:
             tgt = arr.dtype
-        fused |= ".qkv_proj." in name or ".gate_up_proj." in name
         params[name] = jnp.asarray(arr, tgt)
     if fused and config is not None:
         params = split_fused_weights(params, config)
+        if quantize:
+            from candle_vllm_tpu.ops.quant import quantize_params
+
+            params = quantize_params(params, method=quantize)
     if plan is not None:
         params = plan.apply(params)
     return params

@@ -183,6 +183,101 @@ def quantize_params(
     return out
 
 
+def quantize_tensor_np(
+    name: str,
+    w: np.ndarray,
+    method: str = "w4a16",
+    group_size: int = DEFAULT_GROUP,
+    keep_regex: str = r"(embed_tokens|norm|\.bias$)",
+    lm_head_method: Optional[str] = "int8",
+) -> Dict[str, np.ndarray]:
+    """Streaming per-tensor quantization (host-side numpy) — lets an 8B+
+    model quantize at load without ever materializing the bf16 weights on
+    device.  Returns {suffix: array} to merge under the tensor's prefix,
+    or {} when the tensor should stay unquantized."""
+    import re
+
+    tensor_method = method
+    if "lm_head" in name:
+        if lm_head_method is None:
+            return {}
+        tensor_method = lm_head_method
+    if (
+        not name.endswith(".weight")
+        or re.search(keep_regex, name)
+        or w.ndim != 2
+        or w.shape[0] % group_size
+        or w.shape[1] % QTILE_OUT
+    ):
+        return {}
+    if tensor_method == "w4a16":
+        qw, s = quantize_w4a16(w.astype(np.float32), group_size)
+    elif tensor_method == "int8":
+        qw, s = quantize_int8(w.astype(np.float32), group_size)
+    else:
+        raise ValueError(f"unknown quant method {tensor_method}")
+    return {"qweight": qw, "scales": s.astype(np.float32)}
+
+
+def random_quantized_params(model, method: str, key) -> Params:
+    """Random quantized weights built directly on device (benches and
+    --dummy-model --isq; a full-precision detour would blow HBM/host RAM
+    on 8B+ models).  Merges qkv / gate_up into single fused tensors."""
+    c = model.config
+    shapes = dict(model.param_shapes())
+    merged: Dict[str, tuple] = {}
+    skip = set()
+    for name, shape in shapes.items():
+        if name.endswith(".q_proj.weight") and not any(
+            f"{name[: -len('.q_proj.weight')]}.{t}_proj.bias" in shapes
+            for t in ("q", "k", "v")
+        ):
+            p = name[: -len(".q_proj.weight")]
+            kd = shapes[f"{p}.k_proj.weight"][1]
+            merged[f"{p}.qkv_proj.weight"] = (shape[0], shape[1] + 2 * kd)
+            skip |= {f"{p}.{t}_proj.weight" for t in ("q", "k", "v")}
+        elif name.endswith(".gate_proj.weight") and "experts" not in name:
+            p = name[: -len(".gate_proj.weight")]
+            merged[f"{p}.gate_up_proj.weight"] = (shape[0], shape[1] * 2)
+            skip |= {f"{p}.gate_proj.weight", f"{p}.up_proj.weight"}
+    shapes = {n: s for n, s in shapes.items() if n not in skip}
+    shapes.update(merged)
+
+    def init(key):
+        params: Params = {}
+        for idx, (name, shape) in enumerate(shapes.items()):
+            k = jax.random.fold_in(key, idx)
+            if name.endswith("norm.weight"):
+                params[name] = jnp.ones(shape, c.dtype)
+            elif name.endswith(".bias"):
+                params[name] = jnp.zeros(shape, c.dtype)
+            elif (
+                len(shape) == 2
+                and "embed_tokens" not in name
+                and shape[0] % DEFAULT_GROUP == 0
+                and shape[1] % QTILE_OUT == 0
+            ):
+                prefix = name[: -len(".weight")]
+                is_lm_head = "lm_head" in name
+                cols = shape[1] if is_lm_head else shape[1] // 2
+                params[f"{prefix}.qweight"] = jax.random.randint(
+                    k, (shape[0], cols), -128, 128, jnp.int8
+                )
+                params[f"{prefix}.scales"] = jnp.full(
+                    (shape[0] // DEFAULT_GROUP, shape[1]),
+                    0.4 / (shape[0] ** 0.5),
+                    jnp.bfloat16,
+                )
+            else:
+                std = 0.4 / (shape[0] ** 0.5)
+                params[name] = (
+                    jax.random.normal(k, shape, jnp.float32) * std
+                ).astype(c.dtype)
+        return params
+
+    return jax.jit(init)(key)
+
+
 # ---------------------------------------------------------------------------
 # checkpoint conversion (reference: convert_marlin.py / gptq_repack,
 # backend/gptq.rs — GPTQ/AWQ int32-packed checkpoints -> our layout)

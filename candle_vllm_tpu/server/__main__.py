@@ -105,11 +105,19 @@ def build_engine(args):
     else:
         # size from the HBM budget left after weights
         # (reference: lib.rs:128-281 get_cache_config)
-        param_bytes = cfg.num_hidden_layers * (
+        linear_bytes = cfg.num_hidden_layers * (
             cfg.hidden_size * (cfg.num_attention_heads + 2 * cfg.num_key_value_heads)
             * cfg.head_dim + cfg.hidden_size * cfg.head_dim * cfg.num_attention_heads
             + 3 * cfg.hidden_size * cfg.intermediate_size
-        ) * 2 + 2 * cfg.vocab_size * cfg.hidden_size * 2
+        ) * 2
+        head_bytes = 2 * cfg.vocab_size * cfg.hidden_size * 2
+        if args.isq == "w4a16":  # int4 linears + int8 lm_head + scales
+            linear_bytes = int(linear_bytes / 3.5)
+            head_bytes = int(head_bytes * 0.75)
+        elif args.isq == "int8":
+            linear_bytes = int(linear_bytes / 1.9)
+            head_bytes = int(head_bytes * 0.75)
+        param_bytes = linear_bytes + head_bytes
         hbm = 15e9 if on_tpu else 4e9
         budget = max(int((hbm - param_bytes) * args.kv_fraction), 0)
         kv_per_block = CacheConfig.kv_bytes_per_token(cfg, "auto") * block_size

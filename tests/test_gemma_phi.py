@@ -110,3 +110,35 @@ def test_phi3_fused_weight_split():
         np.asarray(split["model.layers.0.self_attn.v_proj.weight"]),
         qkv[:, H + K :],
     )
+
+
+def test_stablelm_layernorm_partial_rotary():
+    cfg = ModelConfig.from_hf(
+        dict(
+            architectures=["StableLmForCausalLM"],
+            model_type="stablelm",
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            vocab_size=128,
+            max_position_embeddings=256,
+            partial_rotary_factor=0.25,
+            use_qkv_bias=True,
+        ),
+        dtype=jnp.float32,
+    )
+    assert cfg.norm_type == "layernorm"
+    assert cfg.qkv_bias
+    model = get_model(cfg)
+    shapes = model.param_shapes()
+    assert "model.layers.0.input_layernorm.bias" in shapes
+    assert "model.norm.bias" in shapes
+    assert model.rope.rotary_dim == 4  # 16 * 0.25
+    params = model.init_params(seed=0)
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, 128, size=13).tolist()
+    full = run_steps(model, params, prompt, [13])
+    chunked = run_steps(model, params, prompt, [7, 6])
+    np.testing.assert_allclose(full, chunked, rtol=3e-4, atol=3e-4)
