@@ -1,0 +1,284 @@
+"""GGUF checkpoint loading: reader, K-quant dequantization, name mapping.
+
+Replaces the reference's GGUF path (``/root/reference/src/backend/gguf.rs``
+multi-shard Content reader + ``quantized_var_builder.rs``): a from-scratch
+GGUF v2/v3 parser (no gguf lib in this environment), numpy dequantizers
+for the common ggml types (F32/F16/Q8_0/Q4_K/Q6_K), llama.cpp->HF tensor
+name mapping, and streaming conversion into the engine's param dict —
+optionally re-quantized straight into the native W4A16 format so Q4_K
+checkpoints stay ~4-bit end-to-end.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, BinaryIO, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+GGUF_MAGIC = 0x46554747  # "GGUF"
+
+# ggml tensor types
+GGML_F32, GGML_F16 = 0, 1
+GGML_Q8_0 = 8
+GGML_Q4_K = 12
+GGML_Q6_K = 14
+
+_VALUE_READERS = {
+    0: ("<B", 1), 1: ("<b", 1), 2: ("<H", 2), 3: ("<h", 2),
+    4: ("<I", 4), 5: ("<i", 4), 6: ("<f", 4), 7: ("<?", 1),
+    10: ("<Q", 8), 11: ("<q", 8), 12: ("<d", 8),
+}
+
+
+def _read_str(f: BinaryIO) -> str:
+    (n,) = struct.unpack("<Q", f.read(8))
+    return f.read(n).decode("utf-8", errors="replace")
+
+
+def _read_value(f: BinaryIO, vtype: int) -> Any:
+    if vtype == 8:  # string
+        return _read_str(f)
+    if vtype == 9:  # array
+        (etype,) = struct.unpack("<I", f.read(4))
+        (n,) = struct.unpack("<Q", f.read(8))
+        return [_read_value(f, etype) for _ in range(n)]
+    fmt, size = _VALUE_READERS[vtype]
+    return struct.unpack(fmt, f.read(size))[0]
+
+
+class GGUFFile:
+    """Parsed header: metadata dict + tensor table (lazy data reads)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.metadata: Dict[str, Any] = {}
+        self.tensors: Dict[str, Tuple[List[int], int, int]] = {}
+        with open(path, "rb") as f:
+            magic, version = struct.unpack("<II", f.read(8))
+            assert magic == GGUF_MAGIC, f"not a GGUF file: {path}"
+            assert version in (2, 3), f"unsupported GGUF version {version}"
+            n_tensors, n_kv = struct.unpack("<QQ", f.read(16))
+            for _ in range(n_kv):
+                key = _read_str(f)
+                (vtype,) = struct.unpack("<I", f.read(4))
+                self.metadata[key] = _read_value(f, vtype)
+            infos = []
+            for _ in range(n_tensors):
+                name = _read_str(f)
+                (nd,) = struct.unpack("<I", f.read(4))
+                dims = list(struct.unpack(f"<{nd}Q", f.read(8 * nd)))
+                ttype, offset = struct.unpack("<IQ", f.read(12))
+                infos.append((name, dims, ttype, offset))
+            align = int(self.metadata.get("general.alignment", 32))
+            base = f.tell()
+            base = (base + align - 1) // align * align
+            for name, dims, ttype, offset in infos:
+                self.tensors[name] = (dims, ttype, base + offset)
+
+    def read_tensor(self, name: str) -> np.ndarray:
+        """Dequantized tensor, numpy shape = reversed ggml dims
+        ([out, in] for llama.cpp weights — HF order)."""
+        dims, ttype, offset = self.tensors[name]
+        n = int(np.prod(dims))
+        with open(self.path, "rb") as f:
+            f.seek(offset)
+            if ttype == GGML_F32:
+                data = np.frombuffer(f.read(4 * n), np.float32)
+            elif ttype == GGML_F16:
+                data = np.frombuffer(f.read(2 * n), np.float16).astype(np.float32)
+            elif ttype == GGML_Q8_0:
+                data = _dequant_q8_0(f.read(n // 32 * 34), n)
+            elif ttype == GGML_Q4_K:
+                data = _dequant_q4_k(f.read(n // 256 * 144), n)
+            elif ttype == GGML_Q6_K:
+                data = _dequant_q6_k(f.read(n // 256 * 210), n)
+            else:
+                raise NotImplementedError(f"ggml type {ttype} for {name}")
+        return data.reshape(list(reversed(dims)))
+
+
+# ---------------------------------------------------------------------------
+# dequantizers (formulas from the public ggml spec)
+# ---------------------------------------------------------------------------
+
+
+def _dequant_q8_0(buf: bytes, n: int) -> np.ndarray:
+    nb = n // 32
+    raw = np.frombuffer(buf, np.uint8).reshape(nb, 34)
+    d = raw[:, :2].copy().view(np.float16).astype(np.float32)  # [nb, 1]
+    qs = raw[:, 2:].copy().view(np.int8).astype(np.float32)
+    return (qs * d).reshape(-1)
+
+
+def _unpack_q4k_scales(sc: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """sc: [nb, 12] uint8 -> (scales [nb, 8], mins [nb, 8]) 6-bit values."""
+    scales = np.empty((sc.shape[0], 8), np.float32)
+    mins = np.empty((sc.shape[0], 8), np.float32)
+    for j in range(8):
+        if j < 4:
+            scales[:, j] = sc[:, j] & 63
+            mins[:, j] = sc[:, j + 4] & 63
+        else:
+            scales[:, j] = (sc[:, j + 4] & 0xF) | ((sc[:, j - 4] >> 6) << 4)
+            mins[:, j] = (sc[:, j + 4] >> 4) | ((sc[:, j] >> 6) << 4)
+    return scales, mins
+
+
+def _dequant_q4_k(buf: bytes, n: int) -> np.ndarray:
+    nb = n // 256
+    raw = np.frombuffer(buf, np.uint8).reshape(nb, 144)
+    d = raw[:, :2].copy().view(np.float16).astype(np.float32)[:, 0]
+    dmin = raw[:, 2:4].copy().view(np.float16).astype(np.float32)[:, 0]
+    scales, mins = _unpack_q4k_scales(raw[:, 4:16])
+    qs = raw[:, 16:144]  # [nb, 128]
+    out = np.empty((nb, 256), np.float32)
+    # 4 chunks of 64 elements; chunk c uses bytes [c*32:(c+1)*32]:
+    # lo nibbles -> elems c*64..+32 (sub-block 2c), hi -> +32..64 (2c+1)
+    for c in range(4):
+        b = qs[:, c * 32 : (c + 1) * 32]
+        lo = (b & 0xF).astype(np.float32)
+        hi = (b >> 4).astype(np.float32)
+        sc_lo = d * scales[:, 2 * c]
+        m_lo = dmin * mins[:, 2 * c]
+        sc_hi = d * scales[:, 2 * c + 1]
+        m_hi = dmin * mins[:, 2 * c + 1]
+        out[:, c * 64 : c * 64 + 32] = lo * sc_lo[:, None] - m_lo[:, None]
+        out[:, c * 64 + 32 : c * 64 + 64] = hi * sc_hi[:, None] - m_hi[:, None]
+    return out.reshape(-1)
+
+
+def _dequant_q6_k(buf: bytes, n: int) -> np.ndarray:
+    nb = n // 256
+    raw = np.frombuffer(buf, np.uint8).reshape(nb, 210)
+    ql = raw[:, :128]
+    qh = raw[:, 128:192]
+    sc = raw[:, 192:208].copy().view(np.int8).astype(np.float32)  # [nb, 16]
+    d = raw[:, 208:210].copy().view(np.float16).astype(np.float32)[:, 0]
+    out = np.empty((nb, 256), np.float32)
+    for half in range(2):  # two independent 128-element halves
+        lo = ql[:, half * 64 : half * 64 + 64]
+        hi = qh[:, half * 32 : half * 32 + 32]
+        base = half * 128
+        for l32 in range(2):  # ql columns 0..31 / 32..63
+            b = lo[:, l32 * 32 : (l32 + 1) * 32]
+            h = hi
+            q1 = ((b & 0xF) | (((h >> (l32 * 2)) & 3) << 4)).astype(np.int16) - 32
+            q3 = ((b >> 4) | (((h >> (l32 * 2 + 4)) & 3) << 4)).astype(np.int16) - 32
+            e1 = base + l32 * 32
+            e3 = base + 64 + l32 * 32
+            s1 = d[:, None] * sc[:, e1 // 16 : e1 // 16 + 2].repeat(16, 1)[:, :32]
+            s3 = d[:, None] * sc[:, e3 // 16 : e3 // 16 + 2].repeat(16, 1)[:, :32]
+            out[:, e1 : e1 + 32] = q1 * s1
+            out[:, e3 : e3 + 32] = q3 * s3
+    return out.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# name mapping + loading
+# ---------------------------------------------------------------------------
+
+_NAME_MAP = {
+    "token_embd.weight": "model.embed_tokens.weight",
+    "output_norm.weight": "model.norm.weight",
+    "output.weight": "lm_head.weight",
+}
+_BLK_MAP = {
+    "attn_q.weight": "self_attn.q_proj.weight",
+    "attn_k.weight": "self_attn.k_proj.weight",
+    "attn_v.weight": "self_attn.v_proj.weight",
+    "attn_output.weight": "self_attn.o_proj.weight",
+    "attn_q.bias": "self_attn.q_proj.bias",
+    "attn_k.bias": "self_attn.k_proj.bias",
+    "attn_v.bias": "self_attn.v_proj.bias",
+    "attn_norm.weight": "input_layernorm.weight",
+    "ffn_norm.weight": "post_attention_layernorm.weight",
+    "ffn_gate.weight": "mlp.gate_proj.weight",
+    "ffn_up.weight": "mlp.up_proj.weight",
+    "ffn_down.weight": "mlp.down_proj.weight",
+    "attn_q_norm.weight": "self_attn.q_norm.weight",
+    "attn_k_norm.weight": "self_attn.k_norm.weight",
+}
+
+
+def map_gguf_name(name: str) -> Optional[str]:
+    if name in _NAME_MAP:
+        return _NAME_MAP[name]
+    if name.startswith("blk."):
+        _, idx, rest = name.split(".", 2)
+        mapped = _BLK_MAP.get(rest)
+        if mapped:
+            return f"model.layers.{idx}.{mapped}"
+    return None
+
+
+def gguf_model_config(g: GGUFFile):
+    """Build a ModelConfig from GGUF metadata (reference: gguf.rs header →
+    config, pipeline.rs GGUF arch dispatch)."""
+    from candle_vllm_tpu.config import ModelConfig
+
+    md = g.metadata
+    arch = md.get("general.architecture", "llama")
+
+    def get(key, default=None):
+        return md.get(f"{arch}.{key}", default)
+
+    archmap = {"llama": "LlamaForCausalLM", "qwen2": "Qwen2ForCausalLM",
+               "qwen3": "Qwen3ForCausalLM", "gemma2": "Gemma2ForCausalLM"}
+    heads = int(get("attention.head_count", 32))
+    cfg = dict(
+        architectures=[archmap.get(arch, "LlamaForCausalLM")],
+        model_type=arch,
+        hidden_size=int(get("embedding_length", 4096)),
+        intermediate_size=int(get("feed_forward_length", 11008)),
+        num_hidden_layers=int(get("block_count", 32)),
+        num_attention_heads=heads,
+        num_key_value_heads=int(get("attention.head_count_kv", heads)),
+        rope_theta=float(get("rope.freq_base", 10000.0)),
+        rms_norm_eps=float(get("attention.layer_norm_rms_epsilon", 1e-5)),
+        max_position_embeddings=int(get("context_length", 4096)),
+        vocab_size=int(get("vocab_size", 0))
+        or len(md.get("tokenizer.ggml.tokens", []) or [32000]),
+        eos_token_id=md.get("tokenizer.ggml.eos_token_id"),
+        bos_token_id=md.get("tokenizer.ggml.bos_token_id"),
+    )
+    return ModelConfig.from_hf(cfg)
+
+
+def load_gguf(
+    path: str,
+    dtype=None,
+    quantize: Optional[str] = "w4a16",
+):
+    """Returns (ModelConfig, params dict).  Tensors stream one at a time:
+    dequantized to f32 then (by default) re-quantized into the native
+    W4A16/int8 layout so Q4_K checkpoints stay ~4-bit in HBM."""
+    import jax.numpy as jnp
+
+    from candle_vllm_tpu.ops.quant import quantize_tensor_np
+
+    if dtype is None:
+        dtype = jnp.bfloat16
+    g = GGUFFile(path)
+    config = gguf_model_config(g)
+    params: Dict[str, Any] = {}
+    for gname in g.tensors:
+        name = map_gguf_name(gname)
+        if name is None:
+            continue
+        arr = g.read_tensor(gname)  # [out, in] f32
+        if arr.ndim == 2 and "embed_tokens" not in name:
+            arr = np.ascontiguousarray(arr.T)  # input-major
+        if quantize:
+            q = quantize_tensor_np(name, arr, quantize)
+            if q:
+                prefix = name[: -len(".weight")]
+                params[f"{prefix}.qweight"] = jnp.asarray(q["qweight"])
+                params[f"{prefix}.scales"] = jnp.asarray(q["scales"], jnp.bfloat16)
+                continue
+        params[name] = jnp.asarray(arr, dtype)
+    if "lm_head.weight" not in params and not any(
+        k.startswith("lm_head.") for k in params
+    ):
+        config.tie_word_embeddings = True
+    return config, params

@@ -27,6 +27,7 @@ DUMMY_PRESETS = {
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("candle-vllm-tpu server")
     p.add_argument("--model-dir", help="local HF model directory (config.json + safetensors)")
+    p.add_argument("--gguf", help="local GGUF checkpoint (Q4_K/Q6_K/Q8_0/F16)")
     p.add_argument("--dummy-model", choices=sorted(DUMMY_PRESETS),
                    help="random-weight model for testing/benchmarks")
     p.add_argument("--served-name", default=None)
@@ -73,7 +74,16 @@ def build_engine(args):
     from candle_vllm_tpu.utils.tokenizer import load_tokenizer
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    if args.model_dir:
+    gguf_params = None
+    if args.gguf:
+        from candle_vllm_tpu.models.gguf import load_gguf
+
+        cfg, gguf_params = load_gguf(
+            args.gguf, dtype=dtype, quantize=args.isq or "w4a16"
+        )
+        tokenizer = load_tokenizer(None)  # GGUF-metadata tokenizer: TODO
+        model_name = args.served_name or os.path.basename(args.gguf)
+    elif args.model_dir:
         cfg = ModelConfig.from_json(
             os.path.join(args.model_dir, "config.json"), dtype=dtype
         )
@@ -144,8 +154,10 @@ def build_engine(args):
     )
     engine = LLMEngine(
         cfg, cache, sched, ParallelConfig(tp_size=args.tp),
-        model_dir=args.model_dir, tokenizer=tokenizer, seed=args.seed,
-        quantization=args.isq,
+        params=gguf_params,
+        model_dir=None if gguf_params is not None else args.model_dir,
+        tokenizer=tokenizer, seed=args.seed,
+        quantization=None if gguf_params is not None else args.isq,
     )
     return engine, model_name
 

@@ -1,0 +1,257 @@
+"""GGUF: container parsing, K-quant dequantizers vs scalar ggml-spec
+oracles, name mapping, end-to-end load into an engine."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from candle_vllm_tpu.models import gguf
+
+
+# ---------------------------------------------------------------------------
+# synthetic GGUF writer (tests the parser against a real byte stream)
+# ---------------------------------------------------------------------------
+
+
+def _w_str(s):
+    b = s.encode()
+    return struct.pack("<Q", len(b)) + b
+
+
+def _w_kv(key, vtype, raw):
+    return _w_str(key) + struct.pack("<I", vtype) + raw
+
+
+def write_gguf(path, metadata, tensors):
+    """tensors: list of (name, dims(ggml order), ggml_type, data_bytes)."""
+    out = struct.pack("<IIQQ", gguf.GGUF_MAGIC, 3, len(tensors), len(metadata))
+    for key, (vtype, raw) in metadata.items():
+        out += _w_kv(key, vtype, raw)
+    offset = 0
+    infos = b""
+    aligned = []
+    for name, dims, ttype, data in tensors:
+        infos += _w_str(name)
+        infos += struct.pack("<I", len(dims))
+        infos += struct.pack(f"<{len(dims)}Q", *dims)
+        infos += struct.pack("<IQ", ttype, offset)
+        offset += (len(data) + 31) // 32 * 32
+        aligned.append(data + b"\0" * ((-len(data)) % 32))
+    out += infos
+    out += b"\0" * ((-len(out)) % 32)
+    out += b"".join(aligned)
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+def pack_q8_0(x):
+    x = x.reshape(-1, 32)
+    d = np.abs(x).max(1) / 127.0
+    d = np.maximum(d, 1e-8)
+    q = np.clip(np.rint(x / d[:, None]), -127, 127).astype(np.int8)
+    blocks = b""
+    for i in range(x.shape[0]):
+        blocks += np.float16(d[i]).tobytes() + q[i].tobytes()
+    return blocks
+
+
+# ---------------------------------------------------------------------------
+# scalar oracles (written independently from the ggml spec)
+# ---------------------------------------------------------------------------
+
+
+def scalar_dequant_q4_k(raw):
+    nb = len(raw) // 144
+    out = np.zeros(nb * 256, np.float32)
+    for b in range(nb):
+        blk = raw[b * 144 : (b + 1) * 144]
+        d = np.frombuffer(blk[:2], np.float16)[0].astype(np.float32)
+        dmin = np.frombuffer(blk[2:4], np.float16)[0].astype(np.float32)
+        sc = np.frombuffer(blk[4:16], np.uint8)
+        qs = np.frombuffer(blk[16:], np.uint8)
+        y = 0
+        q = 0
+        for j in range(0, 256, 64):
+            js = j // 32
+            if js < 4:
+                s1, m1 = sc[js] & 63, sc[js + 4] & 63
+            else:
+                s1 = (sc[js + 4] & 0xF) | ((sc[js - 4] >> 6) << 4)
+                m1 = (sc[js + 4] >> 4) | ((sc[js] >> 6) << 4)
+            js += 1
+            if js < 4:
+                s2, m2 = sc[js] & 63, sc[js + 4] & 63
+            else:
+                s2 = (sc[js + 4] & 0xF) | ((sc[js - 4] >> 6) << 4)
+                m2 = (sc[js + 4] >> 4) | ((sc[js] >> 6) << 4)
+            for l in range(32):
+                out[b * 256 + j + l] = d * s1 * (qs[q + l] & 0xF) - dmin * m1
+                out[b * 256 + j + 32 + l] = d * s2 * (qs[q + l] >> 4) - dmin * m2
+            q += 32
+    return out
+
+
+def scalar_dequant_q6_k(raw):
+    nb = len(raw) // 210
+    out = np.zeros(nb * 256, np.float32)
+    for b in range(nb):
+        blk = raw[b * 210 : (b + 1) * 210]
+        ql = np.frombuffer(blk[:128], np.uint8)
+        qh = np.frombuffer(blk[128:192], np.uint8)
+        sc = np.frombuffer(blk[192:208], np.int8)
+        d = np.frombuffer(blk[208:210], np.float16)[0].astype(np.float32)
+        for half in range(2):
+            base = half * 128
+            qlh = ql[half * 64 :]
+            qhh = qh[half * 32 :]
+            for l in range(32):
+                is_ = l // 16
+                lo_l, lo_h = int(qlh[l]), int(qlh[l + 32])
+                h = int(qhh[l])
+                q1 = ((lo_l & 0xF) | (((h >> 0) & 3) << 4)) - 32
+                q2 = ((lo_h & 0xF) | (((h >> 2) & 3) << 4)) - 32
+                q3 = ((lo_l >> 4) | (((h >> 4) & 3) << 4)) - 32
+                q4 = ((lo_h >> 4) | (((h >> 6) & 3) << 4)) - 32
+                off = half * 8
+                out[b * 256 + base + l] = d * sc[off + is_] * q1
+                out[b * 256 + base + l + 32] = d * sc[off + is_ + 2] * q2
+                out[b * 256 + base + l + 64] = d * sc[off + is_ + 4] * q3
+                out[b * 256 + base + l + 96] = d * sc[off + is_ + 6] * q4
+    return out
+
+
+def test_q8_0_roundtrip():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(96).astype(np.float32)
+    buf = pack_q8_0(x)
+    got = gguf._dequant_q8_0(buf, 96)
+    np.testing.assert_allclose(got, x, atol=0.02)
+
+
+def test_q4_k_matches_scalar_oracle():
+    rng = np.random.default_rng(1)
+    raw = rng.integers(0, 256, size=2 * 144, dtype=np.uint8)
+    # keep d/dmin sane (random f16 bits can be inf/nan)
+    raw[:2] = np.frombuffer(np.float16(0.02).tobytes(), np.uint8)
+    raw[2:4] = np.frombuffer(np.float16(0.01).tobytes(), np.uint8)
+    raw[144:146] = raw[:2]
+    raw[146:148] = raw[2:4]
+    got = gguf._dequant_q4_k(raw.tobytes(), 512)
+    ref = scalar_dequant_q4_k(raw.tobytes())
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_q6_k_matches_scalar_oracle():
+    rng = np.random.default_rng(2)
+    raw = rng.integers(0, 256, size=210, dtype=np.uint8)
+    raw[208:210] = np.frombuffer(np.float16(0.05).tobytes(), np.uint8)
+    got = gguf._dequant_q6_k(raw.tobytes(), 256)
+    ref = scalar_dequant_q6_k(raw.tobytes())
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_name_mapping():
+    assert gguf.map_gguf_name("token_embd.weight") == "model.embed_tokens.weight"
+    assert (
+        gguf.map_gguf_name("blk.3.attn_q.weight")
+        == "model.layers.3.self_attn.q_proj.weight"
+    )
+    assert gguf.map_gguf_name("blk.0.ffn_down.weight") == \
+        "model.layers.0.mlp.down_proj.weight"
+    assert gguf.map_gguf_name("rope_freqs.weight") is None
+
+
+def _meta_u32(v):
+    return (4, struct.pack("<I", v))
+
+
+def _meta_f32(v):
+    return (6, struct.pack("<f", v))
+
+
+def _meta_str(s):
+    return (8, _w_str(s))
+
+
+def test_gguf_end_to_end(tmp_path):
+    """Write a tiny llama GGUF, load it, and generate."""
+    import jax.numpy as jnp
+
+    from candle_vllm_tpu.config import CacheConfig, SchedulerConfig
+    from candle_vllm_tpu.engine.llm_engine import LLMEngine
+    from candle_vllm_tpu.sampling_params import SamplingParams
+
+    rng = np.random.default_rng(3)
+    hidden, inter, vocab, heads, kv = 64, 128, 128, 4, 2
+    hd = hidden // heads
+
+    def t_f32(arr):  # ggml dims reversed vs numpy shape
+        return list(reversed(arr.shape)), gguf.GGML_F32, arr.astype(np.float32).tobytes()
+
+    def lin(i, o):  # HF layout [out, in]
+        return rng.standard_normal((o, i)).astype(np.float32) * 0.05
+
+    tensors = [
+        ("token_embd.weight", *t_f32(rng.standard_normal((vocab, hidden)) * 0.05)),
+        ("output_norm.weight", *t_f32(np.ones(hidden))),
+        ("output.weight", *t_f32(lin(hidden, vocab))),
+    ]
+    for i in range(2):
+        tensors += [
+            (f"blk.{i}.attn_norm.weight", *t_f32(np.ones(hidden))),
+            (f"blk.{i}.ffn_norm.weight", *t_f32(np.ones(hidden))),
+            (f"blk.{i}.attn_q.weight", *t_f32(lin(hidden, heads * hd))),
+            (f"blk.{i}.attn_k.weight", *t_f32(lin(hidden, kv * hd))),
+            (f"blk.{i}.attn_v.weight", *t_f32(lin(hidden, kv * hd))),
+            (f"blk.{i}.attn_output.weight", *t_f32(lin(heads * hd, hidden))),
+            (f"blk.{i}.ffn_gate.weight", *t_f32(lin(hidden, inter))),
+            (f"blk.{i}.ffn_up.weight", *t_f32(lin(hidden, inter))),
+            (f"blk.{i}.ffn_down.weight", *t_f32(lin(inter, hidden))),
+        ]
+    # one q8_0 tensor exercises the quantized path through the container
+    # (HF layout [out=hidden, in=inter]; ggml dims are reversed)
+    q8 = rng.standard_normal((hidden, inter)).astype(np.float32) * 0.05
+    tensors[-1] = (
+        "blk.1.ffn_down.weight", [inter, hidden], gguf.GGML_Q8_0,
+        pack_q8_0(q8.reshape(-1)),
+    )
+
+    meta = {
+        "general.architecture": _meta_str("llama"),
+        "llama.embedding_length": _meta_u32(hidden),
+        "llama.feed_forward_length": _meta_u32(inter),
+        "llama.block_count": _meta_u32(2),
+        "llama.attention.head_count": _meta_u32(heads),
+        "llama.attention.head_count_kv": _meta_u32(kv),
+        "llama.attention.layer_norm_rms_epsilon": _meta_f32(1e-5),
+        "llama.context_length": _meta_u32(256),
+        "llama.vocab_size": _meta_u32(vocab),
+        "llama.rope.freq_base": _meta_f32(10000.0),
+    }
+    path = tmp_path / "tiny.gguf"
+    write_gguf(str(path), meta, tensors)
+
+    g = gguf.GGUFFile(str(path))
+    assert g.metadata["general.architecture"] == "llama"
+    got_q8 = g.read_tensor("blk.1.ffn_down.weight")
+    np.testing.assert_allclose(got_q8, q8, atol=0.02)
+
+    config, params = gguf.load_gguf(str(path), dtype=jnp.float32, quantize=None)
+    assert config.num_hidden_layers == 2
+    assert config.num_key_value_heads == kv
+    assert params["model.layers.0.mlp.down_proj.weight"].shape == (inter, hidden)
+
+    eng = LLMEngine(
+        config,
+        CacheConfig(block_size=8, num_gpu_blocks=32, num_cpu_blocks=0),
+        SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=128,
+                        prefill_chunk_size=64, max_model_len=128),
+        params=params,
+        seed=0,
+    )
+    out = eng.generate(
+        [rng.integers(0, vocab, size=9).tolist()],
+        SamplingParams(temperature=0.0, max_tokens=4),
+    )
+    assert len(out[0].outputs[0].token_ids) == 4
