@@ -335,14 +335,19 @@ class LLMEngine:
         for sg in sched_out.scheduled:
             for sid in sg.token_chunks:
                 seq_to_group[sid] = sg.group
+        rows_pos: List[int] = []
+        rows_sub: List[int] = []
         for sid in plan.seq_ids:
             group = seq_to_group[sid]
             seq = group.seqs[sid]
             row_seqs.append(seq)
             rows_params.append(group.sampling_params)
             rows_hist.append(seq.get_token_ids()[-64:])
+            rows_pos.append(seq.get_output_len())
+            rows_sub.append(list(group.seqs).index(sid))
         st = SamplingTensors.build(
-            rows_params, rows_hist, self.model_config.vocab_size, pad_to=S
+            rows_params, rows_hist, self.model_config.vocab_size, pad_to=S,
+            positions=rows_pos, sub_indices=rows_sub,
         )
 
         copy_src = np.full(MAX_COPY_PAIRS, 1 << 30, np.int32)

@@ -40,6 +40,9 @@ class AttentionSpec:
     sm_scale: float
     sliding_window: Optional[int] = None
     logit_soft_cap: Optional[float] = None
+    # per-q-head attention sinks (gpt-oss style): a learned logit that
+    # joins the softmax denominator (reference: PagedAttention sinks)
+    has_sinks: bool = False
 
     @property
     def group_size(self) -> int:
@@ -56,6 +59,7 @@ def ragged_paged_attention(
     *,
     spec: AttentionSpec,
     kv_scales: Optional[jnp.ndarray] = None,  # [P, 2K, ps] (int8 cache)
+    sinks: Optional[jnp.ndarray] = None,      # [H] per-head sink logits
     impl: str = "auto",
 ) -> jnp.ndarray:
     if impl == "auto":
@@ -67,11 +71,11 @@ def ragged_paged_attention(
 
         return ragged_paged_attention_pallas(
             q, kv_pages, kv_lens, page_tables, cu_q_lens, spec=spec,
-            kv_scales=kv_scales,
+            kv_scales=kv_scales, sinks=sinks,
         )
     return _ragged_paged_attention_jnp(
         q, kv_pages, kv_lens, page_tables, cu_q_lens, spec=spec,
-        kv_scales=kv_scales,
+        kv_scales=kv_scales, sinks=sinks,
     )
 
 
@@ -84,6 +88,7 @@ def _ragged_paged_attention_jnp(
     *,
     spec: AttentionSpec,
     kv_scales: Optional[jnp.ndarray] = None,
+    sinks: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     T, H, D = q.shape
     P, ps, twoK, Dp = kv_pages.shape
@@ -125,7 +130,14 @@ def _ragged_paged_attention_jnp(
     scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
 
     m = jnp.max(scores, axis=-1, keepdims=True)
+    if sinks is not None:
+        # the sink logit joins the max and the denominator but contributes
+        # no value vector
+        s = sinks.astype(jnp.float32).reshape(1, K, G, 1)
+        m = jnp.maximum(m, s)
     p = jnp.exp(scores - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
+    if sinks is not None:
+        denom = denom + jnp.exp(s - m)
     out = jnp.einsum("tkgl,tlkd->tkgd", p, v) / jnp.maximum(denom, 1e-9)
     return out.reshape(T, H, D).astype(q.dtype)

@@ -54,17 +54,19 @@ def _kernel(
     # inputs
     q_ref,           # [BQ, H, D] VMEM block
     kv_pages_ref,    # [P, ps, 2K, D] HBM
-    *rest,           # [kv_scales_ref] + outputs + scratch
+    *rest,           # [kv_scales_ref] [sinks_ref] + outputs + scratch
     spec: AttentionSpec,
     bq: int,
     quantized: bool = False,
 ):
+    rest = list(rest)
+    kv_scales_ref = rest.pop(0) if quantized else None
+    sinks_ref = rest.pop(0) if spec.has_sinks else None
     if quantized:
-        (kv_scales_ref, out_ref, kv_buf, acc_ref, m_ref, l_ref, sems,
-         sc_buf, sc_sems) = rest
+        out_ref, kv_buf, acc_ref, m_ref, l_ref, sems, sc_buf, sc_sems = rest
     else:
         out_ref, kv_buf, acc_ref, m_ref, l_ref, sems = rest
-        kv_scales_ref = sc_buf = sc_sems = None
+        sc_buf = sc_sems = None
     b = pl.program_id(0)
     K = spec.num_kv_heads
     G = spec.group_size
@@ -204,8 +206,18 @@ def _kernel(
 
     # finalize: out = acc / l (0 for rows that saw no valid kv)
     for h in range(K):
+        m = m_ref[h, :, :1]
         l = l_ref[h, :, :1]
-        out = acc_ref[h] / jnp.where(l > 0.0, l, 1.0)
+        acc = acc_ref[h]
+        if sinks_ref is not None:
+            # per-head sink logit joins the denominator (no value vector);
+            # rows pre-expanded to [K, BQG, 128] by the wrapper
+            s_b = sinks_ref[h, :, :1]
+            m2 = jnp.maximum(m, s_b)
+            alpha = jnp.exp(m - m2)
+            l = l * alpha + jnp.exp(s_b - m2)
+            acc = acc * alpha
+        out = acc / jnp.where(l > 0.0, l, 1.0)
         out_ref[:, h * G : (h + 1) * G, :] = out.reshape(bq, G, D).astype(
             out_ref.dtype
         )
@@ -221,14 +233,19 @@ def ragged_paged_attention_pallas(
     page_tables: jnp.ndarray,  # [S, MAXP] int32
     cu_q_lens: jnp.ndarray,    # [S+1] int32
     kv_scales: jnp.ndarray | None = None,  # [P, 2K, ps] f32 (int8 cache)
+    sinks: jnp.ndarray | None = None,      # [H] per-q-head sink logits
     *,
     spec: AttentionSpec,
     bq: int = 64,
     interpret: bool | None = None,
     vmem_limit_bytes: int = 100 * 1024 * 1024,
 ) -> jnp.ndarray:
+    import dataclasses
+
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if (sinks is not None) != spec.has_sinks:
+        spec = dataclasses.replace(spec, has_sinks=sinks is not None)
     T, H, D = q.shape
     _, ps, twoK, Dp = kv_pages.shape
     K = twoK // 2
@@ -237,16 +254,9 @@ def ragged_paged_attention_pallas(
         # lane-padded cache: pad q; zero k/q pad lanes don't affect scores,
         # zero v pad lanes are sliced off the output
         q = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
-        spec_p = AttentionSpec(
-            num_q_heads=spec.num_q_heads,
-            num_kv_heads=spec.num_kv_heads,
-            head_dim=Dp,
-            sm_scale=spec.sm_scale,
-            sliding_window=spec.sliding_window,
-            logit_soft_cap=spec.logit_soft_cap,
-        )
+        spec_p = dataclasses.replace(spec, head_dim=Dp)
         out = ragged_paged_attention_pallas(
-            q, kv_pages, kv_lens, page_tables, cu_q_lens, kv_scales,
+            q, kv_pages, kv_lens, page_tables, cu_q_lens, kv_scales, sinks,
             spec=spec_p, bq=bq, interpret=interpret,
             vmem_limit_bytes=vmem_limit_bytes,
         )
@@ -282,7 +292,8 @@ def ragged_paged_attention_pallas(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
-        ] + ([pl.BlockSpec(memory_space=pl.ANY)] if quantized else []),
+        ] + ([pl.BlockSpec(memory_space=pl.ANY)] if quantized else [])
+          + ([pl.BlockSpec(memory_space=pltpu.VMEM)] if spec.has_sinks else []),
         out_specs=pl.BlockSpec(
             (bq, H, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -311,6 +322,14 @@ def ragged_paged_attention_pallas(
     ]
     if quantized:
         inputs.append(kv_scales.astype(jnp.float32))
+    if spec.has_sinks:
+        G_ = spec.group_size
+        inputs.append(
+            jnp.broadcast_to(
+                sinks.astype(jnp.float32).reshape(K, 1, G_, 1),
+                (K, bq, G_, 128),
+            ).reshape(K, bq * G_, 128)
+        )
     out = pl.pallas_call(
         functools.partial(_kernel, spec=spec, bq=bq, quantized=quantized),
         grid_spec=grid_spec,

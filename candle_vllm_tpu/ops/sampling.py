@@ -38,6 +38,9 @@ class SamplingTensors:
     repetition: jnp.ndarray    # [B] f32
     last_tokens: jnp.ndarray   # [B, W] i32, -1 padded
     greedy: jnp.ndarray        # [B] bool
+    seeds: jnp.ndarray         # [B] i32 per-request seed (-1 = unseeded)
+    seed_pos: jnp.ndarray      # [B] i32 token index (seeded determinism)
+    seed_sub: jnp.ndarray      # [B] i32 sibling index (n-best divergence)
 
     @classmethod
     def build(
@@ -46,9 +49,19 @@ class SamplingTensors:
         token_histories: List[List[int]],
         vocab_size: int,
         pad_to: Optional[int] = None,
+        positions: Optional[List[int]] = None,
+        sub_indices: Optional[List[int]] = None,
     ) -> "SamplingTensors":
         n = len(params)
         B = pad_to or n
+        seeds = np.full(B, -1, np.int32)
+        seed_pos = np.zeros(B, np.int32)
+        seed_sub = np.zeros(B, np.int32)
+        for i, p in enumerate(params):
+            if p.seed is not None:
+                seeds[i] = p.seed
+                seed_pos[i] = positions[i] if positions else 0
+                seed_sub[i] = sub_indices[i] if sub_indices else 0
         temperature = np.ones(B, np.float32)
         top_k = np.full(B, vocab_size, np.int32)
         top_p = np.ones(B, np.float32)
@@ -81,6 +94,9 @@ class SamplingTensors:
             repetition=jnp.asarray(repetition),
             last_tokens=jnp.asarray(last_tokens),
             greedy=jnp.asarray(greedy),
+            seeds=jnp.asarray(seeds),
+            seed_pos=jnp.asarray(seed_pos),
+            seed_sub=jnp.asarray(seed_sub),
         )
 
 
@@ -88,7 +104,8 @@ jax.tree_util.register_pytree_node(
     SamplingTensors,
     lambda t: (
         (t.temperature, t.top_k, t.top_p, t.min_p, t.presence, t.frequency,
-         t.repetition, t.last_tokens, t.greedy),
+         t.repetition, t.last_tokens, t.greedy, t.seeds, t.seed_pos,
+         t.seed_sub),
         None,
     ),
     lambda _, c: SamplingTensors(*c),
@@ -150,6 +167,18 @@ def sample(
 
     filtered = jnp.where(keep, scaled, -jnp.inf)
     gumbel = jax.random.gumbel(key, (B, V), dtype=jnp.float32)
+    # per-request seeded rows: deterministic noise from (seed, position)
+    # (reference: SamplingParams.seed)
+    def seeded_row(seed, pos, sub):
+        k = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(seed), pos), sub
+        )
+        return jax.random.gumbel(k, (V,), dtype=jnp.float32)
+
+    seeded = jax.vmap(seeded_row)(
+        jnp.maximum(t.seeds, 0).astype(jnp.uint32), t.seed_pos, t.seed_sub
+    )
+    gumbel = jnp.where((t.seeds >= 0)[:, None], seeded, gumbel)
     sampled = jnp.argmax(filtered + gumbel, axis=-1).astype(jnp.int32)
 
     tokens = jnp.where(t.greedy, greedy_tokens, sampled)

@@ -237,3 +237,18 @@ def test_logprobs_returned():
         # greedy token must be the argmax -> appears in top list
         assert lp["token"] in lp["top"]
         assert abs(max(lp["top"].values()) - lp["logprob"]) < 1e-4
+
+
+def test_seeded_sampling_reproducible():
+    rng = np.random.default_rng(13)
+    p = rng.integers(0, 128, size=8).tolist()
+    sp = SamplingParams(temperature=1.0, max_tokens=6, seed=1234)
+    a = make_engine().generate([p], sp)[0].outputs[0].token_ids
+    eng_b = make_engine()
+    eng_b._key = __import__("jax").random.PRNGKey(99)  # different engine RNG
+    b = eng_b.generate([p], sp)[0].outputs[0].token_ids
+    assert a == b  # engine RNG differs; request seed pins the draws
+    c = make_engine().generate(
+        [p], SamplingParams(temperature=1.0, max_tokens=6, seed=777)
+    )[0].outputs[0].token_ids
+    assert c != a

@@ -150,3 +150,29 @@ def test_block_spanning_sequences():
     # bq smaller than seqs so one block spans several sequences
     rng = np.random.default_rng(9)
     check(make_case(rng, q_lens=[7, 9, 3, 1, 14], kv_lens=[7, 30, 11, 6, 14]), bq=8)
+
+
+def test_attention_sinks():
+    import dataclasses
+
+    rng = np.random.default_rng(10)
+    case = make_case(rng, q_lens=[1, 9], kv_lens=[21, 9])
+    q, kv_pages, kv_lens, page_tables, cu, spec = case
+    sinks = jnp.asarray(rng.standard_normal(spec.num_q_heads) * 2, jnp.float32)
+    ref = _ragged_paged_attention_jnp(
+        q, kv_pages, kv_lens, page_tables, cu, spec=spec, sinks=sinks
+    )
+    got = ragged_paged_attention_pallas(
+        q, kv_pages, kv_lens, page_tables, cu, None, sinks,
+        spec=spec, bq=16, interpret=True,
+    )
+    T = int(cu[-1])
+    np.testing.assert_allclose(
+        np.asarray(got[:T], np.float32), np.asarray(ref[:T], np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+    # sinks shrink attention mass: outputs differ from the sink-free case
+    base = _ragged_paged_attention_jnp(
+        q, kv_pages, kv_lens, page_tables, cu, spec=spec
+    )
+    assert not np.allclose(np.asarray(ref[:T]), np.asarray(base[:T]))
