@@ -57,8 +57,12 @@ class DeepseekForCausalLM(LlamaForCausalLM):
         self.rope = make_rope_spec(rc)
 
     def kv_cache_spec(self) -> Tuple[int, int]:
-        """(num_kv_heads, head_dim) for cache allocation: one latent head."""
-        return 1, self.latent_dim
+        """(num_kv_heads, head_dim) for cache allocation: one latent head
+        (replicated across TP shards when a mesh is active)."""
+        K = 1
+        if self.mesh is not None:
+            K = max(K, self.mesh.shape.get("tp", 1))
+        return K, self.latent_dim
 
     def param_shapes(self) -> Dict[str, Tuple[int, ...]]:
         c = self.config

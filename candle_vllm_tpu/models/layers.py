@@ -126,17 +126,22 @@ def paged_attention_with_write(
         return out, kv_pages
 
     tp = mesh.shape[tp_axis]
-    assert spec.num_kv_heads % tp == 0, (
-        f"kv heads {spec.num_kv_heads} not divisible by tp={tp} "
-        "(kv-head replication not yet supported)"
-    )
-    local_spec = AttentionSpec(
+    K = spec.num_kv_heads
+    if K < tp:
+        # replicate KV heads so each shard owns (at least) one copy
+        # (reference: kv_head_shard, distributed.rs:725-765)
+        assert tp % K == 0, (K, tp)
+        reps = tp // K
+        k = jnp.repeat(k, reps, axis=1)
+        v = jnp.repeat(v, reps, axis=1)
+        K = tp
+    assert K % tp == 0, (K, tp)
+    import dataclasses
+
+    local_spec = dataclasses.replace(
+        spec,
         num_q_heads=spec.num_q_heads // tp,
-        num_kv_heads=spec.num_kv_heads // tp,
-        head_dim=spec.head_dim,
-        sm_scale=spec.sm_scale,
-        sliding_window=spec.sliding_window,
-        logit_soft_cap=spec.logit_soft_cap,
+        num_kv_heads=K // tp,
     )
 
     head = P(None, tp_axis, None)

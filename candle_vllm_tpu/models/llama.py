@@ -131,9 +131,13 @@ class LlamaForCausalLM:
         return mlp(h, params, prefix, self.config.hidden_act)
 
     def kv_cache_spec(self) -> Tuple[int, int]:
-        """(num_kv_heads, head_dim) the KV cache must be allocated with
-        (MLA models override with their compressed latent shape)."""
-        return self.config.num_key_value_heads, self.config.head_dim
+        """(num_kv_heads, head_dim) the KV cache must be allocated with.
+        KV heads are replicated up to the TP degree when K < tp
+        (reference: kv_head_shard, distributed.rs:725)."""
+        K = self.config.num_key_value_heads
+        if self.mesh is not None:
+            K = max(K, self.mesh.shape.get("tp", 1))
+        return K, self.config.head_dim
 
     def _norm(self, params: Params, x: jnp.ndarray, name: str) -> jnp.ndarray:
         """rmsnorm or StableLM-class LayerNorm+bias per config.norm_type."""

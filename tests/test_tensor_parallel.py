@@ -103,3 +103,72 @@ def test_tp_jitted_with_donation():
     logits, kv = fwd(params, kv, step)
     logits2, kv = fwd(params, kv, step)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_kv_head_replication():
+    """K=1 kv heads with tp=4: replicated KV, outputs match unsharded."""
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    cfg = ModelConfig(
+        architecture="LlamaForCausalLM",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_key_value_heads=1,  # MQA
+        vocab_size=128,
+        max_model_len=128,
+        dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(0, 128, size=9).tolist()
+    base = get_model(cfg)
+    params = base.init_params(seed=1)
+    kv = allocate_kv_pages(2, 32, PAGE, 1, cfg.head_dim, dtype=jnp.float32)
+    step = make_inputs(cfg, prompt)
+    ref_logits, _ = base.forward(params, kv, step)
+
+    mesh = make_mesh(tp_size=4)
+    plan = ShardingPlan(mesh)
+    model = get_model(cfg, mesh=mesh)
+    kh, kd = model.kv_cache_spec()
+    assert kh == 4  # replicated to tp
+    skv = [
+        jax.device_put(p, plan.kv_pages_sharding())
+        for p in allocate_kv_pages(2, 32, PAGE, kh, kd, dtype=jnp.float32)
+    ]
+    got_logits, _ = model.forward(plan.apply(params), skv, step)
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(ref_logits), rtol=3e-4, atol=3e-4
+    )
+
+
+def test_deepseek_mla_tp():
+    """MLA latent-MQA under TP (kv replication path)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("need 2 devices")
+    from tests.test_deepseek_mla import mla_config
+
+    cfg = mla_config()
+    rng = np.random.default_rng(8)
+    prompt = rng.integers(0, 128, size=9).tolist()
+    base = get_model(cfg)
+    params = base.init_params(seed=2)
+    kh, kd = base.kv_cache_spec()
+    kv = allocate_kv_pages(2, 32, PAGE, kh, kd, dtype=jnp.float32)
+    step = make_inputs(cfg, prompt)
+    ref_logits, _ = base.forward(params, kv, step)
+
+    mesh = make_mesh(tp_size=2)
+    plan = ShardingPlan(mesh)
+    model = get_model(cfg, mesh=mesh)
+    kh2, kd2 = model.kv_cache_spec()
+    assert kh2 == 2
+    skv = [
+        jax.device_put(p, plan.kv_pages_sharding())
+        for p in allocate_kv_pages(2, 32, PAGE, kh2, kd2, dtype=jnp.float32)
+    ]
+    got_logits, _ = model.forward(plan.apply(params), skv, step)
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(ref_logits), rtol=5e-4, atol=5e-4
+    )
