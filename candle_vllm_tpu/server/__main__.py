@@ -57,6 +57,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--mcp-config", default=None,
                    help="JSON config of MCP servers whose tools are "
                         "injected into chat requests")
+    p.add_argument("--warmup", action="store_true",
+                   help="pre-compile common batch shapes before serving "
+                        "(the analogue of the reference's CUDA-graph "
+                        "capture at init, backend/graph.rs)")
     return p
 
 
@@ -159,7 +163,30 @@ def build_engine(args):
         tokenizer=tokenizer, seed=args.seed,
         quantization=None if gguf_params is not None else args.isq,
     )
+    if args.warmup:
+        warmup_engine(engine)
     return engine, model_name
+
+
+def warmup_engine(engine) -> None:
+    """Pre-compile the hot jit shapes: a small prefill bucket, a larger
+    chunked-prefill bucket, and the decode bucket — so first requests
+    don't pay multi-second compiles."""
+    import numpy as np
+
+    from candle_vllm_tpu.sampling_params import SamplingParams
+
+    rng = np.random.default_rng(0)
+    vocab = engine.model_config.vocab_size
+    cap = min(
+        engine.scheduler_config.max_num_batched_tokens - 8,
+        engine.scheduler_config.max_model_len - 8,
+    )
+    lens = sorted({24, min(200, cap), min(900, cap)})
+    prompts = [rng.integers(0, vocab, size=n).tolist() for n in lens]
+    print(f"warmup: compiling shapes for prompt lens {lens} ...", flush=True)
+    engine.generate(prompts, SamplingParams(temperature=0.0, max_tokens=3))
+    print("warmup: done", flush=True)
 
 
 def main(argv=None) -> None:

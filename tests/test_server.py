@@ -217,3 +217,11 @@ async def test_metrics_endpoint(client):
     )
     assert float(vals["candle_vllm_tpu_requests_finished"]) >= 1
     assert float(vals["candle_vllm_tpu_decode_tokens_total"]) >= 2
+
+
+def test_warmup_engine():
+    from candle_vllm_tpu.server.__main__ import warmup_engine
+
+    state = make_state()
+    warmup_engine(state.engine)  # compiles + generates without errors
+    assert state.engine.stats.requests_finished >= 3
