@@ -167,6 +167,12 @@ class ModelConfig:
     norm_unit_offset: bool = False
     # "rmsnorm" | "layernorm" (StableLM-class models use LayerNorm+bias)
     norm_type: str = "rmsnorm"
+    # Phi2-style parallel residual: x + attn(ln(x)) + mlp(ln(x)) with a
+    # single input layernorm per layer (reference: phi2.rs)
+    parallel_block: bool = False
+    # gated (gate/up/down) vs plain (up/down) MLP; Phi2 uses fc1/fc2
+    gated_mlp: bool = True
+    lm_head_bias: bool = False
     # gemma2/3 sandwich norms: post_attention/post_feedforward norms are
     # applied to the sublayer OUTPUT before the residual add, with
     # pre_feedforward_layernorm before the mlp
@@ -299,6 +305,20 @@ class ModelConfig:
             extra={k: v for k, v in cfg.items() if k.startswith("_")},
         )
         mt = mc.model_type or ""
+        if mt == "phi":
+            # Phi-1.5/Phi-2: LayerNorm+bias, parallel attn/MLP block,
+            # non-gated fc1/fc2 MLP, biases everywhere, partial rotary
+            # (reference: phi2.rs)
+            mc.norm_type = "layernorm"
+            mc.parallel_block = True
+            mc.gated_mlp = False
+            mc.qkv_bias = True
+            mc.o_bias = True
+            mc.mlp_bias = True
+            mc.lm_head_bias = True
+            mc.partial_rotary_factor = float(
+                cfg.get("partial_rotary_factor", 0.5)
+            )
         if mt.startswith("stablelm"):
             # StableLM: LayerNorm + bias, partial rotary, qkv bias
             # (reference: stable_lm.rs)

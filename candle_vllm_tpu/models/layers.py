@@ -69,6 +69,10 @@ def mlp(x: jnp.ndarray, params: Params, prefix: str, hidden_act: str) -> jnp.nda
         gu = linear(x, params, f"{prefix}.gate_up_proj")
         inter = gu.shape[-1] // 2
         gate, up = gu[:, :inter], gu[:, inter:]
+    elif not _has_linear(params, f"{prefix}.gate_proj"):
+        # non-gated MLP (Phi2 fc1/fc2, mapped to up/down at load)
+        up = linear(x, params, f"{prefix}.up_proj")
+        return linear(act(up), params, f"{prefix}.down_proj")
     else:
         gate = linear(x, params, f"{prefix}.gate_proj")
         up = linear(x, params, f"{prefix}.up_proj")

@@ -43,6 +43,7 @@ Params = Dict[str, jnp.ndarray]
     "Gemma3ForCausalLM",
     "Gemma3ForConditionalGeneration",
     "Phi3ForCausalLM",
+    "PhiForCausalLM",
     "StableLmForCausalLM",
     "StableLmEpochForCausalLM",
 )
@@ -71,15 +72,19 @@ class LlamaForCausalLM:
         }
         if not c.tie_word_embeddings:
             shapes["lm_head.weight"] = (c.hidden_size, c.vocab_size)
+            if c.lm_head_bias:
+                shapes["lm_head.bias"] = (c.vocab_size,)
         if c.norm_type == "layernorm":
             shapes["model.norm.bias"] = (c.hidden_size,)
         for i in range(c.num_hidden_layers):
             p = f"model.layers.{i}"
             shapes[f"{p}.input_layernorm.weight"] = (c.hidden_size,)
-            shapes[f"{p}.post_attention_layernorm.weight"] = (c.hidden_size,)
             if c.norm_type == "layernorm":
                 shapes[f"{p}.input_layernorm.bias"] = (c.hidden_size,)
-                shapes[f"{p}.post_attention_layernorm.bias"] = (c.hidden_size,)
+            if not c.parallel_block:
+                shapes[f"{p}.post_attention_layernorm.weight"] = (c.hidden_size,)
+                if c.norm_type == "layernorm":
+                    shapes[f"{p}.post_attention_layernorm.bias"] = (c.hidden_size,)
             if c.sandwich_norms:
                 shapes[f"{p}.pre_feedforward_layernorm.weight"] = (c.hidden_size,)
                 shapes[f"{p}.post_feedforward_layernorm.weight"] = (c.hidden_size,)
@@ -91,12 +96,20 @@ class LlamaForCausalLM:
                 shapes[f"{p}.self_attn.q_proj.bias"] = (H * D,)
                 shapes[f"{p}.self_attn.k_proj.bias"] = (K * D,)
                 shapes[f"{p}.self_attn.v_proj.bias"] = (K * D,)
+            if c.o_bias:
+                shapes[f"{p}.self_attn.o_proj.bias"] = (c.hidden_size,)
             if c.use_qk_norm:
                 shapes[f"{p}.self_attn.q_norm.weight"] = (D,)
                 shapes[f"{p}.self_attn.k_norm.weight"] = (D,)
-            shapes[f"{p}.mlp.gate_proj.weight"] = (c.hidden_size, c.intermediate_size)
+            if c.gated_mlp:
+                shapes[f"{p}.mlp.gate_proj.weight"] = (c.hidden_size, c.intermediate_size)
             shapes[f"{p}.mlp.up_proj.weight"] = (c.hidden_size, c.intermediate_size)
             shapes[f"{p}.mlp.down_proj.weight"] = (c.intermediate_size, c.hidden_size)
+            if c.mlp_bias:
+                shapes[f"{p}.mlp.up_proj.bias"] = (c.intermediate_size,)
+                shapes[f"{p}.mlp.down_proj.bias"] = (c.hidden_size,)
+                if c.gated_mlp:
+                    shapes[f"{p}.mlp.gate_proj.bias"] = (c.intermediate_size,)
         return shapes
 
     def init_params(self, seed: int = 0) -> Params:
@@ -213,7 +226,11 @@ class LlamaForCausalLM:
                 kv_pages[i], step, mesh=self.mesh,
             )
             new_pages.append(pages)
-            if c.sandwich_norms:
+            if c.parallel_block:
+                # Phi2: attn and MLP both read the same normed input and
+                # their outputs sum into the residual (reference: phi2.rs)
+                x = x + attn_out + self._mlp_block(params, f"{p}.mlp", h, i)
+            elif c.sandwich_norms:
                 # gemma2/3: norm the sublayer output before the residual
                 attn_out = rms_norm(
                     attn_out, params[f"{p}.post_attention_layernorm.weight"],

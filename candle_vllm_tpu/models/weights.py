@@ -29,6 +29,22 @@ _NO_TRANSPOSE = re.compile(
     r"(embed_tokens\.weight|norm\.weight|\.bias$|rotary|scale)"
 )
 
+# checkpoint-name aliases → canonical names (Phi2's dense/fc1/fc2 layout,
+# reference: phi2.rs weight names)
+_RENAMES = (
+    ("model.final_layernorm.", "model.norm."),
+    (".self_attn.dense.", ".self_attn.o_proj."),
+    (".mlp.fc1.", ".mlp.up_proj."),
+    (".mlp.fc2.", ".mlp.down_proj."),
+)
+
+
+def canonical_name(name: str) -> str:
+    for old, new in _RENAMES:
+        if old in name:
+            name = name.replace(old, new)
+    return name
+
 
 def _iter_safetensors(model_dir: str) -> Iterator[Tuple[str, np.ndarray]]:
     from safetensors import safe_open
@@ -88,6 +104,7 @@ def load_safetensors(
     params: Dict[str, jnp.ndarray] = {}
     fused = False
     for name, arr in _iter_safetensors(model_dir):
+        name = canonical_name(name)
         if arr.ndim == 2 and not _NO_TRANSPOSE.search(name):
             arr = arr.T
         fused |= ".qkv_proj." in name or ".gate_up_proj." in name

@@ -142,3 +142,54 @@ def test_stablelm_layernorm_partial_rotary():
     full = run_steps(model, params, prompt, [13])
     chunked = run_steps(model, params, prompt, [7, 6])
     np.testing.assert_allclose(full, chunked, rtol=3e-4, atol=3e-4)
+
+
+def test_phi2_parallel_block():
+    """Phi2: parallel attn/MLP residual, LayerNorm+bias, non-gated MLP,
+    partial rotary, lm_head bias (reference: phi2.rs)."""
+    cfg = ModelConfig.from_hf(
+        dict(
+            architectures=["PhiForCausalLM"],
+            model_type="phi",
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            vocab_size=128,
+            max_position_embeddings=256,
+            hidden_act="gelu_new",
+            partial_rotary_factor=0.5,
+            layer_norm_eps=1e-5,
+        ),
+        dtype=jnp.float32,
+    )
+    assert cfg.parallel_block and not cfg.gated_mlp
+    assert cfg.norm_type == "layernorm" and cfg.lm_head_bias
+    model = get_model(cfg)
+    shapes = model.param_shapes()
+    assert "model.layers.0.post_attention_layernorm.weight" not in shapes
+    assert "model.layers.0.mlp.gate_proj.weight" not in shapes
+    assert "model.layers.0.mlp.up_proj.bias" in shapes
+    assert "model.layers.0.self_attn.o_proj.bias" in shapes
+    assert "lm_head.bias" in shapes
+    assert model.rope.rotary_dim == 8  # 16 * 0.5
+    params = model.init_params(seed=0)
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(0, 128, size=17).tolist()
+    full = run_steps(model, params, prompt, [17])
+    chunked = run_steps(model, params, prompt, [9, 8])
+    np.testing.assert_allclose(full, chunked, rtol=3e-4, atol=3e-4)
+
+
+def test_phi2_weight_name_canonicalization():
+    from candle_vllm_tpu.models.weights import canonical_name
+
+    assert canonical_name("model.final_layernorm.weight") == "model.norm.weight"
+    assert (
+        canonical_name("model.layers.3.self_attn.dense.weight")
+        == "model.layers.3.self_attn.o_proj.weight"
+    )
+    assert canonical_name("model.layers.0.mlp.fc1.bias") == "model.layers.0.mlp.up_proj.bias"
+    assert canonical_name("model.layers.0.mlp.fc2.weight") == "model.layers.0.mlp.down_proj.weight"
+    assert canonical_name("lm_head.weight") == "lm_head.weight"
