@@ -58,7 +58,14 @@ class QuantConfig:
                 group_size=int(qc.get("group_size", 128)),
                 sym=bool(qc.get("sym", True)),
             )
+        if method == "mxfp4":
+            return cls(method="mxfp4", bits=4, group_size=32)
         if method in ("fp8", "compressed-tensors", "modelopt"):
+            # modelopt tags the algorithm: NVFP4 vs FP8
+            # (reference normalizes the same way, models/mod.rs:165-405)
+            algo = qc.get("quant_algo") or ""
+            if "FP4" in str(algo).upper():
+                return cls(method="nvfp4", bits=4, group_size=16)
             return cls(
                 method="fp8",
                 bits=8,

@@ -59,9 +59,21 @@ def _iter_safetensors(model_dir: str) -> Iterator[Tuple[str, np.ndarray]]:
             f for f in os.listdir(model_dir) if f.endswith(".safetensors")
         )
     for shard in shards:
-        with safe_open(os.path.join(model_dir, shard), framework="numpy") as f:
+        path = os.path.join(model_dir, shard)
+        with safe_open(path, framework="numpy") as f:
+            pt = None
             for name in f.keys():
-                yield name, f.get_tensor(name)
+                try:
+                    yield name, f.get_tensor(name)
+                except Exception:
+                    # float8 tensors: numpy has no f8 dtype — read via
+                    # torch and yield the raw e4m3 bits as uint8
+                    import torch
+
+                    if pt is None:
+                        pt = safe_open(path, framework="pt")
+                    t = pt.get_tensor(name)
+                    yield name, t.view(torch.uint8).numpy()
 
 
 def split_fused_weights(params: Dict, config) -> Dict:
@@ -86,6 +98,115 @@ def split_fused_weights(params: Dict, config) -> Dict:
     return out
 
 
+def load_prequantized_safetensors(
+    model_dir: str,
+    config,
+    dtype=jnp.bfloat16,
+    plan: Optional[ShardingPlan] = None,
+    requant: Optional[str] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Load FP8-blockwise / MXFP4 / NVFP4 checkpoints.
+
+    TPU-native normalization (the analogue of the reference's in-situ
+    Marlin repack, backend/gptq.rs, and its LnFp8/LnMxfp4/LnNvfp4 zoo,
+    linear.rs:920,1678,1760): each quantized tensor is decoded *exactly*
+    to float, then re-encoded into the kernel-native format — int8 for
+    8-bit sources, w4a16 for 4-bit sources — so the hot path stays on the
+    one fused Pallas dequant-matmul.  Tensors stream one at a time; the
+    bf16 intermediate exists only per-tensor on host.
+    """
+    from candle_vllm_tpu.ops.quant import (
+        dequant_fp8_blockwise,
+        dequant_mxfp4,
+        dequant_nvfp4,
+        quantize_tensor_np,
+    )
+
+    method = config.quant.method
+    if requant is None:
+        # int8 re-encode is near-exact for every source grid (≤0.4% of
+        # group max); w4a16 would add a half-step regrid error (~7%) on
+        # the non-uniform e2m1 grid.  Callers wanting 4-bit bandwidth
+        # can pass requant="w4a16" explicitly.
+        requant = "int8"
+    block = tuple(config.quant.weight_block_size or (128, 128))
+    # fp4 sources re-encode at their own block granularity (16 nvfp4 /
+    # 32 mxfp4) so each group shares exactly one source scale
+    group_size = 128 if method == "fp8" else config.quant.group_size
+
+    params: Dict[str, jnp.ndarray] = {}
+    pending: Dict[str, Dict[str, np.ndarray]] = {}
+    global_scales: Dict[str, float] = {}
+
+    def emit(prefix: str, w_out_major: np.ndarray) -> None:
+        arr = np.ascontiguousarray(w_out_major.T)  # input-major
+        q = quantize_tensor_np(prefix + ".weight", arr, requant,
+                               group_size=group_size)
+        if q:
+            params[f"{prefix}.qweight"] = jnp.asarray(q["qweight"])
+            params[f"{prefix}.scales"] = jnp.asarray(q["scales"], jnp.bfloat16)
+        else:  # ineligible shape (unaligned dims) — dense bf16 fallback
+            params[f"{prefix}.weight"] = jnp.asarray(arr, dtype)
+
+    def try_emit(prefix: str) -> None:
+        p = pending.get(prefix)
+        if p is None or "w" not in p or "scale" not in p:
+            return
+        if method == "fp8":
+            w = dequant_fp8_blockwise(p["w"], p["scale"], block)
+        elif method == "nvfp4":
+            w = dequant_nvfp4(p["w"], p["scale"],
+                              global_scales.get(prefix, 1.0))
+        else:  # mxfp4
+            w = dequant_mxfp4(p["w"], p["scale"])
+        del pending[prefix]
+        emit(prefix, w)
+
+    for name, arr in _iter_safetensors(model_dir):
+        name = canonical_name(name)
+        prefix = slot = None
+        if name.endswith(".weight_scale_inv") or name.endswith(".weight_scale"):
+            prefix, slot = name[: name.rindex(".weight_scale")], "scale"
+        elif name.endswith(".weight_scale_2"):
+            prefix = name[: -len(".weight_scale_2")]
+            s2 = float(np.asarray(arr, np.float32).reshape(-1)[0])
+            global_scales[prefix] = s2
+            if f"{prefix}.scales" in params:  # already emitted: rescale
+                params[f"{prefix}.scales"] = (
+                    params[f"{prefix}.scales"].astype(jnp.float32) * s2
+                ).astype(jnp.bfloat16)
+            continue
+        elif name.endswith(".input_scale"):
+            continue  # activation scales: our activations stay bf16
+        elif name.endswith("_blocks") or name.endswith(".blocks"):
+            cut = -len("_blocks") if name.endswith("_blocks") else -len(".blocks")
+            prefix, slot = name[:cut], "w"
+        elif name.endswith("_scales") or name.endswith(".scales"):
+            cut = -len("_scales") if name.endswith("_scales") else -len(".scales")
+            prefix, slot = name[:cut], "scale"
+        elif name.endswith(".weight") and arr.dtype == np.uint8:
+            prefix, slot = name[: -len(".weight")], "w"
+
+        if prefix is not None:
+            pending.setdefault(prefix, {})[slot] = arr
+            try_emit(prefix)
+            continue
+
+        # unquantized passthrough (embeddings, norms, biases, lm_head)
+        if arr.ndim == 2 and not _NO_TRANSPOSE.search(name):
+            arr = arr.T
+        tgt = dtype if arr.dtype == np.float32 or str(arr.dtype) == "bfloat16" else arr.dtype
+        params[name] = jnp.asarray(arr, tgt)
+
+    for prefix in list(pending):
+        try_emit(prefix)
+    if pending:
+        raise ValueError(f"incomplete quantized tensors: {sorted(pending)}")
+    if plan is not None:
+        params = plan.apply(params)
+    return params
+
+
 def load_safetensors(
     model_dir: str,
     dtype=jnp.bfloat16,
@@ -100,6 +221,15 @@ def load_safetensors(
     host-side BEFORE device placement, so the bf16 weights of an 8B+
     model never co-reside in HBM (reference ISQ streams similarly)."""
     from candle_vllm_tpu.ops.quant import quantize_tensor_np
+
+    if (
+        config is not None
+        and getattr(config, "quant", None) is not None
+        and config.quant.method in ("fp8", "mxfp4", "nvfp4")
+    ):
+        return load_prequantized_safetensors(
+            model_dir, config, dtype=dtype, plan=plan
+        )
 
     params: Dict[str, jnp.ndarray] = {}
     fused = False

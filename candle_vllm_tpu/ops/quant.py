@@ -339,6 +339,99 @@ def convert_gptq_tensor(
 
 
 # ---------------------------------------------------------------------------
+# FP8 / FP4 checkpoint formats (reference: linear.rs LnFp8 920+, LnMxfp4
+# 1678, LnNvfp4 1760).  TPU-native design: these formats are *checkpoint*
+# encodings; at load we decode them exactly and re-encode into the two
+# kernel formats the MXU path actually runs (int8 or int4 + per-group
+# scales) — the analogue of the reference's in-situ Marlin repack
+# (backend/gptq.rs gptq_repack/awq_repack), which likewise rewrites
+# checkpoint bits into the kernel's native layout at load.
+# ---------------------------------------------------------------------------
+
+
+def fp8_e4m3_to_float(bits: np.ndarray) -> np.ndarray:
+    """Decode float8_e4m3fn raw bits (uint8) -> float32 (exact)."""
+    u = bits.astype(np.uint16)
+    s = (u >> 7) & 1
+    e = ((u >> 3) & 0xF).astype(np.int32)
+    m = (u & 7).astype(np.float32)
+    mag = np.where(
+        e > 0,
+        np.ldexp(1.0 + m / 8.0, e - 7),
+        np.ldexp(m / 8.0, -6),
+    ).astype(np.float32)
+    mag = np.where((e == 15) & (m == 7), np.float32(np.nan), mag)
+    return np.where(s == 1, -mag, mag).astype(np.float32)
+
+
+def fp4_e2m1_to_float(nibbles: np.ndarray) -> np.ndarray:
+    """Decode e2m1 nibbles (uint8 in [0,15]) -> float32.
+    Values: ±{0, .5, 1, 1.5, 2, 3, 4, 6}."""
+    n = nibbles.astype(np.uint8)
+    s = (n >> 3) & 1
+    e = ((n >> 1) & 3).astype(np.int32)
+    m = (n & 1).astype(np.float32)
+    mag = np.where(e == 0, 0.5 * m, np.ldexp(1.0 + 0.5 * m, e - 1))
+    return np.where(s == 1, -mag, mag).astype(np.float32)
+
+
+def e8m0_to_float(bits: np.ndarray) -> np.ndarray:
+    """Decode e8m0 block-scale bits (uint8) -> 2^(u-127)."""
+    return np.ldexp(np.float32(1.0), bits.astype(np.int32) - 127)
+
+
+def unpack_fp4_bytes(packed: np.ndarray) -> np.ndarray:
+    """[..., n/2] uint8 -> [..., n] e2m1 nibbles, LOW nibble first."""
+    lo = packed & 0xF
+    hi = (packed >> 4) & 0xF
+    return np.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+
+
+def dequant_fp8_blockwise(
+    w_bits: np.ndarray,      # [out, in] uint8 (e4m3 raw bits)
+    scale_inv: np.ndarray,   # [ceil(out/bn), ceil(in/bk)] float
+    block: Tuple[int, int] = (128, 128),
+) -> np.ndarray:
+    """Blockwise-FP8 weight (DeepSeek-V3 / compressed-tensors
+    ``weight_scale_inv`` convention) -> float32 [out, in]."""
+    bn, bk = block
+    n, k = w_bits.shape
+    w = fp8_e4m3_to_float(w_bits)
+    srows = np.repeat(scale_inv.astype(np.float32), bn, axis=0)[:n]
+    s = np.repeat(srows, bk, axis=1)[:, :k]
+    return w * s
+
+
+def dequant_nvfp4(
+    packed: np.ndarray,       # [out, in/2] uint8 (two e2m1, low first)
+    block_scales: np.ndarray, # [out, in/16] uint8 e4m3 bits (or float)
+    global_scale: float = 1.0,
+) -> np.ndarray:
+    """NVFP4: e2m1 values, fp8-e4m3 scale per 16-elem block along IN,
+    one global f32 scale -> float32 [out, in]."""
+    w = fp4_e2m1_to_float(unpack_fp4_bytes(packed))
+    if block_scales.dtype == np.uint8:
+        bs = fp8_e4m3_to_float(block_scales)
+    else:
+        bs = block_scales.astype(np.float32)
+    s = np.repeat(bs, 16, axis=1)[:, : w.shape[1]]
+    return w * s * np.float32(global_scale)
+
+
+def dequant_mxfp4(
+    blocks: np.ndarray,   # [out, in/32, 16] or [out, in/2] uint8
+    scales: np.ndarray,   # [out, in/32] uint8 e8m0 bits
+) -> np.ndarray:
+    """MXFP4: e2m1 values in 32-element blocks along IN with a shared
+    e8m0 scale -> float32 [out, in]."""
+    if blocks.ndim == 3:
+        blocks = blocks.reshape(blocks.shape[0], -1)
+    w = fp4_e2m1_to_float(unpack_fp4_bytes(blocks))
+    s = np.repeat(e8m0_to_float(scales), 32, axis=1)[:, : w.shape[1]]
+    return w * s
+
+
+# ---------------------------------------------------------------------------
 # matmul dispatch
 # ---------------------------------------------------------------------------
 

@@ -209,3 +209,169 @@ def test_isq_merged_projections():
     a = LLMEngine(cfg, cache, sched, params=q_split, seed=0).generate([p], sp)
     b = LLMEngine(cfg, cache, sched, params=q_merged, seed=0).generate([p], sp)
     assert a[0].outputs[0].token_ids == b[0].outputs[0].token_ids
+
+
+# ---------------------------------------------------------------------------
+# FP8 / MXFP4 / NVFP4 checkpoint formats
+# ---------------------------------------------------------------------------
+
+
+def test_fp8_e4m3_decode_exact():
+    import ml_dtypes
+
+    from candle_vllm_tpu.ops.quant import fp8_e4m3_to_float
+
+    bits = np.arange(256, dtype=np.uint8)
+    ours = fp8_e4m3_to_float(bits)
+    ref = bits.view(ml_dtypes.float8_e4m3fn).astype(np.float32)
+    np.testing.assert_array_equal(np.isnan(ours), np.isnan(ref))
+    m = ~np.isnan(ref)
+    np.testing.assert_array_equal(ours[m], ref[m])
+
+
+def test_fp4_e2m1_decode_values():
+    from candle_vllm_tpu.ops.quant import fp4_e2m1_to_float
+
+    vals = fp4_e2m1_to_float(np.arange(16, dtype=np.uint8))
+    expect = np.array(
+        [0, 0.5, 1, 1.5, 2, 3, 4, 6, -0, -0.5, -1, -1.5, -2, -3, -4, -6],
+        np.float32,
+    )
+    np.testing.assert_array_equal(vals, expect)
+
+
+def test_dequant_fp8_blockwise():
+    import ml_dtypes
+
+    from candle_vllm_tpu.ops.quant import dequant_fp8_blockwise
+
+    rng = np.random.default_rng(0)
+    out_f, in_f, bn, bk = 6, 8, 4, 4
+    w = rng.normal(size=(out_f, in_f)).astype(np.float32)
+    w8 = w.astype(ml_dtypes.float8_e4m3fn)
+    scale = rng.uniform(0.5, 2.0, size=(2, 2)).astype(np.float32)
+    got = dequant_fp8_blockwise(w8.view(np.uint8), scale, block=(bn, bk))
+    expect = w8.astype(np.float32) * np.kron(scale, np.ones((bn, bk)))[:out_f, :in_f]
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def test_dequant_nvfp4_and_mxfp4():
+    import ml_dtypes
+
+    from candle_vllm_tpu.ops.quant import (
+        dequant_mxfp4,
+        dequant_nvfp4,
+        fp4_e2m1_to_float,
+        unpack_fp4_bytes,
+    )
+
+    rng = np.random.default_rng(1)
+    packed = rng.integers(0, 256, size=(4, 16), dtype=np.uint8)  # in=32
+    nib = unpack_fp4_bytes(packed)
+    vals = fp4_e2m1_to_float(nib)
+    # nvfp4: fp8 block scales (block 16) + global scale
+    bs_f = rng.uniform(0.5, 2.0, size=(4, 2)).astype(np.float32)
+    bs8 = bs_f.astype(ml_dtypes.float8_e4m3fn)
+    got = dequant_nvfp4(packed, bs8.view(np.uint8), global_scale=0.5)
+    expect = vals * np.repeat(bs8.astype(np.float32), 16, axis=1) * 0.5
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+    # mxfp4: e8m0 scales (block 32), 3-D block layout
+    se = rng.integers(120, 134, size=(4, 1), dtype=np.uint8)
+    got = dequant_mxfp4(packed.reshape(4, 2, 8), se)
+    expect = vals * np.repeat(
+        np.ldexp(1.0, se.astype(np.int32) - 127).astype(np.float32), 32, axis=1
+    )
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def _tiny_phantom_linears(rng, n_in=128, n_out=256):
+    """float weights for two linears + an embedding/norm passthrough."""
+    return {
+        "model.layers.0.self_attn.q_proj": rng.normal(
+            size=(n_out, n_in)
+        ).astype(np.float32) * 0.05,
+        "model.layers.0.mlp.up_proj": rng.normal(
+            size=(n_out, n_in)
+        ).astype(np.float32) * 0.05,
+    }
+
+
+def test_load_prequantized_fp8_checkpoint(tmp_path):
+    import ml_dtypes
+    import torch
+    from safetensors.torch import save_file
+
+    from candle_vllm_tpu.config import ModelConfig, QuantConfig
+    from candle_vllm_tpu.models.weights import load_prequantized_safetensors
+    from candle_vllm_tpu.ops.quant import dequantize
+
+    rng = np.random.default_rng(2)
+    tensors = {}
+    floats = _tiny_phantom_linears(rng)
+    for prefix, w in floats.items():
+        w8 = torch.from_numpy(w).to(torch.float8_e4m3fn)
+        scale = np.ones((2, 1), np.float32) * 1.5  # blocks of (128,128)
+        tensors[prefix + ".weight"] = w8
+        tensors[prefix + ".weight_scale_inv"] = torch.from_numpy(scale)
+    tensors["model.norm.weight"] = torch.ones(128)
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+
+    cfg = ModelConfig(quant=QuantConfig(method="fp8", bits=8))
+    params = load_prequantized_safetensors(str(tmp_path), cfg)
+    assert "model.norm.weight" in params
+    for prefix, w in floats.items():
+        assert f"{prefix}.qweight" in params, prefix
+        expect = (
+            np.asarray(
+                torch.from_numpy(w).to(torch.float8_e4m3fn).to(torch.float32)
+            ).T * 1.5
+        )
+        got = np.asarray(dequantize(params, prefix))
+        np.testing.assert_allclose(got, expect, rtol=0.02, atol=2e-3)
+
+
+def test_load_prequantized_nvfp4_checkpoint(tmp_path):
+    import ml_dtypes
+    import torch
+    from safetensors.torch import save_file
+
+    from candle_vllm_tpu.config import ModelConfig, QuantConfig
+    from candle_vllm_tpu.models.weights import load_prequantized_safetensors
+    from candle_vllm_tpu.ops.quant import dequant_nvfp4, dequantize
+
+    rng = np.random.default_rng(3)
+    n_out, n_in = 256, 128
+    packed = rng.integers(0, 256, size=(n_out, n_in // 2), dtype=np.uint8)
+    bs = (rng.uniform(0.5, 2.0, size=(n_out, n_in // 16))
+          .astype(np.float32).astype(ml_dtypes.float8_e4m3fn))
+    tensors = {
+        "model.layers.0.mlp.up_proj.weight": torch.from_numpy(packed),
+        "model.layers.0.mlp.up_proj.weight_scale": torch.from_numpy(
+            bs.view(np.uint8)).view(torch.float8_e4m3fn),
+        "model.layers.0.mlp.up_proj.weight_scale_2": torch.tensor([0.25]),
+        "model.layers.0.mlp.up_proj.input_scale": torch.tensor([1.0]),
+    }
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+
+    cfg = ModelConfig(
+        quant=QuantConfig(method="nvfp4", bits=4, group_size=16)
+    )
+    params = load_prequantized_safetensors(str(tmp_path), cfg)
+    prefix = "model.layers.0.mlp.up_proj"
+    assert f"{prefix}.qweight" in params
+    expect = dequant_nvfp4(packed, bs.view(np.uint8), 0.25).T
+    got = np.asarray(dequantize(params, prefix))
+    # int8 re-encode at the source block granularity: near-exact
+    err = np.abs(got - expect).max() / (np.abs(expect).max() + 1e-9)
+    assert err < 0.006, err
+
+
+def test_quant_config_normalization_modelopt_mxfp4():
+    from candle_vllm_tpu.config import QuantConfig
+
+    nv = QuantConfig.from_hf({"quant_method": "modelopt", "quant_algo": "NVFP4"})
+    assert nv.method == "nvfp4" and nv.group_size == 16
+    f8 = QuantConfig.from_hf({"quant_method": "modelopt", "quant_algo": "FP8"})
+    assert f8.method == "fp8"
+    mx = QuantConfig.from_hf({"quant_method": "mxfp4"})
+    assert mx.method == "mxfp4" and mx.group_size == 32
