@@ -8,3 +8,4 @@ requests (reference: openai/mod.rs:201-247), and tool-call dispatch.
 
 from candle_vllm_tpu.mcp.client import MCPClient  # noqa: F401
 from candle_vllm_tpu.mcp.manager import MCPManager  # noqa: F401
+from candle_vllm_tpu.mcp.server import MCPServer, engine_mcp_server  # noqa: F401

@@ -503,6 +503,60 @@ def build_app(state: ServerState) -> web.Application:
     app.router.add_get("/health", health)
     app.router.add_get("/metrics", metrics)
 
+    from candle_vllm_tpu.server.ui import ui_page
+
+    app.router.add_get("/ui", ui_page)
+
+    # MCP server endpoint: the engine exposed as MCP tools over HTTP
+    # JSON-RPC (reference implements an MCP server in src/mcp/server.rs)
+    from candle_vllm_tpu.mcp.server import MCPServer
+
+    mcp_srv = MCPServer(name=f"candle-vllm-tpu/{state.model_name}")
+
+    async def _mcp_generate(args):
+        import uuid
+
+        out = await state.async_engine.generate(
+            f"mcp-{uuid.uuid4().hex[:8]}",
+            prompt=args.get("prompt", ""),
+            sampling_params=SamplingParams(
+                temperature=float(args.get("temperature", 0.0)),
+                max_tokens=int(args.get("max_tokens", 256)),
+            ),
+        )
+        return out.outputs[0].text
+
+    mcp_srv.register_tool(
+        "generate",
+        f"Generate a completion with {state.model_name}",
+        {
+            "type": "object",
+            "properties": {
+                "prompt": {"type": "string"},
+                "max_tokens": {"type": "integer"},
+                "temperature": {"type": "number"},
+            },
+            "required": ["prompt"],
+        },
+        _mcp_generate,
+    )
+
+    async def mcp_endpoint(request: web.Request) -> web.Response:
+        try:
+            msg = await request.json()
+        except Exception:
+            return web.json_response(
+                {"jsonrpc": "2.0", "id": None,
+                 "error": {"code": -32700, "message": "parse error"}},
+                status=400,
+            )
+        resp = await mcp_srv.handle(msg)
+        if resp is None:  # notification
+            return web.Response(status=202)
+        return web.json_response(resp)
+
+    app.router.add_post("/mcp", mcp_endpoint)
+
     async def on_startup(app):
         await state.async_engine.start()
         if state.mcp_manager is not None:

@@ -120,3 +120,104 @@ for line in sys.stdin:
     out = await client.call_tool("pid", {})
     assert out["content"][0]["text"] == "ok"
     await client.close()
+
+
+# ---------------------------------------------------------------------------
+# MCP server (reference: src/mcp/server.rs)
+# ---------------------------------------------------------------------------
+
+
+def _loopback_pair():
+    """(client_transport, server_transport) wired through two queues."""
+    a: asyncio.Queue = asyncio.Queue()
+    b: asyncio.Queue = asyncio.Queue()
+    return InMemoryTransport(a, b), InMemoryTransport(b, a)
+
+
+def test_mcp_server_client_loopback():
+    from candle_vllm_tpu.mcp.server import MCPServer
+
+    async def run():
+        srv = MCPServer(name="test-srv")
+        srv.register_tool(
+            "add", "add two ints",
+            {"type": "object", "properties": {"a": {"type": "integer"},
+                                              "b": {"type": "integer"}},
+             "required": ["a", "b"]},
+            lambda args: args["a"] + args["b"],
+        )
+        srv.register_prompt({"name": "sys", "description": "d"})
+        ct, st = _loopback_pair()
+        task = asyncio.create_task(srv.serve(st))
+        client = MCPClient(ct)
+        await client.start()
+        tools = await client.list_tools()
+        assert [t["name"] for t in tools] == ["add"]
+        out = await client.call_tool("add", {"a": 2, "b": 40})
+        assert out["content"][0]["text"] == "42"
+        assert out["isError"] is False
+        prompts = await client.request("prompts/list", {})
+        assert prompts["prompts"][0]["name"] == "sys"
+        # unknown tool -> JSON-RPC error surfaces as MCPError
+        try:
+            await client.call_tool("nope", {})
+            raise AssertionError("expected MCPError")
+        except MCPError as e:
+            assert "Unknown tool" in str(e)
+        task.cancel()
+
+    asyncio.run(run())
+
+
+def test_mcp_server_async_handler_and_errors():
+    from candle_vllm_tpu.mcp.server import MCPServer
+
+    async def run():
+        srv = MCPServer()
+
+        async def boom(args):
+            raise ValueError("kaput")
+
+        srv.register_tool("boom", "always fails", None, boom)
+
+        r = await srv.handle({"jsonrpc": "2.0", "id": 1,
+                              "method": "initialize", "params": {}})
+        assert r["result"]["serverInfo"]["name"] == "candle-vllm-tpu"
+        assert await srv.handle(
+            {"jsonrpc": "2.0", "method": "notifications/initialized"}
+        ) is None
+        assert srv.initialized
+        r = await srv.handle({"jsonrpc": "2.0", "id": 2,
+                              "method": "tools/call",
+                              "params": {"name": "boom", "arguments": {}}})
+        assert r["result"]["isError"] is True
+        assert "kaput" in r["result"]["content"][0]["text"]
+        r = await srv.handle({"jsonrpc": "2.0", "id": 3, "method": "wat"})
+        assert r["error"]["code"] == -32601
+
+    asyncio.run(run())
+
+
+def test_engine_mcp_server_generate_tool():
+    from candle_vllm_tpu.mcp.server import engine_mcp_server
+
+    class FakeOut:
+        class O:
+            text = "hello world"
+        outputs = [O()]
+
+    class FakeEngine:
+        def generate(self, prompts, sp):
+            assert prompts == ["hi"] and sp.max_tokens == 8
+            return [FakeOut()]
+
+    async def run():
+        srv = engine_mcp_server(FakeEngine(), "m1")
+        r = await srv.handle({"jsonrpc": "2.0", "id": 1,
+                              "method": "tools/call",
+                              "params": {"name": "generate",
+                                         "arguments": {"prompt": "hi",
+                                                       "max_tokens": 8}}})
+        assert r["result"]["content"][0]["text"] == "hello world"
+
+    asyncio.run(run())

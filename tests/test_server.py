@@ -225,3 +225,34 @@ def test_warmup_engine():
     state = make_state()
     warmup_engine(state.engine)  # compiles + generates without errors
     assert state.engine.stats.requests_finished >= 3
+
+
+async def test_ui_page(client):
+    r = await client.get("/ui")
+    assert r.status == 200
+    assert "text/html" in r.headers["Content-Type"]
+    body = await r.text()
+    assert "/v1/chat/completions" in body and "candle-vllm-tpu" in body
+
+
+async def test_mcp_endpoint(client):
+    r = await client.post("/mcp", json={"jsonrpc": "2.0", "id": 1,
+                                        "method": "initialize", "params": {}})
+    assert r.status == 200
+    d = await r.json()
+    assert d["result"]["serverInfo"]["name"].startswith("candle-vllm-tpu")
+    r = await client.post("/mcp", json={"jsonrpc": "2.0", "id": 2,
+                                        "method": "tools/list"})
+    tools = (await r.json())["result"]["tools"]
+    assert [t["name"] for t in tools] == ["generate"]
+    r = await client.post("/mcp", json={
+        "jsonrpc": "2.0", "id": 3, "method": "tools/call",
+        "params": {"name": "generate",
+                   "arguments": {"prompt": "hello", "max_tokens": 4}}})
+    d = await r.json()
+    assert d["result"]["isError"] is False
+    assert isinstance(d["result"]["content"][0]["text"], str)
+    # notification -> 202, no body
+    r = await client.post("/mcp", json={"jsonrpc": "2.0",
+                                        "method": "notifications/initialized"})
+    assert r.status == 202
