@@ -85,7 +85,10 @@ def build_engine(args):
         cfg, gguf_params = load_gguf(
             args.gguf, dtype=dtype, quantize=args.isq or "w4a16"
         )
-        tokenizer = load_tokenizer(None)  # GGUF-metadata tokenizer: TODO
+        from candle_vllm_tpu.models.gguf import GGUFFile
+        from candle_vllm_tpu.utils.tokenizer import tokenizer_from_gguf_metadata
+
+        tokenizer = tokenizer_from_gguf_metadata(GGUFFile(args.gguf).metadata)
         model_name = args.served_name or os.path.basename(args.gguf)
     elif args.model_dir:
         cfg = ModelConfig.from_json(

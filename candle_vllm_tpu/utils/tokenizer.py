@@ -65,3 +65,105 @@ def load_tokenizer(model_dir: Optional[str]) -> Any:
             return getattr(self._t, "chat_template", None)
 
     return _Wrapped(tok)
+
+
+class _TokWrapper:
+    """Uniform encode()/decode() surface over a `tokenizers.Tokenizer`."""
+
+    def __init__(self, t, bos_id=None, eos_id=None, chat_template=None,
+                 add_bos=False):
+        self._t = t
+        self.vocab_size = t.get_vocab_size()
+        self.bos_token_id = bos_id
+        self.eos_token_id = eos_id
+        self._chat_template = chat_template
+        self._add_bos = add_bos
+
+    def encode(self, text: str) -> List[int]:
+        ids = self._t.encode(text).ids
+        if self._add_bos and self.bos_token_id is not None:
+            if not ids or ids[0] != self.bos_token_id:
+                ids = [self.bos_token_id] + ids
+        return ids
+
+    def decode(self, ids, skip_special_tokens: bool = True) -> str:
+        return self._t.decode(list(ids), skip_special_tokens=skip_special_tokens)
+
+    @property
+    def chat_template(self):
+        return self._chat_template
+
+
+def tokenizer_from_gguf_metadata(md: dict) -> Any:
+    """Reconstruct a tokenizer from GGUF ``tokenizer.ggml.*`` metadata —
+    GGUF checkpoints carry no tokenizer.json (reference rebuilds the same
+    way: pipeline.rs:1649-1813 + backend/gguf.rs tokenizer extraction).
+
+    Two families:
+    - ``gpt2``: byte-level BPE from tokens + merges (Qwen/GLM GGUFs)
+    - ``llama``: SentencePiece-style Unigram from tokens + scores, with
+      byte fallback and the ▁ space convention
+    """
+    from tokenizers import Tokenizer, decoders, models, normalizers, pre_tokenizers
+
+    kind = md.get("tokenizer.ggml.model", "llama")
+    tokens = md.get("tokenizer.ggml.tokens")
+    if not tokens:
+        return ByteTokenizer()
+    bos = md.get("tokenizer.ggml.bos_token_id")
+    eos = md.get("tokenizer.ggml.eos_token_id")
+    template = md.get("tokenizer.chat_template")
+
+    def mark_specials(tok):
+        """Register control/unknown tokens as special so decode skips
+        them (GGUF token_type: 2=unknown, 3=control)."""
+        from tokenizers import AddedToken
+
+        types = md.get("tokenizer.ggml.token_type")
+        if types:
+            specials = [
+                tokens[i] for i, t in enumerate(types) if t in (2, 3)
+            ]
+        else:
+            specials = [
+                tokens[i]
+                for i in (bos, eos, md.get("tokenizer.ggml.unknown_token_id"))
+                if i is not None and 0 <= i < len(tokens)
+            ]
+        if specials:
+            tok.add_special_tokens(
+                [AddedToken(s, special=True) for s in dict.fromkeys(specials)]
+            )
+
+    if kind == "gpt2":
+        vocab = {t: i for i, t in enumerate(tokens)}
+        merges = [
+            tuple(m.split(" ", 1)) if isinstance(m, str) else tuple(m)
+            for m in md.get("tokenizer.ggml.merges", [])
+        ]
+        tok = Tokenizer(models.BPE(vocab=vocab, merges=merges))
+        tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+        tok.decoder = decoders.ByteLevel()
+        mark_specials(tok)
+        return _TokWrapper(tok, bos, eos, template)
+
+    # llama / SPM-style
+    scores = md.get("tokenizer.ggml.scores") or [0.0] * len(tokens)
+    unk_id = md.get("tokenizer.ggml.unknown_token_id", 0)
+    pieces = [(t, float(s)) for t, s in zip(tokens, scores)]
+    tok = Tokenizer(
+        models.Unigram(pieces, unk_id=int(unk_id), byte_fallback=True)
+    )
+    tok.normalizer = normalizers.Sequence(
+        [normalizers.Prepend("▁"), normalizers.Replace(" ", "▁")]
+    )
+    tok.decoder = decoders.Sequence(
+        [
+            decoders.Replace("▁", " "),
+            decoders.ByteFallback(),
+            decoders.Fuse(),
+            decoders.Strip(content=" ", left=1),
+        ]
+    )
+    mark_specials(tok)
+    return _TokWrapper(tok, bos, eos, template, add_bos=True)

@@ -255,3 +255,56 @@ def test_gguf_end_to_end(tmp_path):
         SamplingParams(temperature=0.0, max_tokens=4),
     )
     assert len(out[0].outputs[0].token_ids) == 4
+
+
+def test_tokenizer_from_gguf_metadata_bpe():
+    from candle_vllm_tpu.utils.tokenizer import tokenizer_from_gguf_metadata
+
+    # byte-level BPE vocab covering "hi there" (gpt2-family GGUFs)
+    base = [chr(c) for c in range(33, 127)] + ["Ġ"]  # Ġ = space marker
+    extra = ["hi", "th", "er", "ere", "Ġth", "Ġthere"]
+    tokens = base + extra
+    merges = ["h i", "t h", "e r", "er e", "Ġ th", "Ġth ere"]
+    md = {
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.merges": merges,
+        "tokenizer.ggml.bos_token_id": None,
+        "tokenizer.ggml.eos_token_id": 0,
+        "tokenizer.chat_template": "{{ messages }}",
+    }
+    tok = tokenizer_from_gguf_metadata(md)
+    ids = tok.encode("hi there")
+    assert ids, "BPE produced no ids"
+    assert tok.decode(ids) == "hi there"
+    assert tok.chat_template == "{{ messages }}"
+
+
+def test_tokenizer_from_gguf_metadata_spm():
+    from candle_vllm_tpu.utils.tokenizer import tokenizer_from_gguf_metadata
+
+    tokens = ["<unk>", "<s>", "</s>", "▁", "▁hello", "▁world",
+              "hel", "lo", "wor", "ld"] + [f"<0x{i:02X}>" for i in range(256)]
+    scores = [0.0, 0.0, 0.0, -1.0, -2.0, -2.0, -3.0, -3.0, -3.0, -3.0] + [-10.0] * 256
+    md = {
+        "tokenizer.ggml.model": "llama",
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.scores": scores,
+        "tokenizer.ggml.unknown_token_id": 0,
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+    }
+    tok = tokenizer_from_gguf_metadata(md)
+    ids = tok.encode("hello world")
+    assert ids[0] == 1  # bos prepended
+    assert tok.decode(ids) == "hello world"
+    assert tok.eos_token_id == 2
+
+
+def test_tokenizer_from_gguf_metadata_empty_falls_back():
+    from candle_vllm_tpu.utils.tokenizer import (
+        ByteTokenizer,
+        tokenizer_from_gguf_metadata,
+    )
+
+    assert isinstance(tokenizer_from_gguf_metadata({}), ByteTokenizer)
