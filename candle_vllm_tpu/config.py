@@ -60,7 +60,28 @@ class QuantConfig:
             )
         if method == "mxfp4":
             return cls(method="mxfp4", bits=4, group_size=32)
-        if method in ("fp8", "compressed-tensors", "modelopt"):
+        if method == "compressed-tensors":
+            # Only map to fp8 when the config actually describes an FP8
+            # weight scheme; int-packed schemes (wNa16 "pack-quantized")
+            # are a different wire format (reference gates the same way,
+            # models/mod.rs:165-405).
+            weights = None
+            for g in (qc.get("config_groups") or {}).values():
+                if isinstance(g, dict) and isinstance(g.get("weights"), dict):
+                    weights = g["weights"]
+                    break
+            if weights is not None and not (
+                str(weights.get("type", "float")).lower() == "float"
+                and int(weights.get("num_bits", 8)) == 8
+            ):
+                return None  # non-FP8 compressed-tensors: unsupported here
+            block = qc.get("weight_block_size")
+            if block is None and weights is not None:
+                bs = weights.get("block_structure")
+                if isinstance(bs, (list, tuple)) and len(bs) == 2:
+                    block = list(bs)
+            return cls(method="fp8", bits=8, weight_block_size=block)
+        if method in ("fp8", "modelopt"):
             # modelopt tags the algorithm: NVFP4 vs FP8
             # (reference normalizes the same way, models/mod.rs:165-405)
             algo = qc.get("quant_algo") or ""

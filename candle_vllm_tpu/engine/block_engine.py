@@ -249,7 +249,12 @@ class BlockEngine:
             and table[0].device == Device.GPU
         ):
             hashes = self._prompt_block_hashes(seq)
-            self.prefix_cache.insert(hashes, table[: len(hashes)])
+            # Only blocks fully covered by *computed* KV are cacheable: at
+            # finish the last sampled token's KV was never written
+            # (num_computed_tokens == len-1), so a length-aligned final block
+            # would otherwise be inserted with an uninitialized slot.
+            usable = min(len(hashes), seq.num_computed_tokens // self.block_size)
+            self.prefix_cache.insert(hashes[:usable], table[:usable])
         for blk in table:
             self._release(blk)
 

@@ -128,6 +128,7 @@ class LLMEngine:
                 plan=self.plan,
                 config=model_config,
                 quantize=quantization,
+                fixup=getattr(self.model, "checkpoint_fixup", None),
             )
         elif params is None:
             if quantization is not None and self.plan is None:

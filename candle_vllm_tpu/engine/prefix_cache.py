@@ -22,9 +22,16 @@ if TYPE_CHECKING:
 
 
 def hash_block(parent_hash: int, tokens: Tuple[int, ...], seed: int = 0) -> int:
-    """Chain hash for one block of tokens. ``seed`` isolates multimodal
-    content (image bytes hashed into the block containing image tokens)."""
-    return hash((parent_hash, seed, tokens))
+    """Chain hash for one block of tokens — the SAME FNV-1a chain the native
+    path (``host_ops.chain_hashes`` / csrc) computes, so every producer and
+    consumer of block hashes agrees. ``seed`` isolates multimodal content
+    (image bytes hashed into the block containing image tokens); it is mixed
+    into the chain root exactly like ``mix_seed`` (prefix_cache.rs:371-383).
+    """
+    from candle_vllm_tpu.engine import host_ops
+
+    root = parent_hash ^ seed if seed else parent_hash
+    return host_ops.chain_hashes(list(tokens), len(tokens), seed=root)[0]
 
 
 class PrefixCache:
@@ -136,11 +143,12 @@ class PrefixCache:
     ) -> int:
         """How many prompt tokens a request would hit in cache — used by the
         server's KV admission control (reference: openai_server.rs:239-326)."""
-        parent = seed
-        hashes = []
-        for start in range(0, len(token_ids) - block_size + 1, block_size):
-            parent = hash_block(parent, tuple(token_ids[start : start + block_size]))
-            hashes.append(parent)
+        from candle_vllm_tpu.engine import host_ops
+
+        # Must use the same FNV-1a chain the production insert/match path
+        # uses (host_ops.chain_hashes via BlockEngine._prompt_block_hashes)
+        # or a production-populated cache never matches.
+        hashes = host_ops.chain_hashes(list(token_ids), block_size, seed=seed)
         matched = 0
         for h in hashes:
             if h in self.cached:

@@ -54,7 +54,26 @@ class DeepseekForCausalLM(LlamaForCausalLM):
         rc = copy.copy(config)
         rc.head_dim = c.qk_rope_head_dim
         rc.partial_rotary_factor = 1.0
-        self.rope = make_rope_spec(rc)
+        # DeepSeek rotary is GPT-J/interleaved pairing (reference:
+        # deepseek.rs:475-479 is_gpt_neox=false) — half-rotation would
+        # scramble q_pe/k_pe lanes on real checkpoints.
+        self.rope = make_rope_spec(rc, interleaved=True)
+        # YaRN mscale correction on attention scores (reference:
+        # mla_attention.rs:243-245): official V2/V3 checkpoints ship yarn
+        # rope_scaling (factor 40, mscale_all_dim 1.0) and expect
+        # sm_scale *= mscale^2 with mscale = 0.1*mscale_all_dim*ln(f)+1.
+        self.mla_mscale_sq = 1.0
+        rs = c.rope_scaling
+        if (
+            rs is not None
+            and rs.rope_type == "yarn"
+            and (rs.mscale_all_dim or 0) > 0
+            and rs.factor > 1.0
+        ):
+            import math
+
+            m = 0.1 * rs.mscale_all_dim * math.log(rs.factor) + 1.0
+            self.mla_mscale_sq = m * m
 
     def kv_cache_spec(self) -> Tuple[int, int]:
         """(num_kv_heads, head_dim) for cache allocation: one latent head
@@ -170,7 +189,7 @@ class DeepseekForCausalLM(LlamaForCausalLM):
             num_q_heads=H,
             num_kv_heads=1,
             head_dim=L + rope_d,
-            sm_scale=qk_dim ** -0.5,
+            sm_scale=qk_dim ** -0.5 * self.mla_mscale_sq,
         )
         # v := k_lat too; the latent output's first L lanes are attn@c_kv
         out_lat, kv_pages = paged_attention_with_write(

@@ -112,6 +112,14 @@ class LlamaForCausalLM:
                     shapes[f"{p}.mlp.gate_proj.bias"] = (c.intermediate_size,)
         return shapes
 
+    def checkpoint_fixup(self, name: str, arr):
+        """Per-tensor checkpoint normalization hook, applied at load time
+        (after transposition to input-major, before any quantization).
+        Models with non-flat checkpoint layouts (e.g. Qwen3-Next's
+        per-key-head-grouped GDN projections) override this; load-time
+        permutation keeps the hot path free of gather/scatter."""
+        return arr
+
     def init_params(self, seed: int = 0) -> Params:
         """Random init (bench / tests; real loads go through
         models/weights.py).  One jitted dispatch for the whole tree —

@@ -52,6 +52,49 @@ class Qwen3NextForCausalLM(QwenMoeForCausalLM):
     def is_gdn(self, i: int) -> bool:
         return i in self.gdn_layers
 
+    # -- checkpoint layout normalization ------------------------------------
+    def _qkvz_perm(self):
+        """HF groups in_proj_qkvz output columns per key head as
+        [q_h(dk) | k_h(dk) | v_h(G*dv) | z_h(G*dv)] x num_k_heads (G =
+        hv/hk); runtime wants flat [q | k | v | z] (reference:
+        fix_qwen3next_projection_order, deltanet.rs:268-300)."""
+        import numpy as np
+
+        G = self.hv // self.hk
+        per = 2 * self.dk + 2 * G * self.dv
+        q, k, v, z = [], [], [], []
+        for h in range(self.hk):
+            o = h * per
+            q += list(range(o, o + self.dk))
+            k += list(range(o + self.dk, o + 2 * self.dk))
+            v += list(range(o + 2 * self.dk, o + 2 * self.dk + G * self.dv))
+            z += list(range(o + 2 * self.dk + G * self.dv, o + per))
+        return np.asarray(q + k + v + z)
+
+    def _ba_perm(self):
+        """in_proj_ba ships per key head as [b_h(G) | a_h(G)]; flat [b|a]."""
+        import numpy as np
+
+        G = self.hv // self.hk
+        b, a = [], []
+        for h in range(self.hk):
+            o = h * 2 * G
+            b += list(range(o, o + G))
+            a += list(range(o + G, o + 2 * G))
+        return np.asarray(b + a)
+
+    def checkpoint_fixup(self, name, arr):
+        if ".linear_attn." not in name:
+            return arr
+        if ".in_proj_qkvz." in name:
+            return arr[..., self._qkvz_perm()]
+        if ".in_proj_ba." in name:
+            return arr[..., self._ba_perm()]
+        if ".conv1d.weight" in name and arr.ndim == 3:
+            # HF depthwise conv ships [dim, 1, W]; kernel wants [dim, W]
+            return arr[:, 0, :]
+        return arr
+
     def is_moe_layer(self, i: int) -> bool:
         if self.config.moe is None:
             return False

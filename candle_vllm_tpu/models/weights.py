@@ -104,6 +104,7 @@ def load_prequantized_safetensors(
     dtype=jnp.bfloat16,
     plan: Optional[ShardingPlan] = None,
     requant: Optional[str] = None,
+    fixup=None,
 ) -> Dict[str, jnp.ndarray]:
     """Load FP8-blockwise / MXFP4 / NVFP4 checkpoints.
 
@@ -140,6 +141,8 @@ def load_prequantized_safetensors(
 
     def emit(prefix: str, w_out_major: np.ndarray) -> None:
         arr = np.ascontiguousarray(w_out_major.T)  # input-major
+        if fixup is not None:
+            arr = fixup(prefix + ".weight", arr)
         q = quantize_tensor_np(prefix + ".weight", arr, requant,
                                group_size=group_size)
         if q:
@@ -195,6 +198,8 @@ def load_prequantized_safetensors(
         # unquantized passthrough (embeddings, norms, biases, lm_head)
         if arr.ndim == 2 and not _NO_TRANSPOSE.search(name):
             arr = arr.T
+        if fixup is not None:
+            arr = fixup(name, arr)
         tgt = dtype if arr.dtype == np.float32 or str(arr.dtype) == "bfloat16" else arr.dtype
         params[name] = jnp.asarray(arr, tgt)
 
@@ -213,6 +218,7 @@ def load_safetensors(
     plan: Optional[ShardingPlan] = None,
     config=None,
     quantize: Optional[str] = None,
+    fixup=None,
 ) -> Dict[str, jnp.ndarray]:
     """Load every tensor, transposing linears to input-major and placing
     shards directly on their devices (no full-model host copy).
@@ -228,7 +234,7 @@ def load_safetensors(
         and config.quant.method in ("fp8", "mxfp4", "nvfp4")
     ):
         return load_prequantized_safetensors(
-            model_dir, config, dtype=dtype, plan=plan
+            model_dir, config, dtype=dtype, plan=plan, fixup=fixup
         )
 
     params: Dict[str, jnp.ndarray] = {}
@@ -237,6 +243,8 @@ def load_safetensors(
         name = canonical_name(name)
         if arr.ndim == 2 and not _NO_TRANSPOSE.search(name):
             arr = arr.T
+        if fixup is not None:
+            arr = fixup(name, arr)
         fused |= ".qkv_proj." in name or ".gate_up_proj." in name
         if quantize and not fused:
             q = quantize_tensor_np(name, np.ascontiguousarray(arr), quantize)

@@ -393,13 +393,25 @@ def dequant_fp8_blockwise(
     block: Tuple[int, int] = (128, 128),
 ) -> np.ndarray:
     """Blockwise-FP8 weight (DeepSeek-V3 / compressed-tensors
-    ``weight_scale_inv`` convention) -> float32 [out, in]."""
+    ``weight_scale_inv`` convention) -> float32 [out, in].
+
+    Also accepts the other compressed-tensors scale strategies: scalar
+    (per-tensor) and [out] / [out, 1] (per-channel) — standard FP8
+    checkpoints ship those shapes (reference normalizes the same
+    strategies, linear.rs LnFp8)."""
     bn, bk = block
     n, k = w_bits.shape
     w = fp8_e4m3_to_float(w_bits)
-    srows = np.repeat(scale_inv.astype(np.float32), bn, axis=0)[:n]
-    s = np.repeat(srows, bk, axis=1)[:, :k]
-    return w * s
+    s = np.asarray(scale_inv, np.float32)
+    if s.size == 1:                      # per-tensor scalar
+        return w * float(s.reshape(-1)[0])
+    if s.ndim == 1 and s.shape[0] == n:  # per-channel [out]
+        return w * s[:, None]
+    if s.ndim == 2 and s.shape == (n, 1):  # per-channel [out, 1]
+        return w * s
+    srows = np.repeat(s, bn, axis=0)[:n]
+    out = np.repeat(srows, bk, axis=1)[:, :k]
+    return w * out
 
 
 def dequant_nvfp4(

@@ -95,6 +95,7 @@ def test_prefix_cache_partial_match():
     be = BlockEngine(block_size=4, num_gpu_blocks=16, num_cpu_blocks=0)
     _, s1 = make_group(0, list(range(8)) )
     be.allocate(s1)
+    s1.num_computed_tokens = 8
     be.free(s1, cache_prefix=True)
     # diverges in the second block
     _, s2 = make_group(1, list(range(4)) + [99, 98, 97, 96] + [1, 2])
@@ -106,6 +107,7 @@ def test_eviction_never_frees_active_blocks():
     be = BlockEngine(block_size=4, num_gpu_blocks=4, num_cpu_blocks=0)
     _, s1 = make_group(0, list(range(8)))
     be.allocate(s1)
+    s1.num_computed_tokens = 8
     be.free(s1, cache_prefix=True)  # 2 cached evictable blocks
     assert be.get_num_free_gpu_blocks() == 4
     _, s2 = make_group(1, list(range(8)))

@@ -159,3 +159,29 @@ def test_deepseek_engine_e2e():
         SamplingParams(temperature=0.0, max_tokens=5),
     )
     assert len(out[0].outputs[0].token_ids) == 5
+
+
+def test_mla_yarn_mscale_and_interleaved_rope():
+    """DeepSeek checkpoints ship yarn rope_scaling; MLA must apply the
+    mscale^2 score correction and GPT-J interleaved rope pairing
+    (ADVICE r1 #2/#4; reference mla_attention.rs:243-245, deepseek.rs:475)."""
+    import math
+
+    from candle_vllm_tpu.config import RopeScaling
+    from candle_vllm_tpu.models.deepseek import DeepseekForCausalLM
+
+    cfg = mla_config(
+        rope_scaling=RopeScaling(
+            rope_type="yarn", factor=40.0, mscale=1.0, mscale_all_dim=1.0,
+            original_max_position_embeddings=4096,
+        )
+    )
+    m = DeepseekForCausalLM(cfg)
+    expect = (0.1 * 1.0 * math.log(40.0) + 1.0) ** 2
+    assert abs(m.mla_mscale_sq - expect) < 1e-9
+    assert m.rope.interleaved
+
+    # no yarn -> no correction (but still interleaved pairing)
+    m2 = DeepseekForCausalLM(mla_config())
+    assert m2.mla_mscale_sq == 1.0
+    assert m2.rope.interleaved

@@ -212,3 +212,44 @@ def test_qwen_next_engine_generation():
     out2 = eng2.generate(ps, sp)
     for a, b in zip(out, out2):
         assert a.outputs[0].token_ids == b.outputs[0].token_ids
+
+
+def test_qwen_next_checkpoint_fixup_layout():
+    """HF Qwen3-Next groups in_proj_qkvz per key head and ships conv1d as
+    [dim, 1, W]; checkpoint_fixup must restore the flat [q|k|v|z] layout
+    (ADVICE r1 #3; reference fix_qwen3next_projection_order)."""
+    from candle_vllm_tpu.models.qwen_next import Qwen3NextForCausalLM
+
+    cfg = hybrid_config()
+    m = Qwen3NextForCausalLM(cfg)
+    hk, hv, dk, dv = m.hk, m.hv, m.dk, m.dv
+    G = hv // hk
+    # build the flat-canonical columns, then scramble into the HF per-head
+    # grouping and check fixup restores them
+    kd, vd = hk * dk, hv * dv
+    flat = np.arange(2 * kd + 2 * vd)
+    q, k = flat[:kd].reshape(hk, dk), flat[kd:2 * kd].reshape(hk, dk)
+    v = flat[2 * kd:2 * kd + vd].reshape(hk, G * dv)
+    z = flat[2 * kd + vd:].reshape(hk, G * dv)
+    hf_cols = np.concatenate(
+        [np.concatenate([q[h], k[h], v[h], z[h]]) for h in range(hk)]
+    )
+    w_hf = np.tile(hf_cols[None, :], (cfg.hidden_size, 1)).astype(np.float32)  # input-major
+    fixed = m.checkpoint_fixup("model.layers.0.linear_attn.in_proj_qkvz.weight", w_hf)
+    np.testing.assert_array_equal(fixed[0], flat)
+
+    b = flat[:hv].reshape(hk, G)
+    a = flat[hv:2 * hv].reshape(hk, G)
+    ba_cols = np.concatenate(
+        [np.concatenate([b[h], a[h]]) for h in range(hk)]
+    )
+    w_ba = np.tile(ba_cols[None, :], (cfg.hidden_size, 1))
+    fixed = m.checkpoint_fixup("model.layers.0.linear_attn.in_proj_ba.weight", w_ba)
+    np.testing.assert_array_equal(fixed[0], flat[:2 * hv])
+
+    conv = np.zeros((m.conv_dim, 1, m.conv_w))
+    fixed = m.checkpoint_fixup("model.layers.0.linear_attn.conv1d.weight", conv)
+    assert fixed.shape == (m.conv_dim, m.conv_w)
+    # non-GDN tensors untouched
+    w = np.ones((4, 4))
+    assert m.checkpoint_fixup("model.layers.1.self_attn.q_proj.weight", w) is w

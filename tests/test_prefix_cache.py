@@ -88,6 +88,41 @@ def test_match_tokens_admission_helper():
     assert pc.match_tokens([5] + tokens, 4) == 0
 
 
+def test_match_tokens_against_engine_populated_cache():
+    """match_tokens must agree with the production insert path (BlockEngine
+    hashes via host_ops.chain_hashes); VERDICT r1 weak #4."""
+    from candle_vllm_tpu.engine.block_engine import BlockEngine
+    from candle_vllm_tpu.engine.sequence import Sequence
+
+    be = BlockEngine(block_size=4, num_gpu_blocks=16, num_cpu_blocks=0)
+    seq = Sequence(0, list(range(10)))
+    be.allocate(seq)
+    seq.num_computed_tokens = 10  # all prompt KV written
+    seq.append_token(42)
+    be.free(seq, cache_prefix=True)
+    assert be.prefix_cache.match_tokens(list(range(10)), 4) == 8
+    assert be.prefix_cache.match_tokens([7] + list(range(10)), 4) == 0
+    # a new request with the same prompt hits the cached prefix
+    seq2 = Sequence(1, list(range(10)))
+    assert be.allocate(seq2) == 8
+
+
+def test_free_never_caches_uncomputed_final_block():
+    """A finished sequence whose length is block-aligned must not cache the
+    final block — its last token's KV was never computed (ADVICE r1 #1)."""
+    from candle_vllm_tpu.engine.block_engine import BlockEngine
+    from candle_vllm_tpu.engine.sequence import Sequence
+
+    be = BlockEngine(block_size=4, num_gpu_blocks=16, num_cpu_blocks=0)
+    seq = Sequence(0, list(range(7)))
+    be.allocate(seq)
+    seq.num_computed_tokens = 7
+    seq.append_token(99)  # len now 8 == 2 blocks, but KV for token 8 unwritten
+    be.free(seq, cache_prefix=True)
+    # only the first (fully computed) block is cached
+    assert be.prefix_cache.match_tokens(list(range(7)) + [99], 4) == 4
+
+
 def test_seed_isolation():
     """Image-seeded chains must not collide with text chains
     (reference: mix_seed, prefix_cache.rs:371-383)."""

@@ -375,3 +375,53 @@ def test_quant_config_normalization_modelopt_mxfp4():
     assert f8.method == "fp8"
     mx = QuantConfig.from_hf({"quant_method": "mxfp4"})
     assert mx.method == "mxfp4" and mx.group_size == 32
+
+
+def test_fp8_scale_shapes_scalar_and_per_channel():
+    """Standard compressed-tensors FP8 checkpoints ship per-tensor scalar
+    or per-channel [out, 1] weight scales (ADVICE r1 #5)."""
+    import ml_dtypes
+    import numpy as np
+    from candle_vllm_tpu.ops.quant import dequant_fp8_blockwise, fp8_e4m3_to_float
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(8, 16)).astype(np.float32)
+    bits = w.astype(ml_dtypes.float8_e4m3fn).view(np.uint8)
+    base = fp8_e4m3_to_float(bits)
+    # scalar
+    out = dequant_fp8_blockwise(bits, np.float32(0.5), (128, 128))
+    np.testing.assert_allclose(out, base * 0.5, rtol=1e-6)
+    out = dequant_fp8_blockwise(bits, np.array([0.5], np.float32), (128, 128))
+    np.testing.assert_allclose(out, base * 0.5, rtol=1e-6)
+    # per-channel [out] and [out, 1]
+    s = rng.uniform(0.1, 2.0, size=(8,)).astype(np.float32)
+    out = dequant_fp8_blockwise(bits, s, (128, 128))
+    np.testing.assert_allclose(out, base * s[:, None], rtol=1e-6)
+    out = dequant_fp8_blockwise(bits, s[:, None], (128, 128))
+    np.testing.assert_allclose(out, base * s[:, None], rtol=1e-6)
+
+
+def test_quant_config_compressed_tensors_gating():
+    """compressed-tensors maps to fp8 only for FP8 weight schemes;
+    int-packed (wNa16) configs must not be mis-dispatched (ADVICE r1 #5)."""
+    from candle_vllm_tpu.config import QuantConfig
+
+    f8 = QuantConfig.from_hf({
+        "quant_method": "compressed-tensors",
+        "config_groups": {"group_0": {"weights": {
+            "type": "float", "num_bits": 8, "strategy": "channel"}}},
+    })
+    assert f8 is not None and f8.method == "fp8"
+    w4 = QuantConfig.from_hf({
+        "quant_method": "compressed-tensors",
+        "config_groups": {"group_0": {"weights": {
+            "type": "int", "num_bits": 4, "strategy": "group"}}},
+    })
+    assert w4 is None
+    blk = QuantConfig.from_hf({
+        "quant_method": "compressed-tensors",
+        "config_groups": {"group_0": {"weights": {
+            "type": "float", "num_bits": 8, "strategy": "block",
+            "block_structure": [128, 128]}}},
+    })
+    assert blk is not None and blk.weight_block_size == [128, 128]
