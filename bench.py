@@ -51,6 +51,8 @@ def main() -> None:
     ap.add_argument("--config", default="8b_w4a16", choices=sorted(CONFIGS))
     ap.add_argument("--ctx", type=int, default=1024)
     ap.add_argument("--decode-steps", type=int, default=256)
+    ap.add_argument("--engine-steps", type=int, default=128)
+    ap.add_argument("--skip-engine", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -180,6 +182,40 @@ def main() -> None:
     dt = max(d_long - d_short, 1e-9) / DECODE_STEPS
     toks_per_s = 1.0 / dt
 
+    # ---- engine-path decode (what serving users actually get) -----------
+    # Drives LLMEngine.step(): scheduler + input build + jitted step +
+    # host token fetch per step (reference harness: examples/benchmark.py
+    # measures the same serving path).
+    engine_tok_s = engine_ttft_ms = None
+    if not args.skip_engine:
+        del kv_pages, kv_warm, logits, logits2  # free HBM for engine KV
+        from candle_vllm_tpu.config import CacheConfig, SchedulerConfig
+        from candle_vllm_tpu.engine.llm_engine import LLMEngine
+        from candle_vllm_tpu.sampling_params import SamplingParams
+
+        n_blocks = (CTX + args.engine_steps + 64) // 16 + 8
+        eng = LLMEngine(
+            cfg,
+            CacheConfig(block_size=16, num_gpu_blocks=n_blocks,
+                        num_cpu_blocks=0),
+            SchedulerConfig(max_model_len=cfg.max_model_len,
+                            enable_prefix_caching=False),
+            params=params,
+        )
+        sp = SamplingParams(temperature=0.0, ignore_eos=True,
+                            max_tokens=args.engine_steps + 32)
+        eng.add_request("bench", prompt_token_ids=list(prompt), sampling_params=sp)
+        t0 = time.time()
+        eng.step()  # prefill
+        engine_ttft_ms = (time.time() - t0) * 1e3
+        for _ in range(8):  # warm decode shapes
+            eng.step()
+        t0 = time.time()
+        for _ in range(args.engine_steps):
+            eng.step()
+        d_eng = time.time() - t0
+        engine_tok_s = args.engine_steps / d_eng
+
     hbm_bw = 819e9  # v5e
     sol_toks = hbm_bw / stream_bytes
     result = {
@@ -193,6 +229,8 @@ def main() -> None:
             "stream_bytes": stream_bytes,
             "param_bytes": param_bytes,
             "ttft_ms_1k_prompt": round(ttft * 1e3, 1),
+            "engine_decode_tok_s": round(engine_tok_s, 2) if engine_tok_s else None,
+            "engine_ttft_ms": round(engine_ttft_ms, 1) if engine_ttft_ms else None,
             "backend": jax.default_backend(),
             "reference_baseline_tok_s": baseline,
         },

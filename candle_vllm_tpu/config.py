@@ -131,6 +131,9 @@ class RopeScaling:
     # llama3
     low_freq_factor: float = 1.0
     high_freq_factor: float = 4.0
+    # longrope / su (Phi3/Phi4): per-dim-pair rescale factors
+    short_factor: Optional[List[float]] = None
+    long_factor: Optional[List[float]] = None
 
     @classmethod
     def from_hf(cls, rs: Optional[Dict[str, Any]]) -> Optional["RopeScaling"]:
@@ -148,7 +151,29 @@ class RopeScaling:
             mscale_all_dim=float(rs.get("mscale_all_dim", 0.0)),
             low_freq_factor=float(rs.get("low_freq_factor", 1.0)),
             high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
+            short_factor=rs.get("short_factor"),
+            long_factor=rs.get("long_factor"),
         )
+
+
+# hybrid GDN config keys preserved in ModelConfig.extra (reference:
+# qwen3_hybrid_raw_from_extra_config / resolve_qwen3_hybrid_config,
+# models/mod.rs:972-1033)
+_HYBRID_EXTRA_KEYS = (
+    "linear_num_value_heads", "linear_num_key_heads", "linear_key_head_dim",
+    "linear_value_head_dim", "linear_conv_kernel_dim", "linear_num_heads",
+    "linear_num_key_value_heads", "conv_kernel_size",
+    "full_attention_interval", "layers_block_type",
+)
+
+_QWEN35_NEXT_ARCHS = (
+    "Qwen3NextForCausalLM",
+    "Qwen3NextForConditionalGeneration",
+    "Qwen3_5ForCausalLM",
+    "Qwen3_5ForConditionalGeneration",
+    "Qwen3_5MoeForCausalLM",
+    "Qwen3_5MoeForConditionalGeneration",
+)
 
 
 @dataclass
@@ -180,6 +205,10 @@ class ModelConfig:
     sliding_window_pattern: Optional[int] = None
     layer_types: Optional[List[str]] = None  # explicit per-layer attn types
     use_qk_norm: bool = False
+    # Qwen3.5/Qwen3-Next: q_proj emits [q | gate] per head (2x width) and
+    # the attention output is multiplied by sigmoid(gate)
+    # (reference: attention.rs:416-423, 620-643)
+    attn_output_gate: bool = False
     logit_softcapping: Optional[float] = None
     attn_logit_softcapping: Optional[float] = None
     hidden_act: str = "silu"
@@ -330,7 +359,11 @@ class ModelConfig:
             qk_rope_head_dim=cfg.get("qk_rope_head_dim"),
             qk_nope_head_dim=cfg.get("qk_nope_head_dim"),
             v_head_dim=cfg.get("v_head_dim"),
-            extra={k: v for k, v in cfg.items() if k.startswith("_")},
+            extra={
+                k: v
+                for k, v in cfg.items()
+                if k.startswith("_") or k in _HYBRID_EXTRA_KEYS
+            },
         )
         mt = mc.model_type or ""
         if mt == "phi":
@@ -367,6 +400,17 @@ class ModelConfig:
                 )
             if mt in ("gemma3", "gemma3_text") and "use_qk_norm" not in cfg:
                 mc.use_qk_norm = True
+        if mc.architecture == "MiniMaxM2ForCausalLM" and mc.moe is not None:
+            # reference forces top-k weight renormalization on MiniMax
+            # (minimax.rs:181-188)
+            mc.moe.norm_topk_prob = True
+        if mc.architecture in _QWEN35_NEXT_ARCHS:
+            # Qwen3-Next / Qwen3.5: zero-centered (1+w) RMSNorm everywhere,
+            # per-head QK-norm, gated attention output (reference:
+            # attention.rs:401-423 is_qwen35_or_next; HF Qwen3NextRMSNorm)
+            mc.norm_unit_offset = True
+            mc.use_qk_norm = True
+            mc.attn_output_gate = True
         for k, v in overrides.items():
             setattr(mc, k, v)
         return mc

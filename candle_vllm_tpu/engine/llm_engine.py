@@ -240,7 +240,11 @@ class LLMEngine:
 
         self.stats = EngineStats()
 
-        self._jit_step = jax.jit(self._device_step, donate_argnums=(1,))
+        self._jit_step = jax.jit(
+            self._device_step,
+            donate_argnums=(1,),
+            static_argnames=("want_logprobs", "greedy_only", "penalties"),
+        )
 
     # -- the single-dispatch device step -----------------------------------
     def _device_step(
@@ -252,6 +256,10 @@ class LLMEngine:
         copy_dst: jnp.ndarray,
         st: SamplingTensors,
         key: jax.Array,
+        *,
+        want_logprobs: bool = False,
+        greedy_only: bool = False,
+        penalties: bool = True,
     ):
         def _copy(p):
             if isinstance(p, dict):  # GDN state pool: no block COW
@@ -265,10 +273,16 @@ class LLMEngine:
 
         kv_pages = [_copy(p) for p in kv_pages]
         logits, kv_pages = self.model.forward(params, kv_pages, step)
-        tokens, logprobs = sample(logits, st, key)
-        # top-k alternatives for the API's logprobs field
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        top_vals, top_ids = jax.lax.top_k(logp, 8)
+        tokens, logprobs = sample(
+            logits, st, key, greedy_only=greedy_only, penalties=penalties
+        )
+        # top-k alternatives for the API's logprobs field — only compiled
+        # in when some scheduled request asked for logprobs (a full-vocab
+        # log_softmax + top_k is pure wasted bandwidth otherwise)
+        top_vals = top_ids = None
+        if want_logprobs:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            top_vals, top_ids = jax.lax.top_k(logp, 8)
         return tokens, logprobs, top_vals, top_ids, kv_pages
 
     # -- request intake ----------------------------------------------------
@@ -374,7 +388,10 @@ class LLMEngine:
         self._key, sub = jax.random.split(self._key)
         want_logprobs = any(p.logprobs for p in rows_params)
         tokens, logprobs, top_vals, top_ids, self.kv_pages = self._jit_step(
-            self.params, self.kv_pages, plan.step, copy_src, copy_dst, st, sub
+            self.params, self.kv_pages, plan.step, copy_src, copy_dst, st, sub,
+            want_logprobs=want_logprobs,
+            greedy_only=all(p.is_greedy for p in rows_params),
+            penalties=any(p.has_penalties for p in rows_params),
         )
         tokens = np.asarray(tokens)
         logprobs = np.asarray(logprobs)

@@ -40,6 +40,11 @@ from candle_vllm_tpu.ops.rope import apply_rope, compute_cos_sin, make_rope_spec
 @register(
     "DeepseekV2ForCausalLM",
     "DeepseekV3ForCausalLM",
+    # GLM-4.x MoE-lite / GLM MoE DSA reuse the DeepSeek MLA + first-k-dense
+    # MoE stack with interleaved (GPT-J) rotary (reference:
+    # glm4_moe_lite.rs:339-420 MlaConfig::from_config, is_gpt_neox=false)
+    "Glm4MoeLiteForCausalLM",
+    "GlmMoeDsaForCausalLM",
 )
 class DeepseekForCausalLM(LlamaForCausalLM):
     def __init__(self, config, mesh=None):

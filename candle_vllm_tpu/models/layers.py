@@ -92,6 +92,10 @@ class AttnLayerSpec:
     use_qk_norm: bool = False
     qk_norm_eps: float = 1e-6
     norm_unit_offset: bool = False  # gemma (1 + w) convention
+    # Qwen3.5/Qwen3-Next gated output: q_proj emits [q | gate] per head
+    # (2x width) and y *= sigmoid(gate) before o_proj
+    # (reference: attention.rs:620-643, 724-735)
+    attn_output_gate: bool = False
 
 
 def paged_attention_with_write(
@@ -208,22 +212,39 @@ def attention_block(
     spec = layer.attn
     H, K, D = spec.num_q_heads, spec.num_kv_heads, spec.head_dim
 
+    q_width = H * D * (2 if layer.attn_output_gate else 1)
     if _has_linear(params, f"{prefix}.qkv_proj"):
         qkv = linear(x, params, f"{prefix}.qkv_proj")
-        q = qkv[:, : H * D].reshape(T, H, D)
-        k = qkv[:, H * D : (H + K) * D].reshape(T, K, D)
-        v = qkv[:, (H + K) * D :].reshape(T, K, D)
+        q = qkv[:, :q_width]
+        k = qkv[:, q_width : q_width + K * D].reshape(T, K, D)
+        v = qkv[:, q_width + K * D :].reshape(T, K, D)
     else:
-        q = linear(x, params, f"{prefix}.q_proj").reshape(T, H, D)
+        q = linear(x, params, f"{prefix}.q_proj")
         k = linear(x, params, f"{prefix}.k_proj").reshape(T, K, D)
         v = linear(x, params, f"{prefix}.v_proj").reshape(T, K, D)
+    gate = None
+    if layer.attn_output_gate:
+        qg = q.reshape(T, H, 2 * D)
+        q, gate = qg[..., :D], qg[..., D:]
+    else:
+        q = q.reshape(T, H, D)
 
-    if layer.use_qk_norm:
-        # Qwen3/Gemma3-style per-head rms norm on q/k (attention.rs QK-norm)
-        q = rms_norm(q, params[f"{prefix}.q_norm.weight"], layer.qk_norm_eps,
-                     add_unit_offset=layer.norm_unit_offset)
-        k = rms_norm(k, params[f"{prefix}.k_norm.weight"], layer.qk_norm_eps,
-                     add_unit_offset=layer.norm_unit_offset)
+    # QK-norm is presence-driven like the reference (attention.rs:515-537
+    # tries per-head then full-dim weight shapes): per-head when the weight
+    # is [D], full-dim when it is [H*D] (MiniMax-M2 style)
+    qn = params.get(f"{prefix}.q_norm.weight")
+    kn = params.get(f"{prefix}.k_norm.weight")
+    if qn is not None and kn is not None:
+        if qn.shape[-1] == D:
+            q = rms_norm(q, qn, layer.qk_norm_eps,
+                         add_unit_offset=layer.norm_unit_offset)
+            k = rms_norm(k, kn, layer.qk_norm_eps,
+                         add_unit_offset=layer.norm_unit_offset)
+        else:  # full-dim
+            q = rms_norm(q.reshape(T, H * D), qn, layer.qk_norm_eps,
+                         add_unit_offset=layer.norm_unit_offset).reshape(T, H, D)
+            k = rms_norm(k.reshape(T, K * D), kn, layer.qk_norm_eps,
+                         add_unit_offset=layer.norm_unit_offset).reshape(T, K, D)
 
     cos, sin = cos_sin
     q = apply_rope(q, cos, sin, rope)
@@ -232,6 +253,8 @@ def attention_block(
     out, kv_pages = paged_attention_with_write(
         q, k, v, kv_pages, step, spec, mesh=mesh
     )
+    if gate is not None:
+        out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
     out = linear(out.reshape(T, H * D), params, f"{prefix}.o_proj")
     return out, kv_pages
 
@@ -257,6 +280,7 @@ def make_attn_specs(config: ModelConfig) -> "list[AttnLayerSpec]":
                 use_qk_norm=config.use_qk_norm,
                 qk_norm_eps=config.rms_norm_eps,
                 norm_unit_offset=config.norm_unit_offset,
+                attn_output_gate=config.attn_output_gate,
             )
         )
     return specs

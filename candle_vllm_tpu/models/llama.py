@@ -43,6 +43,7 @@ Params = Dict[str, jnp.ndarray]
     "Gemma3ForCausalLM",
     "Gemma3ForConditionalGeneration",
     "Phi3ForCausalLM",
+    "Phi4ForCausalLM",
     "PhiForCausalLM",
     "StableLmForCausalLM",
     "StableLmEpochForCausalLM",
@@ -88,12 +89,13 @@ class LlamaForCausalLM:
             if c.sandwich_norms:
                 shapes[f"{p}.pre_feedforward_layernorm.weight"] = (c.hidden_size,)
                 shapes[f"{p}.post_feedforward_layernorm.weight"] = (c.hidden_size,)
-            shapes[f"{p}.self_attn.q_proj.weight"] = (c.hidden_size, H * D)
+            qw = H * D * (2 if c.attn_output_gate else 1)
+            shapes[f"{p}.self_attn.q_proj.weight"] = (c.hidden_size, qw)
             shapes[f"{p}.self_attn.k_proj.weight"] = (c.hidden_size, K * D)
             shapes[f"{p}.self_attn.v_proj.weight"] = (c.hidden_size, K * D)
             shapes[f"{p}.self_attn.o_proj.weight"] = (H * D, c.hidden_size)
             if c.qkv_bias:
-                shapes[f"{p}.self_attn.q_proj.bias"] = (H * D,)
+                shapes[f"{p}.self_attn.q_proj.bias"] = (qw,)
                 shapes[f"{p}.self_attn.k_proj.bias"] = (K * D,)
                 shapes[f"{p}.self_attn.v_proj.bias"] = (K * D,)
             if c.o_bias:

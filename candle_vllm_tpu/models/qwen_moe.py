@@ -21,6 +21,10 @@ from candle_vllm_tpu.models.registry import register
     "Qwen2MoeForCausalLM",
     "Qwen3MoeForCausalLM",
     "Glm4MoeForCausalLM",
+    # MiniMax-M2: Qwen-MoE-shaped dense-attention MoE; config normalization
+    # (forced norm_topk_prob, moe_intermediate_size default) happens in
+    # ModelConfig.from_hf (reference: minimax.rs:150-193)
+    "MiniMaxM2ForCausalLM",
 )
 class QwenMoeForCausalLM(LlamaForCausalLM):
     def is_moe_layer(self, i: int) -> bool:

@@ -26,7 +26,7 @@ from candle_vllm_tpu.ops.kv_cache import allocate_kv_pages
 from candle_vllm_tpu.ops.norms import rms_norm
 
 
-@register("Qwen3NextForCausalLM")
+@register("Qwen3NextForCausalLM", "Qwen3NextForConditionalGeneration")
 class Qwen3NextForCausalLM(QwenMoeForCausalLM):
     """Hybrid decoder; extra config carried in ModelConfig.extra:
     linear_num_value_heads / linear_num_key_heads / linear_key_head_dim /
@@ -35,18 +35,40 @@ class Qwen3NextForCausalLM(QwenMoeForCausalLM):
     def __init__(self, config, mesh=None):
         super().__init__(config, mesh=mesh)
         e = config.extra
-        self.hv = int(e.get("linear_num_value_heads", 8))
-        self.hk = int(e.get("linear_num_key_heads", 4))
-        self.dk = int(e.get("linear_key_head_dim", 64))
-        self.dv = int(e.get("linear_value_head_dim", 64))
-        self.conv_w = int(e.get("linear_conv_kernel_dim", 4))
+        n = config.num_hidden_layers
+        hv_default = e.get("linear_num_heads", config.num_attention_heads)
+        self.hv = int(e.get("linear_num_value_heads", hv_default))
+        self.hk = int(
+            e.get("linear_num_key_heads",
+                  e.get("linear_num_key_value_heads", self.hv))
+        )
+        self.dk = int(e.get("linear_key_head_dim", config.head_dim))
+        self.dv = int(e.get("linear_value_head_dim", self.dk))
+        self.conv_w = int(
+            e.get("linear_conv_kernel_dim", e.get("conv_kernel_size", 4))
+        )
         self.key_dim = self.hk * self.dk
         self.value_dim = self.hv * self.dv
         self.conv_dim = 2 * self.key_dim + self.value_dim
-        lt = config.layer_types or []
+        # layer-type resolution (reference: resolve_qwen3_hybrid_config,
+        # models/mod.rs:972-1033): explicit layer_types / layers_block_type,
+        # else full_attention_interval, else all-full-attention
+        lt = config.layer_types or e.get("layers_block_type")
+        if lt is None:
+            interval = int(e.get("full_attention_interval", 0) or 0)
+            if interval > 0:
+                lt = [
+                    "full_attention" if (i + 1) % interval == 0
+                    else "linear_attention"
+                    for i in range(n)
+                ]
+            else:
+                lt = ["full_attention"] * n
+        lt = ["full_attention" if t == "attention" else t for t in lt]
+        if len(lt) != n:
+            lt = ["full_attention"] * n
         self.gdn_layers = [
-            i for i in range(config.num_hidden_layers)
-            if (lt[i] if i < len(lt) else "linear_attention") == "linear_attention"
+            i for i in range(n) if lt[i] == "linear_attention"
         ]
 
     def is_gdn(self, i: int) -> bool:
@@ -160,13 +182,26 @@ class Qwen3NextForCausalLM(QwenMoeForCausalLM):
         step: StepInput,
     ) -> Tuple[jnp.ndarray, Dict]:
         T = x.shape[0]
-        qkvz = linear(x, params, f"{g}.in_proj_qkvz")
-        ba = linear(x, params, f"{g}.in_proj_ba")
         kd, vd = self.key_dim, self.value_dim
-        mixed_qkv = qkvz[:, : 2 * kd + vd]
-        z = qkvz[:, 2 * kd + vd :].reshape(T, self.hv, self.dv)
-        b = ba[:, : self.hv]
-        a = ba[:, self.hv :]
+        if f"{g}.in_proj_qkvz.weight" in params:
+            # fused layout (Qwen3-Next checkpoints; per-key-head grouping
+            # already flattened at load by checkpoint_fixup)
+            qkvz = linear(x, params, f"{g}.in_proj_qkvz")
+            ba = linear(x, params, f"{g}.in_proj_ba")
+            mixed_qkv = qkvz[:, : 2 * kd + vd]
+            z = qkvz[:, 2 * kd + vd :].reshape(T, self.hv, self.dv)
+            b = ba[:, : self.hv]
+            a = ba[:, self.hv :]
+        else:
+            # Qwen3.5 split layout: in_proj_qkv / in_proj_z / in_proj_b /
+            # in_proj_a, already flat [q|k|v] (reference: GdnProjection::
+            # SplitQkvZaLegacy, deltanet.rs:153-246)
+            mixed_qkv = linear(x, params, f"{g}.in_proj_qkv")
+            z = linear(x, params, f"{g}.in_proj_z").reshape(
+                T, self.hv, self.dv
+            )
+            b = linear(x, params, f"{g}.in_proj_b")
+            a = linear(x, params, f"{g}.in_proj_a")
         out, rec, conv = gdn_mixed(
             mixed_qkv, z, a, b,
             params[f"{g}.conv1d.weight"],
@@ -193,8 +228,9 @@ class Qwen3NextForCausalLM(QwenMoeForCausalLM):
         new_caches: List = []
         for i in range(c.num_hidden_layers):
             p = f"model.layers.{i}"
-            h = rms_norm(x, params[f"{p}.input_layernorm.weight"],
-                         c.rms_norm_eps)
+            # _norm honors the zero-centered (1+w) convention these models
+            # use (config.norm_unit_offset; HF Qwen3NextRMSNorm)
+            h = self._norm(params, x, f"{p}.input_layernorm")
             if self.is_gdn(i):
                 attn_out, cache = self._gdn_block(
                     params, f"{p}.linear_attn", h, kv_pages[i], step
@@ -206,8 +242,36 @@ class Qwen3NextForCausalLM(QwenMoeForCausalLM):
                 )
             new_caches.append(cache)
             x = x + attn_out
-            h = rms_norm(x, params[f"{p}.post_attention_layernorm.weight"],
-                         c.rms_norm_eps)
+            h = self._norm(params, x, f"{p}.post_attention_layernorm")
             x = x + self._mlp_block(params, f"{p}.mlp", h, i)
-        x = rms_norm(x, params["model.norm.weight"], c.rms_norm_eps)
+        x = self._norm(params, x, "model.norm")
         return x, new_caches
+
+
+@register(
+    "Qwen3_5ForCausalLM",
+    "Qwen3_5ForConditionalGeneration",
+    "Qwen3_5MoeForCausalLM",
+    "Qwen3_5MoeForConditionalGeneration",
+)
+class Qwen3_5ForCausalLM(Qwen3NextForCausalLM):
+    """Qwen3.5 dense/MoE hybrids (reference: qwen3_5.rs).  Same decoder as
+    Qwen3-Next; checkpoints ship the GDN input projections SPLIT
+    (in_proj_qkv / in_proj_z / in_proj_b / in_proj_a, already flat —
+    reference: GdnProjection::SplitQkvZaLegacy, deltanet.rs:153-246), which
+    ``_gdn_block`` dispatches on at forward time."""
+
+    def param_shapes(self) -> Dict[str, Tuple[int, ...]]:
+        shapes = super().param_shapes()
+        c = self.config
+        for i in self.gdn_layers:
+            g = f"model.layers.{i}.linear_attn"
+            shapes.pop(f"{g}.in_proj_qkvz.weight")
+            shapes.pop(f"{g}.in_proj_ba.weight")
+            shapes[f"{g}.in_proj_qkv.weight"] = (
+                c.hidden_size, 2 * self.key_dim + self.value_dim
+            )
+            shapes[f"{g}.in_proj_z.weight"] = (c.hidden_size, self.value_dim)
+            shapes[f"{g}.in_proj_b.weight"] = (c.hidden_size, self.hv)
+            shapes[f"{g}.in_proj_a.weight"] = (c.hidden_size, self.hv)
+        return shapes

@@ -6,17 +6,28 @@ weights stream from HBM in their packed form (half or quarter the bf16
 bytes — decode is weight-bandwidth-bound, so packed bytes ARE the
 speedup), unpack + scale on the VPU, and feed the MXU tile by tile.
 
-Speed-of-light notes (v5e):
-- 4-bit nibbles are stored **biased** (see ops/quant.py pack_int4) so the
-  unpack is pure float arithmetic on the uint8 byte value: one convert +
-  mul + floor + fma per byte (~2 VPU ops/element) — Mosaic has no int8
-  vector shifts, and i32 widening costs 4x register pressure.
+Speed-of-light notes (v5e, 819 GB/s nominal HBM):
+- Weights live TILE-CONTIGUOUS in HBM: ``[OUT/TO, IN, TO/2]`` so each
+  grid step's weight block is ONE contiguous DMA (the Marlin-repack
+  analogue).  Measured vs the flat ``[IN, OUT/2]`` layout whose blocks
+  are 128-byte strided bursts: 916 GB/s vs 451 GB/s at 4096x14336, T=8
+  (tools/bench_quant_matmul.py; read-ceiling probe 886 GB/s).
+- The nibble unpack is pure f32 VPU math on the int8 byte value b:
+  hi = floor(b * 0.0625) == b >> 4 exactly for int8, and the low nibble
+  is never materialized — its partial product is recovered on the tiny
+  [T, TO] tile as plo = x@b - 16*(x@hi).  The earlier int32
+  shift_right_arithmetic unpack capped the kernel at ~500 GB/s; the
+  f32 form runs at the HBM read ceiling.  (v5e has no int8 vector
+  shifts and no bf16 ALU; i32 widening costs 4x register pressure.)
 - Scales are NOT applied elementwise to the weight tile.  The matmul is
   split per quantization group and the scale applied to the [T, TO]
-  partial product (T·TO ops per group instead of G·TO), with the +8 bias
-  removed by one small correction matmul against host-precomputed
-  per-group activation sums: x @ ((n-8)*s) = Σ_g s_g*(x_g @ n_g) -
-  8*(xgs @ s).
+  partial product (T*TO ops per group instead of G*TO), with the +8
+  bias of the low nibble removed by the group's activation row-sum:
+  x @ ((n-8)*s) = s*(x @ n) - 8*s*sum(x).
+- Large T (prefill) is MXU-bound, not weight-bound: the fused kernel
+  pays 2 dots per group plus per-T-tile re-unpack, so above
+  ``PREFILL_T_THRESHOLD`` we dequantize to bf16 with XLA ops and run a
+  single plain dot (XLA fuses the unpack into the dot's LHS stream).
 """
 
 from __future__ import annotations
@@ -28,11 +39,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from candle_vllm_tpu.ops.quant import QTILE_OUT
+# Above this many query rows the dequant-to-bf16 + plain-dot path wins
+# (the fused kernel's 2x MXU work and per-tile unpack dominate once the
+# matmul stops being weight-bandwidth-bound).
+PREFILL_T_THRESHOLD = 64
 
 
 def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
-            has_zoff: bool):
+            has_zoff: bool, TI: int):
     if has_zoff:
         z_ref, out_ref, acc_ref = rest
     else:
@@ -45,20 +59,16 @@ def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    p = qw_ref[...]                       # [TI, TO/2] int8 (w4) | [TI, TO]
-    s = s_ref[...]                        # [TI/group, TO] bf16
-    x = x_ref[...]
+    p = qw_ref[0]                  # [TI, TO/2] (w4) | [TI, TO] (int8)
+    s = s_ref[...]                 # [TI/group, TO] bf16
+    x = x_ref[:, pl.ds(i * TI, TI)]   # resident activations, aligned slice
     acc = acc_ref[...]
     if w4:
-        # 4 VPU ops/byte: widen, arithmetic shift (signed hi nibble), and
-        # two i32->bf16 converts.  The low nibble is NEVER materialized:
-        # with pf = byte value = lo + 16*hi, the low partial product is
-        # recovered on the tiny [T, TO] tile as plo = x@pf - 16*(x@hi).
-        # (v5e has no bf16 vector ALU and no int8 vector shifts.)
-        p32 = p.astype(jnp.int32)
-        hi = jax.lax.shift_right_arithmetic(p32, 4).astype(jnp.bfloat16)
-        pf = p32.astype(jnp.bfloat16)
-        TI, TOH = pf.shape
+        # f32 unpack: hi = floor(b/16) == b >> 4 exactly for int8 range.
+        pf32 = p.astype(jnp.float32)
+        hi = jnp.floor(pf32 * 0.0625).astype(jnp.bfloat16)
+        pf = pf32.astype(jnp.bfloat16)
+        TOH = pf.shape[1]
         acc_lo = acc[:, :TOH]
         acc_hi = acc[:, TOH:]
         for gi in range(TI // group):
@@ -79,15 +89,11 @@ def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
         acc_ref[:, :TOH] = acc_lo
         acc_ref[:, TOH:] = acc_hi
     else:
-        n = p.astype(jnp.bfloat16)              # signed, no bias
-        TI, TO = n.shape
+        n = p.astype(jnp.float32).astype(jnp.bfloat16)   # signed, no bias
         for gi in range(TI // group):
-            xb = x[:, gi * group : (gi + 1) * group]
-            partial = jnp.dot(
-                xb,
-                n[gi * group : (gi + 1) * group, :],
-                preferred_element_type=jnp.float32,
-            )
+            sl = slice(gi * group, (gi + 1) * group)
+            partial = jnp.dot(x[:, sl], n[sl],
+                              preferred_element_type=jnp.float32)
             acc = acc + partial * s[gi, :][None, :].astype(jnp.float32)
         acc_ref[...] = acc
 
@@ -96,10 +102,41 @@ def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
+def dequant_w4_jnp(qweight: jnp.ndarray, scales: jnp.ndarray,
+                   zoffs: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Tiled-packed w4 -> [IN, OUT] f32 via XLA ops (oracle + prefill)."""
+    n_tiles, n_in, half = qweight.shape
+    pu = jax.lax.bitcast_convert_type(qweight, jnp.uint8)
+    p32 = qweight.astype(jnp.int32)
+    lo = (pu & 0xF).astype(jnp.int32) - 8
+    hi = jax.lax.shift_right_arithmetic(p32, 4)
+    # [tiles, in, 2, half] -> [in, tiles, 2*half]
+    q = jnp.stack([lo, hi], axis=2).transpose(1, 0, 2, 3).reshape(
+        n_in, n_tiles * 2 * half
+    )
+    g = n_in // scales.shape[0]
+    w = q.astype(jnp.float32).reshape(n_in // g, g, -1)
+    w = w * scales.astype(jnp.float32)[:, None, :]
+    w = w.reshape(n_in, -1)
+    if zoffs is not None:
+        w = w - jnp.repeat(zoffs.astype(jnp.float32), g, axis=0)
+    return w
+
+
+def dequant_int8_jnp(qweight: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """Tiled int8 [tiles, IN, TO] -> [IN, OUT] f32 via XLA ops."""
+    n_tiles, n_in, TO = qweight.shape
+    q = qweight.transpose(1, 0, 2).reshape(n_in, n_tiles * TO)
+    g = n_in // scales.shape[0]
+    w = q.astype(jnp.float32).reshape(n_in // g, g, -1)
+    w = w * scales.astype(jnp.float32)[:, None, :]
+    return w.reshape(n_in, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("w4", "interpret"))
 def quant_matmul_pallas(
     x: jnp.ndarray,        # [T, IN] bf16/f32
-    qweight: jnp.ndarray,  # [IN, OUT/2] int8 (w4) | [IN, OUT] int8
+    qweight: jnp.ndarray,  # [OUT/TO, IN, TO/2] int8 (w4) | [OUT/TO, IN, TO]
     scales: jnp.ndarray,   # [IN/g, OUT]
     zoffs: jnp.ndarray | None = None,  # [IN/g, OUT] (GPTQ/AWQ zero*scale)
     *,
@@ -110,15 +147,27 @@ def quant_matmul_pallas(
         interpret = jax.default_backend() != "tpu"
     T, IN = x.shape
     OUT = scales.shape[1]
+    n_tiles = qweight.shape[0]
+    TO = OUT // n_tiles
     group = IN // scales.shape[0]
-    TO = QTILE_OUT
-    assert OUT % TO == 0, (OUT, TO)
-    # deepest input pass that fits VMEM: fewer grid steps pipeline better
-    # (measured: TI=4096 445 GB/s vs TI=1024 334 GB/s at 4096x14336 w4)
-    ti_cap = 8192 if T <= 16 else (4096 if T <= 64 else 1024)
-    TI = group
+
+    if T > PREFILL_T_THRESHOLD:
+        # prefill: MXU-bound — dequant once, single plain dot
+        if w4:
+            w = dequant_w4_jnp(qweight, scales, zoffs)
+        else:
+            w = dequant_int8_jnp(qweight, scales)
+        return jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+
+    # deepest contiguous input pass that fits VMEM; fewer grid steps
+    # pipeline better (measured 916 GB/s at TI=4096, TO=512).  The scales
+    # block is [TI/group, TO]: Mosaic needs its sublane dim divisible by 8
+    # unless it spans the whole array, hence TI % (8*group) == 0 or TI == IN.
+    ti_cap = 4096
+    TI = IN  # single input pass (scales block spans the whole array)
     for t in range(min(IN, ti_cap), group - 1, -group):
-        if IN % t == 0:
+        if IN % t == 0 and ((t // group) % 8 == 0 or t == IN):
             TI = t
             break
     Tp = max(8, T)
@@ -128,14 +177,15 @@ def quant_matmul_pallas(
     x = x.astype(jnp.bfloat16)
 
     TOH = TO // 2 if w4 else TO
-    grid = (OUT // TO, IN // TI)
+    grid = (n_tiles, IN // TI)
     has_zoff = zoffs is not None
     scale_spec = pl.BlockSpec(
         (TI // group, TO), lambda o, i: (i, o), memory_space=pltpu.VMEM
     )
     in_specs = [
-        pl.BlockSpec((Tp, TI), lambda o, i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((TI, TOH), lambda o, i: (i, o), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Tp, IN), lambda o, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TI, TOH), lambda o, i: (o, i, 0),
+                     memory_space=pltpu.VMEM),
         scale_spec,
     ]
     inputs = [x, qweight, scales.astype(jnp.bfloat16)]
@@ -143,7 +193,8 @@ def quant_matmul_pallas(
         in_specs.append(scale_spec)
         inputs.append(zoffs.astype(jnp.bfloat16))
     out = pl.pallas_call(
-        functools.partial(_kernel, w4=w4, group=group, has_zoff=has_zoff),
+        functools.partial(_kernel, w4=w4, group=group, has_zoff=has_zoff,
+                          TI=TI),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(

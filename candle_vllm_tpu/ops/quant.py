@@ -7,11 +7,15 @@ Marlin / GGUF / FP8) with TPU-native formats:
 - ``w4a16``: 4-bit weights, per-(group, col) bf16 scales (+ optional
   scaled zero-points for asymmetric checkpoints).  Nibbles are packed two
   per int8 byte in a *per-tile concat-halves* layout: within each
-  ``QTILE_OUT``-wide column tile, byte column ``j`` holds output column
-  ``j`` in its low nibble and column ``j + QTILE_OUT/2`` in its high
-  nibble — so the kernel unpacks with two shifts and a lane-contiguous
-  concat, no interleave relayout.
-- ``int8``: 8-bit weights, per-(group, col) scales.
+  ``TO``-wide column tile, byte column ``j`` holds output column ``j`` in
+  its low nibble and column ``j + TO/2`` in its high nibble — so the
+  kernel unpacks with pure float math and a lane-contiguous concat, no
+  interleave relayout.  On-device the packed bytes are stored
+  TILE-CONTIGUOUS: ``[OUT/TO, IN, TO/2]`` so each kernel grid step reads
+  one contiguous HBM block (916 vs 451 GB/s measured — the Marlin-repack
+  analogue; see ops/pallas/quant_matmul.py).
+- ``int8``: 8-bit weights, per-(group, col) scales, same tiled layout
+  ``[OUT/TO, IN, TO]``.
 - ``fp8``: blockwise-scaled float8_e4m3 weights (weight_block_size from
   HF compressed-tensors / modelopt configs).
 
@@ -29,8 +33,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-QTILE_OUT = 256          # kernel out-tile width the packing is aligned to
+QTILE_OUT = 256          # minimum out-tile width (packing alignment gate)
 DEFAULT_GROUP = 128
+
+
+def pick_tile_out(n_out: int) -> int:
+    """Kernel out-tile width for a tensor: widest tile dividing OUT.
+    TO=512 measured fastest (DMA blocks of TI x 256 bytes at w4)."""
+    return 512 if n_out % 512 == 0 else 256
 
 Params = Dict[str, jnp.ndarray]
 
@@ -62,15 +72,39 @@ def pack_int4(q: np.ndarray, tile_out: int = QTILE_OUT) -> np.ndarray:
 
 
 def unpack_int4(packed: np.ndarray, tile_out: int = QTILE_OUT) -> np.ndarray:
-    """Inverse of pack_int4 (host-side, for tests); returns signed q."""
-    n_in, half_out = packed.shape
-    n_out = half_out * 2
-    half = tile_out // 2
-    p = packed.reshape(n_in, n_out // tile_out, half)
+    """Inverse of pack_int4 / tile_packed_w4 (host-side, for tests);
+    accepts flat [in, out/2] or tiled [out/TO, in, TO/2]; returns signed
+    q as [in, out]."""
+    if packed.ndim == 3:
+        n_tiles, n_in, half = packed.shape
+        p = packed.transpose(1, 0, 2)  # [in, tiles, half]
+    else:
+        n_in, half_out = packed.shape
+        n_out = half_out * 2
+        half = tile_out // 2
+        p = packed.reshape(n_in, n_out // tile_out, half)
     lo = (p.view(np.uint8) & 0xF).astype(np.int8) - 8
     hi = (p.astype(np.int8) >> 4).astype(np.int8)  # arithmetic: signed
     t = np.stack([lo, hi], axis=2)  # [in, tiles, 2, half]
-    return t.reshape(n_in, n_out)
+    return t.reshape(n_in, -1)
+
+
+def tile_packed_w4(flat: np.ndarray, tile_out: int) -> np.ndarray:
+    """Flat-packed [in, out/2] -> tile-contiguous [out/TO, in, TO/2]
+    (the on-device layout; one contiguous DMA per kernel grid step)."""
+    n_in, half_out = flat.shape
+    half = tile_out // 2
+    return np.ascontiguousarray(
+        flat.reshape(n_in, half_out // half, half).transpose(1, 0, 2)
+    )
+
+
+def tile_int8(q: np.ndarray, tile_out: int) -> np.ndarray:
+    """[in, out] int8 -> tile-contiguous [out/TO, in, TO]."""
+    n_in, n_out = q.shape
+    return np.ascontiguousarray(
+        q.reshape(n_in, n_out // tile_out, tile_out).transpose(1, 0, 2)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -82,14 +116,16 @@ def quantize_w4a16(
     w: np.ndarray, group_size: int = DEFAULT_GROUP
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Symmetric per-(group,col) int4. w: [in, out] float. Returns
-    (packed [in, out/2] int8, scales [in/g, out] float32)."""
+    (packed [out/TO, in, TO/2] int8 tile-contiguous, scales [in/g, out]
+    float32)."""
     n_in, n_out = w.shape
     assert n_in % group_size == 0, (n_in, group_size)
     wg = w.astype(np.float32).reshape(n_in // group_size, group_size, n_out)
     scale = np.abs(wg).max(axis=1) / 7.0  # [in/g, out]
     scale = np.maximum(scale, 1e-8)
     q = np.rint(wg / scale[:, None, :]).clip(-8, 7).astype(np.int8)
-    return pack_int4(q.reshape(n_in, n_out)), scale
+    to = pick_tile_out(n_out)
+    return tile_packed_w4(pack_int4(q.reshape(n_in, n_out), to), to), scale
 
 
 def quantize_int8(
@@ -100,7 +136,7 @@ def quantize_int8(
     scale = np.abs(wg).max(axis=1) / 127.0
     scale = np.maximum(scale, 1e-8)
     q = np.rint(wg / scale[:, None, :]).clip(-127, 127).astype(np.int8)
-    return np.ascontiguousarray(q.reshape(n_in, n_out)), scale
+    return tile_int8(q.reshape(n_in, n_out), pick_tile_out(n_out)), scale
 
 
 def merge_fused_projections(params: Params) -> Params:
@@ -259,9 +295,10 @@ def random_quantized_params(model, method: str, key) -> Params:
             ):
                 prefix = name[: -len(".weight")]
                 is_lm_head = "lm_head" in name
-                cols = shape[1] if is_lm_head else shape[1] // 2
+                to = pick_tile_out(shape[1])
+                cols = to if is_lm_head else to // 2  # int8 | w4 packed
                 params[f"{prefix}.qweight"] = jax.random.randint(
-                    k, (shape[0], cols), -128, 128, jnp.int8
+                    k, (shape[1] // to, shape[0], cols), -128, 128, jnp.int8
                 )
                 params[f"{prefix}.scales"] = jnp.full(
                     (shape[0] // DEFAULT_GROUP, shape[1]),
@@ -321,8 +358,8 @@ def convert_gptq_tensor(
     awq: bool = False,
     gptq_zero_plus_one: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (packed qweight [in, out/2] int8, scales f32, zoffs f32)
-    in our layout: w = (nibble - 8) * s - zoff."""
+    """Returns (packed qweight [out/TO, in, TO/2] int8 tile-contiguous,
+    scales f32, zoffs f32) in our layout: w = (nibble - 8) * s - zoff."""
     if awq:
         q = _unpack_awq_qweight(qweight)
     else:
@@ -333,7 +370,10 @@ def convert_gptq_tensor(
         z = z + 1
     s = scales.astype(np.float32)
     signed = q.astype(np.int16) - 8  # our nibble convention
-    packed = pack_int4(signed.astype(np.int8).clip(-8, 7))
+    to = pick_tile_out(q.shape[1])
+    packed = tile_packed_w4(
+        pack_int4(signed.astype(np.int8).clip(-8, 7), to), to
+    )
     zoff = (z.astype(np.float32) - 8.0) * s
     return packed, s, zoff
 
@@ -448,29 +488,25 @@ def dequant_mxfp4(
 # ---------------------------------------------------------------------------
 
 
+def _is_w4(qw: jnp.ndarray, scales: jnp.ndarray) -> bool:
+    """Tiled qweight [tiles, in, c]: w4 iff tiles*c*2 == OUT."""
+    return qw.shape[0] * qw.shape[2] * 2 == scales.shape[1]
+
+
 def dequantize(params: Params, prefix: str) -> jnp.ndarray:
     """jnp reference dequant -> [in, out] f32 (CPU oracle path)."""
+    from candle_vllm_tpu.ops.pallas.quant_matmul import (
+        dequant_int8_jnp, dequant_w4_jnp,
+    )
+
     qw = params[f"{prefix}.qweight"]
-    s = params[f"{prefix}.scales"].astype(jnp.float32)
-    n_in = qw.shape[0]
-    g = n_in // s.shape[0]
-    if qw.shape[1] * 2 == s.shape[1]:  # w4a16 packed (lo biased, hi signed)
-        half = QTILE_OUT // 2
-        n_out = s.shape[1]
-        pu = jax.lax.bitcast_convert_type(qw, jnp.uint8)
-        pu = pu.reshape(n_in, n_out // QTILE_OUT, half)
-        p32 = qw.reshape(n_in, n_out // QTILE_OUT, half).astype(jnp.int32)
-        lo = (pu & 0xF).astype(jnp.int32) - 8
-        hi = jax.lax.shift_right_arithmetic(p32, 4)
-        q = jnp.stack([lo, hi], axis=2).reshape(n_in, n_out)
-    else:  # int8
-        q = qw
-        n_out = q.shape[1]
-    w = q.astype(jnp.float32).reshape(n_in // g, g, n_out)
-    w = w * s[:, None, :]
-    w = w.reshape(n_in, n_out)
+    s = params[f"{prefix}.scales"]
     z = params.get(f"{prefix}.qzeros")
+    if _is_w4(qw, s):
+        return dequant_w4_jnp(qw, s, z)
+    w = dequant_int8_jnp(qw, s)
     if z is not None:
+        g = qw.shape[1] // s.shape[0]
         w = w - jnp.repeat(z.astype(jnp.float32), g, axis=0)
     return w
 
@@ -482,9 +518,8 @@ def quantized_matmul(x: jnp.ndarray, params: Params, prefix: str) -> jnp.ndarray
 
         qw = params[f"{prefix}.qweight"]
         s = params[f"{prefix}.scales"]
-        is_w4 = qw.shape[1] * 2 == s.shape[1]
         return quant_matmul_pallas(
-            x, qw, s, params.get(f"{prefix}.qzeros"), w4=is_w4
+            x, qw, s, params.get(f"{prefix}.qzeros"), w4=_is_w4(qw, s)
         )
     w = dequantize(params, prefix)
     return jnp.dot(x, w.astype(x.dtype))

@@ -31,6 +31,10 @@ class RopeSpec:
     inv_freq: Tuple[float, ...]       # length rotary_dim // 2
     attention_scale: float = 1.0      # YaRN mscale applied to cos/sin
     interleaved: bool = False
+    # longrope/su (Phi3/Phi4): positions >= long_switch use these
+    # frequencies instead (reference: Phi4RotaryEmbedding, phi4.rs:46-250)
+    inv_freq_long: Optional[Tuple[float, ...]] = None
+    long_switch: int = 0
 
     def as_array(self) -> jnp.ndarray:
         return jnp.asarray(self.inv_freq, dtype=jnp.float32)
@@ -92,7 +96,9 @@ def make_rope_spec(config: ModelConfig, theta_override: Optional[float] = None,
     rotary_dim = config.rotary_dim
     rs = config.rope_scaling
     scale = 1.0
-    if rs is None or rs.rope_type in ("default", "su"):
+    inv_long: Optional[list] = None
+    long_switch = 0
+    if rs is None or rs.rope_type == "default":
         inv = _base_inv_freq(rotary_dim, theta)
     elif rs.rope_type == "linear":
         inv = [f / rs.factor for f in _base_inv_freq(rotary_dim, theta)]
@@ -114,20 +120,47 @@ def make_rope_spec(config: ModelConfig, theta_override: Optional[float] = None,
             scale = mscale
     elif rs.rope_type == "llama3":
         inv = _llama3_inv_freq(rotary_dim, theta, rs, config.max_model_len)
-    else:  # longrope and others: fall back to default freqs
+    elif rs.rope_type in ("longrope", "su"):
+        # Phi3/Phi4 SuScaled rope: per-dim-pair rescale factors, short for
+        # positions within the original window and long beyond, with a
+        # sqrt(1 + ln(s)/ln(orig)) attention magnitude correction
+        # (reference: Phi4RotaryEmbedding, phi4.rs:77-250)
+        base = _base_inv_freq(rotary_dim, theta)
+        orig = rs.original_max_position_embeddings or config.max_model_len
+        short = rs.short_factor or [1.0] * len(base)
+        long = rs.long_factor or short
+        inv = [f / s for f, s in zip(base, short)]
+        inv_long = [f / l for f, l in zip(base, long)]
+        long_switch = orig
+        s = config.max_model_len / max(orig, 1)
+        if rs.attention_factor is not None:
+            scale = rs.attention_factor
+        elif s > 1.0:
+            scale = math.sqrt(1.0 + math.log(s) / math.log(orig))
+    else:  # unknown scaling types: fall back to default freqs
         inv = _base_inv_freq(rotary_dim, theta)
     return RopeSpec(
         rotary_dim=rotary_dim,
         inv_freq=tuple(inv),
         attention_scale=scale,
         interleaved=interleaved,
+        inv_freq_long=tuple(inv_long) if inv_long is not None else None,
+        long_switch=long_switch,
     )
 
 
 def compute_cos_sin(positions: jnp.ndarray, spec: RopeSpec) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """positions [T] -> cos, sin each [T, rotary_dim // 2] (float32)."""
     inv_freq = spec.as_array()  # [R/2]
-    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    pos = positions.astype(jnp.float32)[:, None]
+    if spec.inv_freq_long is not None:
+        # longrope: positions past the original window use long factors
+        long = jnp.asarray(spec.inv_freq_long, jnp.float32)
+        inv_freq = jnp.where(pos >= spec.long_switch, long[None, :],
+                             inv_freq[None, :])
+        angles = pos * inv_freq
+    else:
+        angles = pos * inv_freq[None, :]
     return jnp.cos(angles) * spec.attention_scale, jnp.sin(angles) * spec.attention_scale
 
 

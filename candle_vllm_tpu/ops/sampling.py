@@ -23,6 +23,10 @@ from candle_vllm_tpu.sampling_params import SamplingParams
 
 _TEMP_EPS = 1e-5
 PENALTY_WINDOW = 64  # reference: SamplingParams.repeat_last_n default
+# penalty-history window sizes are bucketed so larger repeat_last_n values
+# (reference honors arbitrary repeat_last_n) keep the compiled-shape set
+# closed instead of recompiling per history length
+_WINDOW_BUCKETS = (64, 256, 1024, 4096)
 
 
 @dataclass
@@ -69,7 +73,14 @@ class SamplingTensors:
         presence = np.zeros(B, np.float32)
         frequency = np.zeros(B, np.float32)
         repetition = np.ones(B, np.float32)
-        last_tokens = np.full((B, PENALTY_WINDOW), -1, np.int32)
+        # bucketed window: wide enough for the largest requested
+        # repeat_last_n actually backed by history
+        needed = PENALTY_WINDOW
+        for i, p in enumerate(params):
+            if p.has_penalties:
+                needed = max(needed, min(p.repeat_last_n, len(token_histories[i])))
+        W = next(w for w in _WINDOW_BUCKETS if w >= min(needed, _WINDOW_BUCKETS[-1]))
+        last_tokens = np.full((B, W), -1, np.int32)
         greedy = np.zeros(B, bool)
         for i, p in enumerate(params):
             greedy[i] = p.is_greedy
@@ -80,7 +91,7 @@ class SamplingTensors:
             presence[i] = p.presence_penalty
             frequency[i] = p.frequency_penalty
             repetition[i] = p.repetition_penalty
-            window = min(p.repeat_last_n, PENALTY_WINDOW)
+            window = min(p.repeat_last_n, W)
             hist = token_histories[i][-window:] if window > 0 else []
             if hist:
                 last_tokens[i, -len(hist):] = hist
@@ -137,11 +148,28 @@ def sample(
     logits: jnp.ndarray,     # [B, V]
     t: SamplingTensors,
     key: jax.Array,
+    *,
+    greedy_only: bool = False,
+    penalties: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (token_ids [B] i32, logprobs [B] f32)."""
+    """Returns (token_ids [B] i32, logprobs [B] f32).
+
+    ``greedy_only`` / ``penalties`` are host-known per step and prune the
+    full-vocab sort / penalty scatter from the compiled step when no row
+    needs them (the common greedy-decode hot path)."""
     B, V = logits.shape
-    logits = apply_penalties(logits, t)
+    if penalties:
+        logits = apply_penalties(logits, t)
+    else:
+        logits = logits.astype(jnp.float32)
     greedy_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    if greedy_only:
+        logp_all = jax.nn.log_softmax(logits, axis=-1)
+        logprobs = jnp.take_along_axis(
+            logp_all, greedy_tokens[:, None], axis=-1
+        )[:, 0]
+        return greedy_tokens, logprobs
 
     scaled = logits / t.temperature[:, None]
 

@@ -45,15 +45,22 @@ _DEFAULT_RULES: Tuple[Tuple[str, P], ...] = (
     (r"embed_tokens\.weight$", P("tp", None)),
     (r"lm_head\.weight$", P(None, "tp")),
     # attention: heads sharded (column-parallel qkv, row-parallel o);
-    # quantized tensors (qweight/scales/qzeros) shard like their weight
-    (r"\.(q_proj|k_proj|v_proj)\.(weight|qweight|scales|qzeros)$", P(None, "tp")),
+    # quantized scale planes shard like their weight; the tile-contiguous
+    # qweight [OUT/TO, IN, TO'] shards the tile axis (column-parallel) or
+    # the IN axis (row-parallel) — tiles are contiguous OUT spans, so the
+    # tile-axis shard matches the scales' OUT shard
+    (r"\.(q_proj|k_proj|v_proj)\.(weight|scales|qzeros)$", P(None, "tp")),
+    (r"\.(q_proj|k_proj|v_proj)\.qweight$", P("tp", None, None)),
     (r"\.(q_proj|k_proj|v_proj)\.bias$", P("tp")),
-    (r"\.o_proj\.(weight|qweight|scales|qzeros)$", P("tp", None)),
+    (r"\.o_proj\.(weight|scales|qzeros)$", P("tp", None)),
+    (r"\.o_proj\.qweight$", P(None, "tp", None)),
     (r"\.o_proj\.bias$", P()),
     # mlp: column-parallel gate/up, row-parallel down
-    (r"\.(gate_proj|up_proj)\.(weight|qweight|scales|qzeros)$", P(None, "tp")),
+    (r"\.(gate_proj|up_proj)\.(weight|scales|qzeros)$", P(None, "tp")),
+    (r"\.(gate_proj|up_proj)\.qweight$", P("tp", None, None)),
     (r"\.(gate_proj|up_proj)\.bias$", P("tp")),
-    (r"\.down_proj\.(weight|qweight|scales|qzeros)$", P("tp", None)),
+    (r"\.down_proj\.(weight|scales|qzeros)$", P("tp", None)),
+    (r"\.down_proj\.qweight$", P(None, "tp", None)),
     (r"\.down_proj\.bias$", P()),
     # MoE expert banks [E, in, out] / [E, in, out]
     (r"\.experts\.(gate_proj|up_proj)$", P(None, None, "tp")),

@@ -68,3 +68,11 @@ class SamplingParams:
     @property
     def is_greedy(self) -> bool:
         return self.temperature < _SAMPLING_EPS
+
+    @property
+    def has_penalties(self) -> bool:
+        return (
+            abs(self.presence_penalty) > _SAMPLING_EPS
+            or abs(self.frequency_penalty) > _SAMPLING_EPS
+            or abs(self.repetition_penalty - 1.0) > _SAMPLING_EPS
+        )

@@ -13,7 +13,7 @@ import asyncio
 import json
 import time
 import uuid
-from typing import Any, AsyncIterator, Dict, List, Optional, Union
+from typing import Any, AsyncIterator, Dict, List, Optional, Tuple, Union
 
 from aiohttp import web
 
@@ -119,24 +119,42 @@ def _check_length(
     return None
 
 
-def _admission_check(state: ServerState, prompt_len: int) -> Optional[str]:
-    """KV admission control (reference: openai_server.rs:239-326): make
-    sure prompt + a decode reserve fits in free-or-evictable KV, evicting
-    prefix-cache blocks if needed."""
+def _admission_check(
+    state: ServerState, prompt_ids: List[int]
+) -> Optional[Tuple[int, str]]:
+    """KV admission control (reference: openai_server.rs:239-326): query
+    the prefix cache for the part of the prompt already resident, then
+    require the *new* prompt tokens plus a decode reserve to fit in
+    free-or-evictable KV blocks.  Physically-impossible requests get a
+    400; an overloaded cache gets a 503 instead of queueing unboundedly.
+    Returns (status_code, message) on rejection."""
     eng = state.engine
     be = eng.block_engine
     block = eng.cache_config.block_size
+    prompt_len = len(prompt_ids)
     reserve = min(
         MIN_DECODE_RESERVE, eng.scheduler_config.max_model_len - prompt_len
     )
     needed_blocks = (prompt_len + reserve + block - 1) // block
     if needed_blocks > be.gpu_allocator.num_blocks:
-        return (
+        return 400, (
             f"request needs {needed_blocks} KV blocks but the cache has "
             f"{be.gpu_allocator.num_blocks}"
         )
-    # get_num_free counts evictable prefix blocks, so no explicit evict loop
-    # is needed here; the allocator reclaims them on demand
+    cached = 0
+    if eng.scheduler_config.enable_prefix_caching:
+        cached = be.prefix_cache.match_tokens(list(prompt_ids), block)
+    new_blocks = (prompt_len - cached + reserve + block - 1) // block
+    # get_num_free counts evictable prefix blocks too (the allocator
+    # reclaims them on demand — the reference's explicit evict loop,
+    # ensure_available_kv_tokens, is subsumed by that accounting)
+    free = be.get_num_free_gpu_blocks()
+    if new_blocks > free:
+        return 503, (
+            f"KV cache overloaded: request needs {new_blocks} new blocks "
+            f"({cached} prompt tokens already cached) but only {free} are "
+            "free or evictable; retry later"
+        )
     return None
 
 
@@ -190,10 +208,11 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
     max_model_len = state.engine.scheduler_config.max_model_len
     sp = _sampling_from_chat(req, max_model_len, len(prompt_ids))
     err = _check_length(prompt_ids, sp.max_tokens, max_model_len)
-    if err is None:
-        err = _admission_check(state, len(prompt_ids))
     if err is not None:
         return _error(400, err)
+    rej = _admission_check(state, prompt_ids)
+    if rej is not None:
+        return _error(rej[0], rej[1])
     if sp.n != 1 and req.stream:
         return _error(400, "streaming with n>1 is not supported")
 

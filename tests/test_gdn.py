@@ -253,3 +253,50 @@ def test_qwen_next_checkpoint_fixup_layout():
     # non-GDN tensors untouched
     w = np.ones((4, 4))
     assert m.checkpoint_fixup("model.layers.1.self_attn.q_proj.weight", w) is w
+
+
+def test_qwen3_5_split_proj_engine_generation():
+    """Qwen3.5: from_hf wires (1+w) norms + gated attention + hybrid extra
+    keys; the GDN block reads the SPLIT in_proj_qkv/z/b/a checkpoint layout
+    (reference: qwen3_5.rs, deltanet.rs GdnProjection::SplitQkvZaLegacy)."""
+    from candle_vllm_tpu.engine.llm_engine import LLMEngine
+    from candle_vllm_tpu.models.qwen_next import Qwen3_5ForCausalLM
+    from candle_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = ModelConfig.from_hf({
+        "architectures": ["Qwen3_5ForCausalLM"],
+        "model_type": "qwen3_5",
+        "hidden_size": 64,
+        "intermediate_size": 128,
+        "num_hidden_layers": 4,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "head_dim": 16,
+        "vocab_size": 128,
+        "max_position_embeddings": 128,
+        "full_attention_interval": 2,
+        "linear_num_value_heads": 4,
+        "linear_num_key_heads": 2,
+        "linear_key_head_dim": 8,
+        "linear_value_head_dim": 16,
+        "linear_conv_kernel_dim": 4,
+    }, dtype=jnp.float32)
+    assert cfg.norm_unit_offset and cfg.attn_output_gate and cfg.use_qk_norm
+    m = Qwen3_5ForCausalLM(cfg)
+    assert m.gdn_layers == [0, 2]
+    shapes = m.param_shapes()
+    assert "model.layers.0.linear_attn.in_proj_qkv.weight" in shapes
+    assert "model.layers.0.linear_attn.in_proj_qkvz.weight" not in shapes
+    # gated attention: q_proj is double width on full-attention layers
+    assert shapes["model.layers.1.self_attn.q_proj.weight"] == (64, 2 * 4 * 16)
+
+    cache = CacheConfig(block_size=8, num_gpu_blocks=32, num_cpu_blocks=0)
+    sched = SchedulerConfig(max_model_len=128, max_num_seqs=4)
+    eng = LLMEngine(cfg, cache, sched)
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    out = eng.generate([[1, 2, 3, 4, 5]], sp)
+    assert len(out[0].outputs[0].token_ids) == 6
+    # deterministic across a fresh engine
+    eng2 = LLMEngine(cfg, cache, sched)
+    out2 = eng2.generate([[1, 2, 3, 4, 5]], sp)
+    assert out[0].outputs[0].token_ids == out2[0].outputs[0].token_ids

@@ -158,3 +158,96 @@ def test_weights_roundtrip(tmp_path, model_and_params):
         np.testing.assert_allclose(
             onp.asarray(loaded[k]), onp.asarray(params[k]), rtol=1e-6
         )
+
+
+def test_phi4_longrope_spec():
+    """Phi4 longrope: short/long per-dim factors with the sqrt magnitude
+    correction; positions past the original window switch frequency sets
+    (reference: Phi4RotaryEmbedding, phi4.rs:77-250)."""
+    import math
+
+    import numpy as np
+
+    from candle_vllm_tpu.config import ModelConfig
+    from candle_vllm_tpu.ops.rope import compute_cos_sin, make_rope_spec
+
+    half = 64  # head_dim 128
+    cfg = ModelConfig.from_hf({
+        "architectures": ["Phi4ForCausalLM"],
+        "model_type": "phi3",
+        "hidden_size": 1024,
+        "num_attention_heads": 8,
+        "head_dim": 128,
+        "max_position_embeddings": 131072,
+        "original_max_position_embeddings": 4096,
+        "rope_scaling": {
+            "type": "longrope",
+            "short_factor": [1.0] * half,
+            "long_factor": [4.0] * half,
+            "original_max_position_embeddings": 4096,
+        },
+    })
+    spec = make_rope_spec(cfg)
+    assert spec.inv_freq_long is not None and spec.long_switch == 4096
+    s = 131072 / 4096
+    expect = math.sqrt(1.0 + math.log(s) / math.log(4096))
+    assert abs(spec.attention_scale - expect) < 1e-9
+    # long positions use freqs divided by the long factor
+    import jax.numpy as jnp
+
+    cos, sin = compute_cos_sin(jnp.asarray([10, 5000]), spec)
+    short_angle = 10 * spec.inv_freq[1]
+    long_angle = 5000 * spec.inv_freq_long[1]
+    np.testing.assert_allclose(
+        float(cos[0, 1]), math.cos(short_angle) * spec.attention_scale, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(cos[1, 1]), math.cos(long_angle) * spec.attention_scale, rtol=1e-3
+    )
+
+
+def test_minimax_and_glm4_moe_lite_registry():
+    """MiniMax-M2 (Qwen-MoE shape, forced norm_topk_prob) and GLM4-MoE-Lite
+    (DeepSeek MLA shape) resolve to working model classes."""
+    from candle_vllm_tpu.config import ModelConfig
+    from candle_vllm_tpu.models.deepseek import DeepseekForCausalLM
+    from candle_vllm_tpu.models.qwen_moe import QwenMoeForCausalLM
+    from candle_vllm_tpu.models.registry import get_model
+
+    mm = ModelConfig.from_hf({
+        "architectures": ["MiniMaxM2ForCausalLM"],
+        "model_type": "minimax_m2",
+        "hidden_size": 64,
+        "intermediate_size": 128,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "vocab_size": 128,
+        "num_local_experts": 4,
+        "num_experts_per_tok": 2,
+        "norm_topk_prob": False,  # forced back on (minimax.rs:181-188)
+        "scoring_func": "sigmoid",
+    })
+    assert mm.moe is not None and mm.moe.norm_topk_prob
+    assert mm.moe.moe_intermediate_size == 128
+    assert isinstance(get_model(mm), QwenMoeForCausalLM)
+
+    glm = ModelConfig.from_hf({
+        "architectures": ["Glm4MoeLiteForCausalLM"],
+        "model_type": "glm4_moe_lite",
+        "hidden_size": 64,
+        "intermediate_size": 128,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 4,
+        "vocab_size": 128,
+        "q_lora_rank": 32,
+        "kv_lora_rank": 32,
+        "qk_rope_head_dim": 16,
+        "qk_nope_head_dim": 16,
+        "v_head_dim": 16,
+        "n_routed_experts": 4,
+        "num_experts_per_tok": 2,
+        "first_k_dense_replace": 1,
+    })
+    assert isinstance(get_model(glm), DeepseekForCausalLM)
