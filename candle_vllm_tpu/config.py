@@ -14,7 +14,7 @@ import json
 import math
 import os
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -113,6 +113,10 @@ class MoEConfig:
     decoder_sparse_step: int = 1
     mlp_only_layers: List[int] = field(default_factory=list)
     first_k_dense_replace: int = 0
+    # llama4: routing weight multiplies the expert INPUT (top-1 routing)
+    # instead of the output (reference: llama4/mod.rs:108-109
+    # set_apply_router_weight_on_input)
+    apply_router_weight_on_input: bool = False
 
 
 @dataclass
@@ -177,6 +181,48 @@ _QWEN35_NEXT_ARCHS = (
 
 
 @dataclass
+class VisionConfig:
+    """Vision-tower description (reference: qwen3_vl/config.rs VisionConfig
+    defaults; gemma3_vl / mistral3_vl towers map onto the same fields)."""
+
+    depth: int = 32
+    hidden_size: int = 3584
+    out_hidden_size: int = 3584
+    intermediate_size: int = 3420
+    num_heads: int = 16
+    in_channels: int = 3
+    patch_size: int = 14
+    spatial_merge_size: int = 2
+    temporal_patch_size: int = 2
+    num_position_embeddings: int = 576
+    deepstack_visual_indexes: List[int] = field(default_factory=list)
+    hidden_act: str = "gelu_pytorch_tanh"
+    image_size: int = 768
+
+    @classmethod
+    def from_hf(cls, vc: Dict[str, Any]) -> "VisionConfig":
+        return cls(
+            depth=int(vc.get("depth", vc.get("num_hidden_layers", 32))),
+            hidden_size=int(vc.get("hidden_size", 3584)),
+            out_hidden_size=int(vc.get("out_hidden_size",
+                                       vc.get("hidden_size", 3584))),
+            intermediate_size=int(vc.get("intermediate_size", 3420)),
+            num_heads=int(vc.get("num_heads",
+                                 vc.get("num_attention_heads", 16))),
+            in_channels=int(vc.get("in_chans", vc.get("in_channels", 3))),
+            patch_size=int(vc.get("patch_size", 14)),
+            spatial_merge_size=int(vc.get("spatial_merge_size", 2)),
+            temporal_patch_size=int(vc.get("temporal_patch_size", 2)),
+            num_position_embeddings=int(vc.get("num_position_embeddings", 576)),
+            deepstack_visual_indexes=list(
+                vc.get("deepstack_visual_indexes", [])
+            ),
+            hidden_act=str(vc.get("hidden_act", "gelu_pytorch_tanh")),
+            image_size=int(vc.get("image_size", 768)),
+        )
+
+
+@dataclass
 class ModelConfig:
     """Architecture-agnostic model description built from HF config.json."""
 
@@ -238,12 +284,37 @@ class ModelConfig:
     query_pre_attn_scalar: Optional[float] = None
     # gemma3 per-attn-type rope thetas
     rope_local_base_freq: Optional[float] = None
+    # gemma4 per-layer heterogeneous KV: full_attention layers may use a
+    # different head_dim / kv-head count than sliding layers (reference:
+    # gemma4.rs:268-300, models/mod.rs:1124-1192
+    # gemma4_per_layer_cache_config).  None = homogeneous.
+    global_head_dim: Optional[int] = None
+    num_global_key_value_heads: Optional[int] = None
+    # rope theta of full_attention layers when it differs from rope_theta
+    # (gemma4 rope_parameters.full_attention; reference gemma4.rs:879-898)
+    global_rope_theta: Optional[float] = None
+    # llama4 iRoPE: every no_rope_step-th layer is a NoPE global layer;
+    # rope layers use chunked attention of attention_chunk_size and
+    # weightless L2 qk-norm; NoPE layers apply temperature tuning
+    # (reference: llama4/mod.rs:185-200, 270-280)
+    no_rope_step: Optional[int] = None
+    attention_chunk_size: Optional[int] = None
+    qk_l2_norm: bool = False
+    attn_temperature_tuning: bool = False
+    floor_scale: float = 8192.0
+    attn_scale: float = 0.1
     # MLA (DeepSeek V2/V3; reference: mla_attention.rs)
     q_lora_rank: Optional[int] = None
     kv_lora_rank: Optional[int] = None
     qk_rope_head_dim: Optional[int] = None
     qk_nope_head_dim: Optional[int] = None
     v_head_dim: Optional[int] = None
+    # multimodal (VL models): vision tower + special token ids
+    # (reference: qwen3_vl/config.rs Qwen3VLConfig)
+    vision: Optional[VisionConfig] = None
+    image_token_id: Optional[int] = None
+    vision_start_token_id: Optional[int] = None
+    vision_end_token_id: Optional[int] = None
     extra: Dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -274,6 +345,24 @@ class ModelConfig:
             return True
         p = self.sliding_window_pattern
         return (layer_idx % p) != (p - 1)
+
+    def layer_kv_spec(self, layer_idx: int) -> "Tuple[int, int]":
+        """(kv_heads, head_dim) for layer ``layer_idx`` — heterogeneous for
+        gemma4-class models (reference: models/mod.rs:1124-1192)."""
+        if not self.is_sliding_layer(layer_idx):
+            return (
+                self.num_global_key_value_heads or self.num_key_value_heads,
+                self.global_head_dim or self.head_dim,
+            )
+        return self.num_key_value_heads, self.head_dim
+
+    @property
+    def has_hetero_kv(self) -> bool:
+        base = (self.num_key_value_heads, self.head_dim)
+        return any(
+            self.layer_kv_spec(i) != base
+            for i in range(self.num_hidden_layers)
+        )
 
     # -- loading -----------------------------------------------------------
     @classmethod
@@ -400,6 +489,80 @@ class ModelConfig:
                 )
             if mt in ("gemma3", "gemma3_text") and "use_qk_norm" not in cfg:
                 mc.use_qk_norm = True
+        if "Llama4" in mc.architecture:
+            # Llama4 iRoPE + chunked attention + interleaved MoE
+            # (reference: llama4/config.rs, llama4/mod.rs:185-247)
+            mc.no_rope_step = int(cfg.get("no_rope_step", 4))
+            mc.attention_chunk_size = int(
+                cfg.get("attention_chunk_size", 8192)
+            )
+            mc.qk_l2_norm = bool(cfg.get("use_qk_norm", True))
+            mc.use_qk_norm = False  # weightless L2, not weighted rmsnorm
+            mc.attn_temperature_tuning = bool(
+                cfg.get("attn_temperature_tuning", True)
+            )
+            mc.floor_scale = float(cfg.get("floor_scale", 8192.0))
+            mc.attn_scale = float(cfg.get("attn_scale", 0.1))
+            if mc.moe is not None:
+                step = int(cfg.get("interleave_moe_layer_step", 1) or 1)
+                explicit = cfg.get("moe_layers")
+                if explicit is not None:
+                    mc.moe.mlp_only_layers = [
+                        i for i in range(mc.num_hidden_layers)
+                        if i not in set(explicit)
+                    ]
+                else:
+                    mc.moe.decoder_sparse_step = step
+                mc.moe.scoring_func = "sigmoid"
+                mc.moe.apply_router_weight_on_input = True
+                mc.moe.norm_topk_prob = False
+                # llama4 shared expert uses the dense-MLP intermediate size
+                mc.moe.shared_expert_intermediate_size = int(
+                    cfg.get("intermediate_size", mc.intermediate_size)
+                )
+                mc.intermediate_size = int(
+                    cfg.get("intermediate_size_mlp",
+                            cfg.get("intermediate_size",
+                                    mc.intermediate_size))
+                )
+        if "Gemma4" in mc.architecture:
+            # Gemma4: per-layer heterogeneous KV (full_attention layers use
+            # global_head_dim / num_global_key_value_heads), default 5:1
+            # sliding:full layer pattern, per-attn-type rope parameters,
+            # partial rotary (reference: gemma4.rs:268-300, 758-900,
+            # models/mod.rs:1124-1192)
+            if mc.layer_types is None:
+                mc.layer_types = [
+                    "full_attention" if (i + 1) % 6 == 0
+                    else "sliding_attention"
+                    for i in range(mc.num_hidden_layers)
+                ]
+            mc.head_dim = int(
+                cfg.get("swa_head_dim", cfg.get("head_dim", 256))
+            )
+            mc.global_head_dim = int(
+                cfg.get("global_head_dim", mc.head_dim)
+            )
+            mc.num_global_key_value_heads = int(
+                cfg.get("num_global_key_value_heads",
+                        mc.num_key_value_heads)
+            )
+            mc.rope_theta = float(cfg.get("rope_theta", 1_000_000.0))
+            mc.partial_rotary_factor = float(
+                cfg.get("partial_rotary_factor", 0.25)
+            )
+            mc.rope_local_base_freq = float(
+                cfg.get("rope_local_base_freq", 10_000.0)
+            )
+            rp = cfg.get("rope_parameters") or {}
+            fa = rp.get("full_attention") or {}
+            sa = rp.get("sliding_attention") or {}
+            if fa.get("rope_theta") is not None:
+                mc.global_rope_theta = float(fa["rope_theta"])
+            if fa.get("partial_rotary_factor") is not None:
+                mc.partial_rotary_factor = float(fa["partial_rotary_factor"])
+            if sa.get("rope_theta") is not None:
+                mc.rope_local_base_freq = float(sa["rope_theta"])
         if mc.architecture == "MiniMaxM2ForCausalLM" and mc.moe is not None:
             # reference forces top-k weight renormalization on MiniMax
             # (minimax.rs:181-188)
@@ -411,6 +574,18 @@ class ModelConfig:
             mc.norm_unit_offset = True
             mc.use_qk_norm = True
             mc.attn_output_gate = True
+        # multimodal: the outer (un-nested) config carries the vision tower
+        # and image token ids (reference: qwen3_vl/config.rs, multimodal.rs
+        # get_image_config)
+        outer = cfg.get("_outer_config") or cfg
+        if "vision_config" in outer:
+            mc.vision = VisionConfig.from_hf(outer["vision_config"])
+            for key in ("image_token_id", "vision_start_token_id",
+                        "vision_end_token_id"):
+                if outer.get(key) is not None:
+                    setattr(mc, key, int(outer[key]))
+            if mc.image_token_id is None and outer.get("image_token_index"):
+                mc.image_token_id = int(outer["image_token_index"])
         for k, v in overrides.items():
             setattr(mc, k, v)
         return mc

@@ -90,13 +90,15 @@ class AsyncLLMEngine:
         prompt: Optional[str] = None,
         prompt_token_ids: Optional[List[int]] = None,
         sampling_params: Optional[SamplingParams] = None,
+        mm_inputs=None,
     ) -> RequestStream:
         loop = asyncio.get_running_loop()
         stream = RequestStream(request_id, loop)
         self._streams[request_id] = stream
         with self._intake_lock:
             self._intake.append(
-                (request_id, prompt, prompt_token_ids, sampling_params)
+                (request_id, prompt, prompt_token_ids, sampling_params,
+                 mm_inputs)
             )
         self._wakeup.set()
         return stream
@@ -116,10 +118,12 @@ class AsyncLLMEngine:
         prompt: Optional[str] = None,
         prompt_token_ids: Optional[List[int]] = None,
         sampling_params: Optional[SamplingParams] = None,
+        mm_inputs=None,
     ) -> RequestOutput:
         """Await the full completion (non-streaming path)."""
         stream = await self.add_request(
-            request_id, prompt, prompt_token_ids, sampling_params
+            request_id, prompt, prompt_token_ids, sampling_params,
+            mm_inputs=mm_inputs,
         )
         final: Optional[RequestOutput] = None
         async for ev in stream:
@@ -134,13 +138,14 @@ class AsyncLLMEngine:
     def _drain_intake(self) -> None:
         with self._intake_lock:
             batch, self._intake = self._intake, []
-        for request_id, prompt, token_ids, params in batch:
+        for request_id, prompt, token_ids, params, mm in batch:
             try:
                 self.engine.add_request(
                     request_id,
                     prompt=prompt,
                     prompt_token_ids=token_ids,
                     sampling_params=params,
+                    mm_inputs=mm,
                 )
             except Exception as e:  # tokenization/validation errors
                 stream = self._streams.pop(request_id, None)

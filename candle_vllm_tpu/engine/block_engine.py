@@ -136,14 +136,16 @@ class BlockEngine:
         return 1.0 - self.gpu_allocator.get_num_free() / max(total, 1)
 
     # -- prompt allocation -------------------------------------------------------
-    def _prompt_block_hashes(self, seq: Sequence, extra_seed: int = 0) -> List[int]:
-        """Chain hashes for each *full* prompt block
-        (reference: prefix_cache.rs:371-383 hash_block/mix_seed).
-        Runs in native code when csrc/ is built (engine/host_ops.py)."""
+    def _prompt_block_hashes(self, seq: Sequence) -> List[int]:
+        """Chain hashes for each *full* prompt block, mixing the sequence's
+        image-content seed so identical token ids with different images
+        never share blocks (reference: prefix_cache.rs:371-383
+        hash_block/mix_seed).  Runs in native code when csrc/ is built
+        (engine/host_ops.py)."""
         from candle_vllm_tpu.engine import host_ops
 
         return host_ops.chain_hashes(
-            seq.get_token_ids(), self.block_size, seed=extra_seed
+            seq.get_token_ids(), self.block_size, seed=seq.hash_seed
         )
 
     def can_allocate(self, seq_group: SequenceGroup) -> AllocStatus:

@@ -25,6 +25,8 @@ from candle_vllm_tpu.ops.kv_cache import INVALID_SLOT
 # Token-count buckets: powers of two, plus fine steps at the low end.
 _TOKEN_BUCKETS = [8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384]
 _SEQ_BUCKETS = [8, 16, 32, 64, 128, 256]
+# image-embed row buckets for multimodal steps (closed set, like tokens)
+_MM_BUCKETS = [64, 256, 1024, 4096, 16384]
 
 
 def bucket(n: int, buckets: Sequence[int]) -> int:
@@ -83,6 +85,13 @@ def build_step_input(
     sample_rows: List[int] = []
     needs_sample: List[bool] = []
 
+    # multimodal: image-embed arrays referenced by this step's chunks and a
+    # per-token gather index (the TPU analogue of the reference's
+    # image_token_offset chunked-prefill slicing, qwen3_vl/mod.rs:233-268)
+    mm_arrays: List[np.ndarray] = []
+    mm_offsets: Dict[int, int] = {}
+    mm_idx: Optional[np.ndarray] = None
+
     from candle_vllm_tpu.engine import host_ops
 
     t = 0
@@ -102,6 +111,18 @@ def build_step_input(
             start,
             page_size,
         )
+        if seq.mm_embeds is not None and start < seq.get_prompt_len():
+            arr = seq.mm_embeds
+            if id(arr) not in mm_offsets:
+                mm_offsets[id(arr)] = sum(a.shape[1] for a in mm_arrays)
+                mm_arrays.append(arr)
+            off = mm_offsets[id(arr)]
+            k = min(q_len, seq.get_prompt_len() - start)
+            sl = np.asarray(seq.mm_pos[start : start + k], np.int32)
+            if (sl >= 0).any():
+                if mm_idx is None:
+                    mm_idx = np.full(T, -1, np.int32)
+                mm_idx[t : t + k] = np.where(sl >= 0, sl + off, -1)
         t += q_len
         kv_lens[i] = start + q_len
         page_tables[i, : len(block_ids)] = block_ids
@@ -117,6 +138,18 @@ def build_step_input(
     cu[len(rows) + 1 :] = t
     # padding seqs gather row 0 (harmless; ignored)
 
+    mm_embeds: Optional[np.ndarray] = None
+    if mm_idx is not None:
+        n_ds = mm_arrays[0].shape[0]
+        hidden = mm_arrays[0].shape[2]
+        M = sum(a.shape[1] for a in mm_arrays)
+        Mp = bucket(M, _MM_BUCKETS)
+        mm_embeds = np.zeros((n_ds, Mp, hidden), np.float32)
+        o = 0
+        for a in mm_arrays:
+            mm_embeds[:, o : o + a.shape[1]] = a
+            o += a.shape[1]
+
     step = StepInput(
         token_ids=token_ids,
         positions=positions,
@@ -126,6 +159,8 @@ def build_step_input(
         cu_q_lens=cu,
         logits_idx=logits_idx,
         state_slots=state_slots,
+        mm_embeds=mm_embeds,
+        mm_idx=mm_idx,
     )
     return StepPlan(
         step=step,

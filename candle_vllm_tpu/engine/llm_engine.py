@@ -182,6 +182,26 @@ class LLMEngine:
                 pad_head_dim_to=pad,
                 kv_sharding=self.plan.kv_pages_sharding() if self.plan else None,
             )
+        elif model_config.has_hetero_kv:
+            # gemma4-class per-layer heterogeneous KV: one page array per
+            # layer with that layer's (kv_heads, head_dim) (reference:
+            # cache_engine.rs:198-235)
+            assert not self.kv_quantized, (
+                "quantized KV with heterogeneous layer shapes not supported"
+            )
+            pages = []
+            for K_i, D_i in self.model.per_layer_kv_spec():
+                pages += allocate_kv_pages(
+                    1,
+                    cache_config.num_gpu_blocks,
+                    cache_config.block_size,
+                    K_i,
+                    D_i,
+                    dtype=kv_dtype,
+                    sharding=self.plan.kv_pages_sharding() if self.plan else None,
+                    pad_head_dim_to=pad,
+                )
+            self.kv_pages = pages
         else:
             pages = allocate_kv_pages(
                 model_config.num_hidden_layers,
@@ -220,6 +240,7 @@ class LLMEngine:
             if cache_config.num_cpu_blocks > 0
             and not self.kv_quantized
             and not hasattr(self.model, "make_caches")
+            and not model_config.has_hetero_kv
             else None
         )
 
@@ -292,6 +313,7 @@ class LLMEngine:
         prompt: Optional[str] = None,
         prompt_token_ids: Optional[List[int]] = None,
         sampling_params: Optional[SamplingParams] = None,
+        mm_inputs: Any = None,
     ) -> None:
         sampling_params = sampling_params or SamplingParams()
         if prompt_token_ids is None:
@@ -299,19 +321,63 @@ class LLMEngine:
             prompt_token_ids = self.tokenizer.encode(prompt)
             if hasattr(prompt_token_ids, "ids"):  # raw tokenizers.Encoding
                 prompt_token_ids = prompt_token_ids.ids
+        # multimodal: encode images ONCE at intake (own bucketed jit); the
+        # merged embeddings come back to host and each step carries only
+        # the rows its chunks need (reference: process_vision_batch,
+        # qwen3_vl/mod.rs + multimodal.rs chunked-prefill image slicing)
+        mm_embeds = mm_pos = None
+        hash_seed = 0
+        if mm_inputs is not None and mm_inputs.grids:
+            mm_embeds, mm_pos = self._encode_mm(mm_inputs, prompt_token_ids)
+            hash_seed = mm_inputs.seed
         # n-best: best_of parallel sequences, top-n returned (reference:
         # SequenceGroup n-best, sequence.rs:343-477).  Each sequence runs
         # its own prompt pass; sampling rows draw independent gumbel noise
         # so they diverge from the first token.
         seqs = []
         for _ in range(sampling_params.best_of or sampling_params.n):
-            seqs.append(Sequence(self._next_seq_id, prompt_token_ids))
+            seq = Sequence(self._next_seq_id, prompt_token_ids)
+            seq.mm_embeds = mm_embeds
+            seq.mm_pos = mm_pos
+            seq.hash_seed = hash_seed
+            seqs.append(seq)
             self._next_seq_id += 1
         self.stats.requests_received += 1
         group = SequenceGroup(request_id, seqs, sampling_params)
         group.prompt = prompt
         self._groups[request_id] = group
         self.scheduler.add_seq_group(group)
+
+    def _encode_mm(
+        self, mm_inputs: Any, prompt_token_ids: List[int]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Run the vision tower and map image-pad prompt positions to
+        embedding rows."""
+        if not getattr(self.model, "has_vision", False):
+            raise ValueError(
+                f"model {self.model_config.architecture} does not accept "
+                "image inputs"
+            )
+        from candle_vllm_tpu.multimodal.processor import (
+            vision_encoder_host_inputs,
+        )
+
+        hi = vision_encoder_host_inputs(mm_inputs, self.model_config.vision)
+        emb = self.model.encode_vision(self.params, hi)
+        total = mm_inputs.num_image_tokens
+        emb = np.ascontiguousarray(emb[:, :total])
+        image_token = self.model_config.image_token_id
+        assert image_token is not None, "VL config missing image_token_id"
+        ids = np.asarray(prompt_token_ids, np.int32)
+        pos = np.full(len(ids), -1, np.int32)
+        (img_at,) = np.nonzero(ids == image_token)
+        if len(img_at) != total:
+            raise ValueError(
+                f"prompt carries {len(img_at)} image tokens but the images "
+                f"produce {total}; expand placeholders with the processor"
+            )
+        pos[img_at] = np.arange(total, dtype=np.int32)
+        return emb, pos
 
     def abort_request(self, request_id: str) -> None:
         self.scheduler.abort(request_id)

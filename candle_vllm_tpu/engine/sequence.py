@@ -68,6 +68,9 @@ class Sequence:
         "_cumulative_logprob",
         "last_sampled_logprobs",
         "output_logprobs",
+        "mm_pos",
+        "mm_embeds",
+        "hash_seed",
     )
 
     def __init__(self, seq_id: int, prompt_token_ids: List[int]):
@@ -85,6 +88,13 @@ class Sequence:
         self.last_sampled_logprobs: Optional[Dict[int, float]] = None
         # per sampled token: {"token": id, "logprob": f, "top": {id: f}}
         self.output_logprobs: List[Dict[str, Any]] = []
+        # multimodal: per-prompt-position image-embed row (-1 = text) and
+        # the encoded embeddings [1+n_ds, M, hidden] (shared np array);
+        # hash_seed mixes image content into prefix-cache block hashes
+        # (reference: prefix_cache.rs:371-383 mix_seed)
+        self.mm_pos: Optional[Any] = None
+        self.mm_embeds: Optional[Any] = None
+        self.hash_seed: int = 0
 
     # -- token accessors -----------------------------------------------------
     def get_len(self) -> int:
@@ -141,6 +151,9 @@ class Sequence:
         child.num_cached_tokens = self.num_cached_tokens
         child.output_text = self.output_text
         child._cumulative_logprob = self._cumulative_logprob
+        child.mm_pos = self.mm_pos
+        child.mm_embeds = self.mm_embeds
+        child.hash_seed = self.hash_seed
         return child
 
     @property

@@ -96,6 +96,16 @@ class AttnLayerSpec:
     # (2x width) and y *= sigmoid(gate) before o_proj
     # (reference: attention.rs:620-643, 724-735)
     attn_output_gate: bool = False
+    # llama4 iRoPE: every no_rope_step-th layer skips rope entirely
+    # (reference: llama4/mod.rs:185 use_rope)
+    use_rope: bool = True
+    # llama4 weightless L2 qk-norm on rope layers
+    # (reference: llama4/mod.rs:194 qk_l2_norm)
+    qk_l2_norm: bool = False
+    # llama4 NoPE-layer temperature tuning (floor_scale, attn_scale):
+    # q *= 1 + attn_scale * ln(floor((pos+1)/floor_scale) + 1)
+    # (reference: llama4/mod.rs:270-280)
+    temp_tuning: Optional[Tuple[float, float]] = None
 
 
 def paged_attention_with_write(
@@ -246,9 +256,25 @@ def attention_block(
             k = rms_norm(k.reshape(T, K * D), kn, layer.qk_norm_eps,
                          add_unit_offset=layer.norm_unit_offset).reshape(T, K, D)
 
-    cos, sin = cos_sin
-    q = apply_rope(q, cos, sin, rope)
-    k = apply_rope(k, cos, sin, rope)
+    if layer.qk_l2_norm:
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        q = (qf * jax.lax.rsqrt(
+            jnp.sum(qf * qf, -1, keepdims=True) + 1e-6)).astype(q.dtype)
+        k = (kf * jax.lax.rsqrt(
+            jnp.sum(kf * kf, -1, keepdims=True) + 1e-6)).astype(k.dtype)
+
+    if layer.use_rope:
+        cos, sin = cos_sin
+        q = apply_rope(q, cos, sin, rope)
+        k = apply_rope(k, cos, sin, rope)
+    elif layer.temp_tuning is not None:
+        floor_scale, attn_scale = layer.temp_tuning
+        pos = step.positions.astype(jnp.float32)
+        scale = 1.0 + attn_scale * jnp.log(
+            jnp.floor((pos + 1.0) / floor_scale) + 1.0
+        )
+        q = (q.astype(jnp.float32) * scale[:, None, None]).astype(q.dtype)
 
     out, kv_pages = paged_attention_with_write(
         q, k, v, kv_pages, step, spec, mesh=mesh
@@ -260,27 +286,45 @@ def attention_block(
 
 
 def make_attn_specs(config: ModelConfig) -> "list[AttnLayerSpec]":
-    """Per-layer attention specs (sliding vs global per layer —
-    reference: gemma per-layer KV, models/mod.rs:1124-1192)."""
-    D = config.head_dim
-    scale_base = config.query_pre_attn_scalar or D
+    """Per-layer attention specs (sliding vs global per layer, possibly
+    heterogeneous KV shapes — reference: gemma per-layer KV,
+    models/mod.rs:1124-1192)."""
     specs = []
     for i in range(config.num_hidden_layers):
         sliding = config.sliding_window if config.is_sliding_layer(i) else None
+        K, D = config.layer_kv_spec(i)
+        scale_base = config.query_pre_attn_scalar or D
+        # llama4 iRoPE: every no_rope_step-th layer skips rope and uses
+        # global attention; rope layers attend within chunks
+        # (llama4/mod.rs:185-200)
+        use_rope = True
+        chunk = None
+        if config.no_rope_step:
+            use_rope = (i + 1) % config.no_rope_step != 0
+            if use_rope and config.attention_chunk_size:
+                chunk = config.attention_chunk_size
         specs.append(
             AttnLayerSpec(
                 attn=AttentionSpec(
                     num_q_heads=config.num_attention_heads,
-                    num_kv_heads=config.num_key_value_heads,
+                    num_kv_heads=K,
                     head_dim=D,
                     sm_scale=scale_base ** -0.5,
                     sliding_window=sliding,
+                    chunk_size=chunk,
                     logit_soft_cap=config.attn_logit_softcapping,
                 ),
                 use_qk_norm=config.use_qk_norm,
                 qk_norm_eps=config.rms_norm_eps,
                 norm_unit_offset=config.norm_unit_offset,
                 attn_output_gate=config.attn_output_gate,
+                use_rope=use_rope,
+                qk_l2_norm=config.qk_l2_norm and use_rope,
+                temp_tuning=(
+                    (config.floor_scale, config.attn_scale)
+                    if config.attn_temperature_tuning and not use_rope
+                    else None
+                ),
             )
         )
     return specs

@@ -42,6 +42,9 @@ Params = Dict[str, jnp.ndarray]
     "Gemma2ForCausalLM",
     "Gemma3ForCausalLM",
     "Gemma3ForConditionalGeneration",
+    "Gemma4ForCausalLM",
+    "Gemma4ForConditionalGeneration",
+    "Gemma4TextForCausalLM",
     "Phi3ForCausalLM",
     "Phi4ForCausalLM",
     "PhiForCausalLM",
@@ -55,7 +58,15 @@ class LlamaForCausalLM:
         self.config = config
         self.mesh = mesh
         self.layer_specs: List[AttnLayerSpec] = make_attn_specs(config)
-        self.rope: RopeSpec = make_rope_spec(config)
+        # global/full-attention rope: gemma4 gives full layers their own
+        # theta and head_dim (reference: gemma4.rs:879-900 rope_parameters)
+        g_dim = config.global_head_dim or config.head_dim
+        self.rope: RopeSpec = make_rope_spec(
+            config,
+            theta_override=config.global_rope_theta,
+            rotary_dim_override=int(g_dim * config.partial_rotary_factor)
+            if g_dim != config.head_dim else None,
+        )
         # gemma3-style: sliding layers use a different (local) rope theta
         self.rope_local: Optional[RopeSpec] = None
         if config.rope_local_base_freq is not None:
@@ -79,6 +90,8 @@ class LlamaForCausalLM:
             shapes["model.norm.bias"] = (c.hidden_size,)
         for i in range(c.num_hidden_layers):
             p = f"model.layers.{i}"
+            # per-layer KV shapes (gemma4 heterogeneous global/swa layers)
+            K, D = c.layer_kv_spec(i)
             shapes[f"{p}.input_layernorm.weight"] = (c.hidden_size,)
             if c.norm_type == "layernorm":
                 shapes[f"{p}.input_layernorm.bias"] = (c.hidden_size,)
@@ -162,6 +175,16 @@ class LlamaForCausalLM:
             K = max(K, self.mesh.shape.get("tp", 1))
         return K, self.config.head_dim
 
+    def per_layer_kv_spec(self) -> "List[Tuple[int, int]]":
+        """Per-layer (kv_heads, head_dim) — heterogeneous for gemma4-class
+        models; the engine allocates each layer's pages to its own shape
+        (reference: cache_engine.rs:198-235 gemma4 per-layer shapes)."""
+        tp = self.mesh.shape.get("tp", 1) if self.mesh is not None else 1
+        return [
+            (max(spec.attn.num_kv_heads, tp), spec.attn.head_dim)
+            for spec in self.layer_specs
+        ]
+
     def _norm(self, params: Params, x: jnp.ndarray, name: str) -> jnp.ndarray:
         """rmsnorm or StableLM-class LayerNorm+bias per config.norm_type."""
         c = self.config
@@ -176,6 +199,21 @@ class LlamaForCausalLM:
         )
 
     # -- forward -----------------------------------------------------------
+    def _embed(self, params: Params, step: StepInput) -> jnp.ndarray:
+        """Token embedding; VL models override to merge image embeddings
+        (reference: qwen3_vl/mod.rs embed_forward + scatter)."""
+        c = self.config
+        x = params["model.embed_tokens.weight"][step.token_ids]
+        if c.scale_embeddings:
+            x = (x.astype(jnp.float32) * (c.hidden_size ** 0.5)).astype(x.dtype)
+        return x
+
+    def _layer_inject(
+        self, x: jnp.ndarray, layer_idx: int, step: StepInput
+    ) -> jnp.ndarray:
+        """Post-layer hook; VL deepstack injection overrides this."""
+        return x
+
     def forward(
         self,
         params: Params,
@@ -210,9 +248,7 @@ class LlamaForCausalLM:
         — the embeddings path (reference: forward_embedding variants,
         llama.rs / llm_engine.rs process_embedding_batch)."""
         c = self.config
-        x = params["model.embed_tokens.weight"][step.token_ids]
-        if c.scale_embeddings:
-            x = (x.astype(jnp.float32) * (c.hidden_size ** 0.5)).astype(x.dtype)
+        x = self._embed(params, step)
 
         cos_sin = compute_cos_sin(step.positions, self.rope)
         cos_sin_local = (
@@ -261,6 +297,7 @@ class LlamaForCausalLM:
                 x = x + attn_out
                 h = self._norm(params, x, f"{p}.post_attention_layernorm")
                 x = x + self._mlp_block(params, f"{p}.mlp", h, i)
+            x = self._layer_inject(x, i, step)
 
         x = self._norm(params, x, "model.norm")
         return x, new_pages

@@ -105,17 +105,30 @@ def moe_ffn(
     order = jnp.argsort(flat_idx)                       # [T*k]
     tok_of = order // k
     xs = x[tok_of]                                      # [T*k, hidden]
+    w_sorted = topk_w.reshape(T * k)[order].astype(jnp.float32)
+    if moe.apply_router_weight_on_input:
+        # llama4: scale the expert INPUT by the routing weight
+        # (llama4/mod.rs apply_router_weight_on_input; output weight = 1)
+        xs = (xs.astype(jnp.float32) * w_sorted[:, None]).astype(x.dtype)
+        w_sorted = jnp.ones_like(w_sorted)
     group_sizes = jnp.bincount(flat_idx, length=E).astype(jnp.int32)
 
-    wg = params[f"{prefix}.experts.gate_proj"]
-    wu = params[f"{prefix}.experts.up_proj"]
+    wgu = params.get(f"{prefix}.experts.gate_up_proj")
+    if wgu is not None:
+        # llama4-style fused bank [E, hidden, 2I]: one grouped GEMM, then
+        # split halves (reference stores gate_up fused in the checkpoint)
+        gu = jax.lax.ragged_dot(xs, wgu, group_sizes)
+        inter = gu.shape[-1] // 2
+        h = act(gu[:, :inter]) * gu[:, inter:]
+    else:
+        wg = params[f"{prefix}.experts.gate_proj"]
+        wu = params[f"{prefix}.experts.up_proj"]
+        h = act(jax.lax.ragged_dot(xs, wg, group_sizes)) * jax.lax.ragged_dot(
+            xs, wu, group_sizes
+        )
     wd = params[f"{prefix}.experts.down_proj"]
-    h = act(jax.lax.ragged_dot(xs, wg, group_sizes)) * jax.lax.ragged_dot(
-        xs, wu, group_sizes
-    )
     y = jax.lax.ragged_dot(h.astype(x.dtype), wd, group_sizes)  # [T*k, hidden]
 
-    w_sorted = topk_w.reshape(T * k)[order].astype(jnp.float32)
     out = jnp.zeros((T, hidden), jnp.float32).at[tok_of].add(
         y.astype(jnp.float32) * w_sorted[:, None]
     )

@@ -28,6 +28,8 @@ def get_model(config: ModelConfig, mesh: Optional[Mesh] = None):
     from candle_vllm_tpu.models import (  # noqa: F401  (populates registry)
         deepseek,
         llama,
+        llama4,
+        qwen3_vl,
         qwen_moe,
         qwen_next,
     )

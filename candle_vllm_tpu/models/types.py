@@ -34,6 +34,14 @@ class StepInput:
     # reference: mamba slot mapping, inputs.rs:67). Zeros for pure
     # attention models.
     state_slots: jnp.ndarray = None  # [S] i32
+    # multimodal (VL models): image embeddings scheduled this step and a
+    # per-token gather index into them (-1 = text token).  mm_embeds is
+    # [1 + n_deepstack, M, hidden]: row 0 replaces the token embedding,
+    # rows 1.. add into the first n_deepstack decoder layers (reference:
+    # qwen3_vl/mod.rs:220-270 scatter + qwen.rs:270-292 apply_deep_stack).
+    # None for text-only models/steps.
+    mm_embeds: jnp.ndarray = None  # [1+n_ds, M, hidden]
+    mm_idx: jnp.ndarray = None     # [T] i32; -1 for text/padding rows
 
     @property
     def num_tokens(self) -> int:

@@ -1,0 +1,237 @@
+"""Vision transformer tower (Qwen3-VL family; Gemma3/Mistral3 towers map
+onto the same skeleton via config).
+
+TPU re-design of the reference's ``src/openai/models/qwen3_vl/vision.rs``
+(Qwen3VLVisionModel: PatchEmbed, VisionBlock, PatchMerger,
+fast_pos_embed_interpolate, rot_pos_emb).  Differences:
+
+- The encoder jit consumes ONLY statically-shaped arrays prepared on host
+  by ``multimodal.processor.vision_encoder_host_inputs``: padded patch
+  rows, segment ids, bilinear pos-embed taps, and rotary cos/sin.  The
+  reference loops per image on the GPU (vision.rs:160-199 cu_seqlens
+  windows); here block-diagonal attention is one segment-id-masked
+  batched attention — no data-dependent control flow on device.
+- The patch conv3d is a plain matmul: host patchify flattens each patch
+  to (C, tps, ps, ps) order matching the conv kernel flatten
+  (vision.rs:42-53).
+- Attention runs in query chunks (``lax.map`` over row blocks) so the
+  [Np, Np] score matrix never materializes at the 4096-patch bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from candle_vllm_tpu.config import ModelConfig, VisionConfig
+
+Params = Dict[str, jnp.ndarray]
+
+_Q_CHUNK = 512  # query rows per attention block
+
+
+def _layer_norm(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                eps: float = 1e-6) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * w.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    h = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
+
+
+def _gelu(x: jnp.ndarray, act: str) -> jnp.ndarray:
+    if act in ("gelu_pytorch_tanh", "gelu_new"):
+        return jax.nn.gelu(x, approximate=True)
+    if act == "silu":
+        return jax.nn.silu(x)
+    return jax.nn.gelu(x, approximate=False)
+
+
+class VisionTower:
+    """Functional ViT encoder over host-precomputed inputs.
+
+    Weight names mirror the HF checkpoint (``model.visual.*``) so the
+    flat param dict loads with zero renames; the conv3d patch kernel is
+    flattened to a matmul at load (see ``Qwen3VL.checkpoint_fixup``).
+    """
+
+    def __init__(self, config: ModelConfig):
+        self.config = config
+        self.v: VisionConfig = config.vision
+        v = self.v
+        self.head_dim = v.hidden_size // v.num_heads
+        self.merge_unit = v.spatial_merge_size ** 2
+        self.merged_hidden = v.hidden_size * self.merge_unit
+        self.patch_dim = (
+            v.in_channels * v.temporal_patch_size * v.patch_size ** 2
+        )
+
+    # -- parameters --------------------------------------------------------
+    def param_shapes(self) -> Dict[str, Tuple[int, ...]]:
+        v = self.v
+        H, I = v.hidden_size, v.intermediate_size
+        mh, oh = self.merged_hidden, v.out_hidden_size
+        s: Dict[str, Tuple[int, ...]] = {
+            "model.visual.patch_embed.proj.weight": (self.patch_dim, H),
+            "model.visual.patch_embed.proj.bias": (H,),
+            "model.visual.pos_embed.weight": (v.num_position_embeddings, H),
+            "model.visual.merger.norm.weight": (H,),
+            "model.visual.merger.norm.bias": (H,),
+            "model.visual.merger.linear_fc1.weight": (mh, mh),
+            "model.visual.merger.linear_fc1.bias": (mh,),
+            "model.visual.merger.linear_fc2.weight": (mh, oh),
+            "model.visual.merger.linear_fc2.bias": (oh,),
+        }
+        for i in range(v.depth):
+            p = f"model.visual.blocks.{i}"
+            s[f"{p}.norm1.weight"] = (H,)
+            s[f"{p}.norm1.bias"] = (H,)
+            s[f"{p}.norm2.weight"] = (H,)
+            s[f"{p}.norm2.bias"] = (H,)
+            s[f"{p}.attn.qkv.weight"] = (H, 3 * H)
+            s[f"{p}.attn.qkv.bias"] = (3 * H,)
+            s[f"{p}.attn.proj.weight"] = (H, H)
+            s[f"{p}.attn.proj.bias"] = (H,)
+            s[f"{p}.mlp.linear_fc1.weight"] = (H, I)
+            s[f"{p}.mlp.linear_fc1.bias"] = (I,)
+            s[f"{p}.mlp.linear_fc2.weight"] = (I, H)
+            s[f"{p}.mlp.linear_fc2.bias"] = (H,)
+        # deepstack mergers use post-shuffle norm (norm over merged dim,
+        # vision.rs:300-316 use_postshuffle_norm=true)
+        for i in range(len(v.deepstack_visual_indexes)):
+            p = f"model.visual.deepstack_merger_list.{i}"
+            s[f"{p}.norm.weight"] = (mh,)
+            s[f"{p}.norm.bias"] = (mh,)
+            s[f"{p}.linear_fc1.weight"] = (mh, mh)
+            s[f"{p}.linear_fc1.bias"] = (mh,)
+            s[f"{p}.linear_fc2.weight"] = (mh, oh)
+            s[f"{p}.linear_fc2.bias"] = (oh,)
+        return s
+
+    # -- blocks ------------------------------------------------------------
+    def _attention(self, params: Params, prefix: str, x: jnp.ndarray,
+                   seg_ids: jnp.ndarray, cos: jnp.ndarray,
+                   sin: jnp.ndarray) -> jnp.ndarray:
+        v = self.v
+        Np, H = x.shape
+        hd, nh = self.head_dim, v.num_heads
+        qkv = (
+            jnp.dot(x, params[f"{prefix}.qkv.weight"])
+            + params[f"{prefix}.qkv.bias"]
+        ).reshape(Np, 3, nh, hd)
+        q = qkv[:, 0].astype(jnp.float32)
+        k = qkv[:, 1].astype(jnp.float32)
+        val = qkv[:, 2].astype(jnp.float32)
+        cosf = cos[:, None, :].astype(jnp.float32)
+        sinf = sin[:, None, :].astype(jnp.float32)
+        q = q * cosf + _rotate_half(q) * sinf
+        k = k * cosf + _rotate_half(k) * sinf
+        scale = hd ** -0.5
+
+        kT = k.transpose(1, 2, 0)            # [nh, hd, Np]
+        vT = val.transpose(1, 0, 2)          # [nh, Np, hd]
+        n_chunks = max(Np // _Q_CHUNK, 1)
+        cq = Np // n_chunks
+        q_blocks = q.reshape(n_chunks, cq, nh, hd).transpose(0, 2, 1, 3)
+        seg_q = seg_ids.reshape(n_chunks, cq)
+        valid_k = (seg_ids > 0)[None, :]
+
+        def block(args):
+            qb, sq = args                    # [nh, cq, hd], [cq]
+            logits = jnp.einsum("hqd,hdk->hqk", qb, kT) * scale
+            allow = (sq[:, None] == seg_ids[None, :]) & valid_k
+            logits = jnp.where(allow[None], logits, -1e30)
+            p = jax.nn.softmax(logits, axis=-1)
+            return jnp.einsum("hqk,hkd->hqd", p, vT)  # [nh, cq, hd]
+
+        out = jax.lax.map(block, (q_blocks, seg_q))   # [nc, nh, cq, hd]
+        out = out.transpose(0, 2, 1, 3).reshape(Np, nh * hd).astype(x.dtype)
+        return jnp.dot(out, params[f"{prefix}.proj.weight"]) + params[
+            f"{prefix}.proj.bias"
+        ]
+
+    def _merger(self, params: Params, prefix: str, x: jnp.ndarray,
+                postshuffle: bool) -> jnp.ndarray:
+        mh = self.merged_hidden
+        if postshuffle:
+            y = _layer_norm(
+                x.reshape(-1, mh),
+                params[f"{prefix}.norm.weight"],
+                params[f"{prefix}.norm.bias"],
+            )
+        else:
+            y = _layer_norm(
+                x, params[f"{prefix}.norm.weight"],
+                params[f"{prefix}.norm.bias"],
+            ).reshape(-1, mh)
+        y = jnp.dot(y, params[f"{prefix}.linear_fc1.weight"]) + params[
+            f"{prefix}.linear_fc1.bias"
+        ]
+        y = _gelu(y, "gelu")
+        return jnp.dot(y, params[f"{prefix}.linear_fc2.weight"]) + params[
+            f"{prefix}.linear_fc2.bias"
+        ]
+
+    # -- forward -----------------------------------------------------------
+    def encode(
+        self,
+        params: Params,
+        patches: jnp.ndarray,   # [Np, patch_dim] f32
+        seg_ids: jnp.ndarray,   # [Np] i32 (0 = padding)
+        pos_idx: jnp.ndarray,   # [4, Np] i32 bilinear taps
+        pos_w: jnp.ndarray,     # [4, Np] f32
+        cos: jnp.ndarray,       # [Np, head_dim] f32
+        sin: jnp.ndarray,       # [Np, head_dim] f32
+    ) -> jnp.ndarray:
+        """Returns stacked merged embeddings [1 + n_deepstack, Np/mu,
+        out_hidden]: row 0 is the final merger output, rows 1.. are the
+        deepstack taps in ``deepstack_visual_indexes`` order."""
+        v = self.v
+        dtype = self.config.dtype
+        x = jnp.dot(
+            patches.astype(dtype),
+            params["model.visual.patch_embed.proj.weight"],
+        ) + params["model.visual.patch_embed.proj.bias"]
+
+        pe_table = params["model.visual.pos_embed.weight"].astype(jnp.float32)
+        pe = jnp.einsum(
+            "tn,tnh->nh", pos_w, pe_table[pos_idx]
+        )
+        x = x + pe.astype(dtype)
+
+        ds_lookup = {
+            layer: i for i, layer in enumerate(v.deepstack_visual_indexes)
+        }
+        taps: List[jnp.ndarray] = [None] * len(ds_lookup)
+        for i in range(v.depth):
+            p = f"model.visual.blocks.{i}"
+            h = _layer_norm(
+                x, params[f"{p}.norm1.weight"], params[f"{p}.norm1.bias"]
+            )
+            x = x + self._attention(params, f"{p}.attn", h, seg_ids, cos, sin)
+            h = _layer_norm(
+                x, params[f"{p}.norm2.weight"], params[f"{p}.norm2.bias"]
+            )
+            h = jnp.dot(h, params[f"{p}.mlp.linear_fc1.weight"]) + params[
+                f"{p}.mlp.linear_fc1.bias"
+            ]
+            h = _gelu(h, v.hidden_act)
+            x = x + (
+                jnp.dot(h, params[f"{p}.mlp.linear_fc2.weight"])
+                + params[f"{p}.mlp.linear_fc2.bias"]
+            )
+            if i in ds_lookup:
+                taps[ds_lookup[i]] = self._merger(
+                    params, f"model.visual.deepstack_merger_list.{ds_lookup[i]}",
+                    x, postshuffle=True,
+                )
+
+        main = self._merger(params, "model.visual.merger", x, postshuffle=False)
+        return jnp.stack([main] + taps, axis=0)

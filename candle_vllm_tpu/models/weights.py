@@ -26,16 +26,27 @@ from candle_vllm_tpu.parallel.sharding import ShardingPlan
 
 # params whose HF layout is already correct (not transposed)
 _NO_TRANSPOSE = re.compile(
-    r"(embed_tokens\.weight|norm\.weight|\.bias$|rotary|scale)"
+    r"(embed_tokens\.weight|pos_embed\.weight|norm\.weight|\.bias$|rotary|scale)"
 )
 
 # checkpoint-name aliases → canonical names (Phi2's dense/fc1/fc2 layout,
-# reference: phi2.rs weight names)
+# reference: phi2.rs weight names; Qwen3-VL nests the text stack under
+# model.language_model, reference: qwen3_vl/mod.rs text_prefix)
 _RENAMES = (
     ("model.final_layernorm.", "model.norm."),
     (".self_attn.dense.", ".self_attn.o_proj."),
     (".mlp.fc1.", ".mlp.up_proj."),
     (".mlp.fc2.", ".mlp.down_proj."),
+    ("model.language_model.", "model."),
+    # llama4 names its MLP/MoE block feed_forward with a `router` gate
+    # (reference: llama4/mod.rs vb.pp("feed_forward"), vb.pp("router"))
+    (".feed_forward.", ".mlp."),
+    (".mlp.router.", ".mlp.gate."),
+)
+
+# per-expert HF tensors stacked into [E, in, out] banks at load
+_EXPERT_RE = re.compile(
+    r"^(?P<prefix>.*\.experts)\.(?P<idx>\d+)\.(?P<proj>\w+_proj)\.weight$"
 )
 
 
@@ -93,6 +104,12 @@ def split_fused_weights(params: Dict, config) -> Dict:
             half = a.shape[-1] // 2
             out[name.replace(".gate_up_proj.", ".gate_proj.")] = a[..., :half]
             out[name.replace(".gate_up_proj.", ".up_proj.")] = a[..., half:]
+        elif name.endswith(".experts.gate_up_proj"):
+            # llama4 fused expert bank [E, hidden, 2I] -> separate banks so
+            # the TP plan can column-shard each half
+            half = a.shape[-1] // 2
+            out[name.replace(".gate_up_proj", ".gate_proj")] = a[..., :half]
+            out[name.replace(".gate_up_proj", ".up_proj")] = a[..., half:]
         else:
             out[name] = a
     return out
@@ -239,13 +256,21 @@ def load_safetensors(
 
     params: Dict[str, jnp.ndarray] = {}
     fused = False
+    expert_stash: Dict[str, Dict[int, np.ndarray]] = {}
     for name, arr in _iter_safetensors(model_dir):
         name = canonical_name(name)
+        m = _EXPERT_RE.match(name)
+        if m is not None:
+            # per-expert tensor: stash [out, in] -> stacked bank later
+            bank = f"{m['prefix']}.{m['proj']}"
+            expert_stash.setdefault(bank, {})[int(m["idx"])] = arr.T
+            continue
         if arr.ndim == 2 and not _NO_TRANSPOSE.search(name):
             arr = arr.T
         if fixup is not None:
             arr = fixup(name, arr)
         fused |= ".qkv_proj." in name or ".gate_up_proj." in name
+        fused |= name.endswith(".experts.gate_up_proj")
         if quantize and not fused:
             q = quantize_tensor_np(name, np.ascontiguousarray(arr), quantize)
             if q:
@@ -260,6 +285,11 @@ def load_safetensors(
         else:
             tgt = arr.dtype
         params[name] = jnp.asarray(arr, tgt)
+    for bank, tensors in expert_stash.items():
+        E = max(tensors) + 1
+        assert len(tensors) == E, f"missing experts in {bank}"
+        stacked = np.stack([tensors[i] for i in range(E)])  # [E, in, out]
+        params[bank] = jnp.asarray(stacked, dtype)
     if fused and config is not None:
         params = split_fused_weights(params, config)
         if quantize:

@@ -39,6 +39,10 @@ class AttentionSpec:
     head_dim: int
     sm_scale: float
     sliding_window: Optional[int] = None
+    # llama4 chunked attention: position p attends within its chunk
+    # [p//C*C, p] (block-diagonal by absolute position; reference:
+    # llama4/mod.rs:185-200 use_chunked_attention + chunked masks)
+    chunk_size: Optional[int] = None
     logit_soft_cap: Optional[float] = None
     # per-q-head attention sinks (gpt-oss style): a learned logit that
     # joins the softmax denominator (reference: PagedAttention sinks)
@@ -127,6 +131,8 @@ def _ragged_paged_attention_jnp(
     mask &= kv_pos < kv_lens[seq_idx][:, None]                 # context bound
     if spec.sliding_window is not None:
         mask &= kv_pos > q_pos[:, None] - spec.sliding_window
+    if spec.chunk_size is not None:
+        mask &= kv_pos >= (q_pos[:, None] // spec.chunk_size) * spec.chunk_size
     scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
 
     m = jnp.max(scores, axis=-1, keepdims=True)

@@ -125,6 +125,12 @@ def _kernel(
                 lo_pos = pos_off + jnp.maximum(cu_s, row0)
                 kv_min = jnp.maximum(lo_pos - spec.sliding_window + 1, 0)
                 pg_lo = kv_min // ps
+            elif spec.chunk_size is not None:
+                # chunked attention: nothing before the first row's chunk
+                # start is ever needed (llama4/mod.rs chunked masks)
+                lo_pos = pos_off + jnp.maximum(cu_s, row0)
+                kv_min = (lo_pos // spec.chunk_size) * spec.chunk_size
+                pg_lo = kv_min // ps
             else:
                 pg_lo = jnp.int32(0)
             pg_lo = jnp.minimum(pg_lo, pg_hi)  # empty range when no pages
@@ -151,6 +157,8 @@ def _kernel(
                 mask &= kv_pos < kvl
                 if spec.sliding_window is not None:
                     mask &= kv_pos > q_pos - spec.sliding_window
+                if spec.chunk_size is not None:
+                    mask &= kv_pos >= (q_pos // spec.chunk_size) * spec.chunk_size
                 mask3 = jnp.broadcast_to(
                     mask[:, None, :], (bq, G, ps)
                 ).reshape(BQG, ps)

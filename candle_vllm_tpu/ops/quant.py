@@ -176,7 +176,7 @@ def quantize_params(
     params: Params,
     method: str = "w4a16",
     group_size: int = DEFAULT_GROUP,
-    keep_regex: str = r"(embed_tokens|norm|\.bias$)",
+    keep_regex: str = r"(embed_tokens|norm|\.bias$|\.visual\.)",
     lm_head_method: Optional[str] = "int8",
     merge_fused: bool = False,
 ) -> Params:
@@ -224,7 +224,7 @@ def quantize_tensor_np(
     w: np.ndarray,
     method: str = "w4a16",
     group_size: int = DEFAULT_GROUP,
-    keep_regex: str = r"(embed_tokens|norm|\.bias$)",
+    keep_regex: str = r"(embed_tokens|norm|\.bias$|\.visual\.)",
     lm_head_method: Optional[str] = "int8",
 ) -> Dict[str, np.ndarray]:
     """Streaming per-tensor quantization (host-side numpy) — lets an 8B+

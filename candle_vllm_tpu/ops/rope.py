@@ -91,9 +91,11 @@ def _llama3_inv_freq(rotary_dim: int, theta: float, rs: RopeScaling, max_pos: in
 
 
 def make_rope_spec(config: ModelConfig, theta_override: Optional[float] = None,
-                   interleaved: bool = False) -> RopeSpec:
+                   interleaved: bool = False,
+                   rotary_dim_override: Optional[int] = None) -> RopeSpec:
     theta = theta_override if theta_override is not None else config.rope_theta
-    rotary_dim = config.rotary_dim
+    rotary_dim = (rotary_dim_override if rotary_dim_override is not None
+                  else config.rotary_dim)
     rs = config.rope_scaling
     scale = 1.0
     inv_long: Optional[list] = None

@@ -120,7 +120,7 @@ def _check_length(
 
 
 def _admission_check(
-    state: ServerState, prompt_ids: List[int]
+    state: ServerState, prompt_ids: List[int], seed: int = 0
 ) -> Optional[Tuple[int, str]]:
     """KV admission control (reference: openai_server.rs:239-326): query
     the prefix cache for the part of the prompt already resident, then
@@ -143,7 +143,7 @@ def _admission_check(
         )
     cached = 0
     if eng.scheduler_config.enable_prefix_caching:
-        cached = be.prefix_cache.match_tokens(list(prompt_ids), block)
+        cached = be.prefix_cache.match_tokens(list(prompt_ids), block, seed=seed)
     new_blocks = (prompt_len - cached + reserve + block - 1) // block
     # get_num_free counts evictable prefix blocks too (the allocator
     # reclaims them on demand — the reference's explicit evict loop,
@@ -183,6 +183,52 @@ def _usage(out: RequestOutput) -> Usage:
 # ---------------------------------------------------------------------------
 
 
+
+def _flatten_image_parts(messages):
+    """Flatten OpenAI list-content messages: text parts concatenate, image
+    parts become IMAGE_PLACEHOLDER markers; returns (messages, sources)
+    (reference: multimodal.rs get_image_data + conversation content
+    flattening)."""
+    from candle_vllm_tpu.multimodal.processor import IMAGE_PLACEHOLDER
+
+    sources: List[str] = []
+    out = []
+    for m in messages:
+        c = m.get("content")
+        if isinstance(c, list):
+            text = []
+            for part in c:
+                t = part.get("type")
+                if t == "text":
+                    text.append(part.get("text", ""))
+                elif t == "image_url":
+                    url = part.get("image_url")
+                    url = url.get("url") if isinstance(url, dict) else url
+                    sources.append(url)
+                    text.append(IMAGE_PLACEHOLDER)
+            m = dict(m, content="".join(text))
+        out.append(m)
+    return out, sources
+
+
+def _process_images(state: "ServerState", sources: List[str], prompt: str):
+    """Decode + patchify request images and expand the prompt's
+    placeholders into <vision_start><image_pad>*N<vision_end> runs."""
+    from candle_vllm_tpu.multimodal.processor import (
+        get_image_processor,
+        load_image,
+    )
+
+    mc = state.engine.model_config
+    if mc.vision is None:
+        raise ValueError(
+            f"model {mc.architecture} does not accept image input"
+        )
+    proc = get_image_processor(mc)
+    images = [load_image(s) for s in sources]
+    return proc.process(images, prompt)
+
+
 async def chat_completions(request: web.Request) -> web.StreamResponse:
     state: ServerState = request.app["state"]
     try:
@@ -194,9 +240,12 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
     # request tools + cached MCP tools (reference: openai/mod.rs:201-247)
     if state.mcp_manager is not None and state.mcp_manager.cached_tools:
         req.tools = (req.tools or []) + state.mcp_manager.cached_tools
+    messages, image_srcs = _flatten_image_parts(
+        [m.model_dump(exclude_none=True) for m in req.messages]
+    )
     try:
         prompt = state.chat_template.render(
-            [m.model_dump(exclude_none=True) for m in req.messages],
+            messages,
             add_generation_prompt=True,
             tools=req.tools,
             **(req.chat_template_kwargs or {}),
@@ -204,13 +253,19 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
     except TemplateError as e:
         return _error(400, f"chat template error: {e}")
 
+    mm = None
+    if image_srcs:
+        try:
+            mm, prompt = _process_images(state, image_srcs, prompt)
+        except Exception as e:
+            return _error(400, f"image input error: {e}")
     prompt_ids = state.tokenizer.encode(prompt)
     max_model_len = state.engine.scheduler_config.max_model_len
     sp = _sampling_from_chat(req, max_model_len, len(prompt_ids))
     err = _check_length(prompt_ids, sp.max_tokens, max_model_len)
     if err is not None:
         return _error(400, err)
-    rej = _admission_check(state, prompt_ids)
+    rej = _admission_check(state, prompt_ids, seed=mm.seed if mm else 0)
     if rej is not None:
         return _error(rej[0], rej[1])
     if sp.n != 1 and req.stream:
@@ -218,10 +273,13 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
 
     request_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
     if req.stream:
-        return await _stream_chat(request, state, request_id, prompt_ids, sp, req)
+        return await _stream_chat(
+            request, state, request_id, prompt_ids, sp, req, mm=mm
+        )
 
     out = await state.async_engine.generate(
-        request_id, prompt=None, prompt_token_ids=prompt_ids, sampling_params=sp
+        request_id, prompt=None, prompt_token_ids=prompt_ids,
+        sampling_params=sp, mm_inputs=mm,
     )
     family = family_for_model(state.engine.model_config.model_type)
     choices = []
@@ -275,6 +333,7 @@ async def _stream_chat(
     prompt_ids: List[int],
     sp: SamplingParams,
     req: ChatCompletionRequest,
+    mm=None,
 ) -> web.StreamResponse:
     response = web.StreamResponse(
         status=200,
@@ -303,7 +362,8 @@ async def _stream_chat(
     )
 
     stream = await state.async_engine.add_request(
-        request_id, prompt_token_ids=prompt_ids, sampling_params=sp
+        request_id, prompt_token_ids=prompt_ids, sampling_params=sp,
+        mm_inputs=mm,
     )
     family = family_for_model(state.engine.model_config.model_type)
     parser = StreamToolParser(family, req.tools)

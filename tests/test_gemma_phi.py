@@ -193,3 +193,121 @@ def test_phi2_weight_name_canonicalization():
     assert canonical_name("model.layers.0.mlp.fc1.bias") == "model.layers.0.mlp.up_proj.bias"
     assert canonical_name("model.layers.0.mlp.fc2.weight") == "model.layers.0.mlp.down_proj.weight"
     assert canonical_name("lm_head.weight") == "lm_head.weight"
+
+
+# ---------------------------------------------------------------------------
+# Gemma4: per-layer heterogeneous KV (reference: gemma4.rs,
+# models/mod.rs:1124-1192 gemma4_per_layer_cache_config)
+# ---------------------------------------------------------------------------
+
+
+def gemma4_config(**kw):
+    return ModelConfig.from_hf(
+        dict(
+            architectures=["Gemma4ForCausalLM"],
+            model_type="gemma4",
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=6,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,             # swa layers
+            global_head_dim=32,      # full-attention layers
+            num_global_key_value_heads=1,
+            vocab_size=128,
+            max_position_embeddings=256,
+            hidden_activation="gelu_pytorch_tanh",
+            query_pre_attn_scalar=32,
+            sliding_window=16,
+            rope_parameters={
+                "full_attention": {"rope_theta": 500000.0,
+                                   "partial_rotary_factor": 0.5},
+                "sliding_attention": {"rope_theta": 9000.0},
+            },
+            **kw,
+        ),
+        dtype=jnp.float32,
+    )
+
+
+def test_gemma4_config_hetero():
+    cfg = gemma4_config()
+    # default pattern: every 6th layer is full attention
+    assert [cfg.is_sliding_layer(i) for i in range(6)] == [True] * 5 + [False]
+    assert cfg.layer_kv_spec(0) == (2, 16)
+    assert cfg.layer_kv_spec(5) == (1, 32)
+    assert cfg.has_hetero_kv
+    assert cfg.global_rope_theta == 500000.0
+    assert cfg.rope_local_base_freq == 9000.0
+    assert cfg.partial_rotary_factor == 0.5
+    assert cfg.sandwich_norms and cfg.norm_unit_offset
+
+
+def run_steps_hetero(model, params, prompt, chunk_plan):
+    from candle_vllm_tpu.engine.block_engine import BlockEngine
+    from candle_vllm_tpu.engine.input_builder import build_step_input
+    from candle_vllm_tpu.engine.scheduler import ScheduledGroup
+    from candle_vllm_tpu.engine.sequence import Sequence, SequenceGroup
+    from candle_vllm_tpu.ops.kv_cache import allocate_kv_pages
+    from candle_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = model.config
+    PAGE = 16
+    be = BlockEngine(PAGE, num_gpu_blocks=64, num_cpu_blocks=8,
+                     enable_prefix_caching=False)
+    kv_pages = []
+    for K_i, D_i in model.per_layer_kv_spec():
+        kv_pages += allocate_kv_pages(1, 64, PAGE, K_i, D_i, dtype=cfg.dtype)
+    seq = Sequence(0, list(prompt))
+    group = SequenceGroup("r0", [seq], SamplingParams())
+    be.allocate(seq)
+    logits = None
+    for chunk in chunk_plan:
+        be.allocate_extend_for_chunk(seq, seq.num_computed_tokens + chunk)
+        plan = build_step_input(
+            [ScheduledGroup(group, {0: chunk})], be, PAGE, cfg.max_model_len
+        )
+        logits, kv_pages = model.forward(params, kv_pages, plan.step)
+        seq.num_computed_tokens += chunk
+    return np.asarray(logits[0])
+
+
+def test_gemma4_hetero_forward_consistency():
+    cfg = gemma4_config()
+    model = get_model(cfg)
+    shapes = model.param_shapes()
+    # swa layer 0: K*D = 2*16; global layer 5: K*D = 1*32
+    assert shapes["model.layers.0.self_attn.k_proj.weight"] == (64, 32)
+    assert shapes["model.layers.5.self_attn.k_proj.weight"] == (64, 32)
+    assert shapes["model.layers.5.self_attn.q_proj.weight"] == (64, 128)
+    assert shapes["model.layers.0.self_attn.q_proj.weight"] == (64, 64)
+    params = model.init_params(seed=0)
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(0, 128, size=23).tolist()
+    full = run_steps_hetero(model, params, prompt, [23])
+    chunked = run_steps_hetero(model, params, prompt, [13, 10])
+    np.testing.assert_allclose(full, chunked, rtol=3e-4, atol=3e-4)
+
+
+def test_gemma4_engine_end_to_end():
+    from candle_vllm_tpu.config import CacheConfig, SchedulerConfig
+    from candle_vllm_tpu.engine.llm_engine import LLMEngine
+    from candle_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = gemma4_config()
+    eng = LLMEngine(
+        cfg,
+        CacheConfig(block_size=8, num_gpu_blocks=32, num_cpu_blocks=0),
+        SchedulerConfig(max_model_len=cfg.max_model_len,
+                        preemption_mode="recompute"),
+        seed=0,
+    )
+    # per-layer pages have per-layer shapes
+    assert eng.kv_pages[0].shape[2:] == (4, 16)   # 2 kv heads * 2, d=16
+    assert eng.kv_pages[5].shape[2:] == (2, 32)
+    eng.add_request("g", prompt_token_ids=[1, 2, 3, 4, 5],
+                    sampling_params=SamplingParams(temperature=0.0,
+                                                   max_tokens=6))
+    while eng.has_unfinished_requests():
+        outs = eng.step()
+    assert outs and outs[0].finished
