@@ -123,6 +123,10 @@ class BlockEngine:
         if enable_prefix_caching:
             self.prefix_cache = PrefixCache(self.gpu_allocator)
             self.gpu_allocator.evictor = self.prefix_cache
+        # hybrid models: caps a prefix match to boundaries whose recurrent
+        # state is snapshotted (engine installs GDNSnapshotStore.gate;
+        # reference: scheduler/mamba.rs snapshot-gated prefix reuse)
+        self.cache_gate = None
 
     # -- sizing ----------------------------------------------------------------
     def blocks_needed(self, num_tokens: int) -> int:
@@ -176,6 +180,8 @@ class BlockEngine:
             hashes = self._prompt_block_hashes(seq)
             max_usable = (num_tokens - 1) // self.block_size
             matched = self.prefix_cache.match(hashes[:max_usable])
+            if self.cache_gate is not None and matched:
+                matched = matched[: self.cache_gate(hashes, len(matched))]
             for blk in matched:
                 blk.ref_count += 1
                 self.prefix_cache.mark_used(blk)

@@ -45,6 +45,9 @@ class StepPlan:
     seq_ids: List[int]
     sample_rows: List[int]        # index into logits rows ([S]) per seq
     needs_sample: List[bool]      # False for mid-prompt prefill chunks
+    # hybrid snapshots: seq_id -> number of prompt blocks the captured
+    # state covers (key material for the snapshot store)
+    snap_hash_blocks: Dict[int, int] = None
 
 
 def build_step_input(
@@ -55,6 +58,7 @@ def build_step_input(
     token_buckets: Sequence[int] = tuple(_TOKEN_BUCKETS),
     seq_buckets: Sequence[int] = tuple(_SEQ_BUCKETS),
     state_slot_map: Optional[Dict[int, int]] = None,
+    snap_boundaries: bool = False,
 ) -> StepPlan:
     """Flatten this step's scheduled chunks into one padded StepInput.
 
@@ -80,6 +84,10 @@ def build_step_input(
     cu = np.zeros(S + 1, np.int32)
     logits_idx = np.zeros(S, np.int32)
     state_slots = np.zeros(S, np.int32)
+    # hybrid prefix snapshots: capture state at the prompt's last full
+    # block boundary when this chunk covers it (mamba.rs:15-291 analogue)
+    snap_pos = np.full(S, -1, np.int32) if snap_boundaries else None
+    snap_hash_blocks: Dict[int, int] = {}
 
     seq_ids: List[int] = []
     sample_rows: List[int] = []
@@ -130,6 +138,12 @@ def build_step_input(
         logits_idx[i] = t - 1
         if state_slot_map:
             state_slots[i] = state_slot_map.get(seq.seq_id, 0)
+        if snap_pos is not None and q_len > 1:
+            plen = seq.get_prompt_len()
+            boundary = ((plen - 1) // page_size) * page_size
+            if boundary > 0 and start < boundary <= start + q_len:
+                snap_pos[i] = boundary - 1 - start
+                snap_hash_blocks[seq.seq_id] = boundary // page_size
         seq_ids.append(seq.seq_id)
         sample_rows.append(i)
         # only chunks that reach the end of the known tokens produce a
@@ -161,10 +175,12 @@ def build_step_input(
         state_slots=state_slots,
         mm_embeds=mm_embeds,
         mm_idx=mm_idx,
+        snap_pos=snap_pos,
     )
     return StepPlan(
         step=step,
         seq_ids=seq_ids,
         sample_rows=sample_rows,
         needs_sample=needs_sample,
+        snap_hash_blocks=snap_hash_blocks,
     )

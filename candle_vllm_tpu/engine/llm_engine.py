@@ -45,6 +45,12 @@ from candle_vllm_tpu.sampling_params import SamplingParams
 MAX_COPY_PAIRS = 128  # fixed-size COW copy list inside the jitted step
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _set_pool_row(pool: jnp.ndarray, slot: jnp.ndarray, val: jnp.ndarray):
+    """In-place (donated) row write — snapshot restore into a state pool."""
+    return pool.at[slot].set(val.astype(pool.dtype))
+
+
 # ---------------------------------------------------------------------------
 # outputs
 # ---------------------------------------------------------------------------
@@ -116,6 +122,9 @@ class LLMEngine:
         self.mesh = mesh
         self.plan = ShardingPlan(mesh) if mesh is not None else None
 
+        # the model's attention specs must know the cache wire format
+        # (int4 nibble packing changes the kernel's page decode)
+        model_config.kv_cache_dtype = cache_config.kv_cache_dtype
         self.model = get_model(model_config, mesh=mesh)
         if params is None and model_dir is not None:
             from candle_vllm_tpu.models.weights import load_safetensors
@@ -159,7 +168,12 @@ class LLMEngine:
         # cache carries per-(token,head) scale planes (TurboQuant-style,
         # reference cache_engine.rs:401-518)
         pad = 128 if jax.default_backend() == "tpu" else 1
-        self.kv_quantized = cache_config.kv_cache_dtype == "int8"
+        # Mosaic DMA slice minimums on the plane (second-minor) dim:
+        # int8 pages need multiples of 4, f32 scale planes multiples of 8
+        plane_pad = 4 if jax.default_backend() == "tpu" else 1
+        scale_pad = 8 if jax.default_backend() == "tpu" else 1
+        self.kv_quantized = cache_config.kv_cache_dtype in ("int8", "int4")
+        self.kv_int4 = cache_config.kv_cache_dtype == "int4"
         kv_dtype = jnp.int8 if self.kv_quantized else model_config.dtype
         kv_heads, kv_head_dim = self.model.kv_cache_spec()
         # recurrent-state slot pool (hybrid GDN models)
@@ -203,16 +217,33 @@ class LLMEngine:
                 )
             self.kv_pages = pages
         else:
-            pages = allocate_kv_pages(
-                model_config.num_hidden_layers,
-                cache_config.num_gpu_blocks,
-                cache_config.block_size,
-                kv_heads,
-                kv_head_dim,
-                dtype=kv_dtype,
-                sharding=self.plan.kv_pages_sharding() if self.plan else None,
-                pad_head_dim_to=pad,
-            )
+            if self.kv_int4:
+                from candle_vllm_tpu.ops.kv_cache import (
+                    allocate_kv_pages_int4,
+                )
+
+                pages = allocate_kv_pages_int4(
+                    model_config.num_hidden_layers,
+                    cache_config.num_gpu_blocks,
+                    cache_config.block_size,
+                    kv_heads,
+                    kv_head_dim,
+                    sharding=self.plan.kv_pages_sharding() if self.plan else None,
+                    pad_head_dim_to=pad,
+                    pad_planes_to=plane_pad,
+                )
+            else:
+                pages = allocate_kv_pages(
+                    model_config.num_hidden_layers,
+                    cache_config.num_gpu_blocks,
+                    cache_config.block_size,
+                    kv_heads,
+                    kv_head_dim,
+                    dtype=kv_dtype,
+                    sharding=self.plan.kv_pages_sharding() if self.plan else None,
+                    pad_head_dim_to=pad,
+                    pad_planes_to=plane_pad if self.kv_quantized else 1,
+                )
             if self.kv_quantized:
                 from candle_vllm_tpu.ops.kv_cache import allocate_kv_scales
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -224,6 +255,7 @@ class LLMEngine:
                     kv_heads,
                     sharding=NamedSharding(self.plan.mesh, P(None, "tp", None))
                     if self.plan else None,
+                    pad_planes_to=scale_pad,
                 )
                 self.kv_pages = list(zip(pages, scales))
             else:
@@ -250,6 +282,18 @@ class LLMEngine:
             cache_config.num_cpu_blocks,
             enable_prefix_caching=scheduler_config.enable_prefix_caching,
         )
+        # hybrid GDN + prefix caching: block hits must restore recurrent
+        # state snapshots or the hit is silently wrong — the store's gate
+        # caps matches to snapshotted boundaries (mamba.rs:15-291)
+        self._snap_store = None
+        if (
+            hasattr(self.model, "make_caches")
+            and scheduler_config.enable_prefix_caching
+        ):
+            from candle_vllm_tpu.engine.gdn_snapshots import GDNSnapshotStore
+
+            self._snap_store = GDNSnapshotStore()
+            self.block_engine.cache_gate = self._snap_store.gate
         self.scheduler = Scheduler(scheduler_config, self.block_engine)
         self.detok = IncrementalDetokenizer(tokenizer) if tokenizer else None
 
@@ -260,6 +304,8 @@ class LLMEngine:
         from candle_vllm_tpu.engine.stats import EngineStats
 
         self.stats = EngineStats()
+        # optional per-request JSONL logger (server --log-requests)
+        self.request_logger = None
 
         self._jit_step = jax.jit(
             self._device_step,
@@ -379,6 +425,67 @@ class LLMEngine:
         pos[img_at] = np.arange(total, dtype=np.int32)
         return emb, pos
 
+    # -- hybrid GDN prefix snapshots (mamba.rs:15-291 analogue) ------------
+    def _restore_snapshot(self, seq: Sequence, slot: int) -> None:
+        """Write the stored recurrent state for this sequence's cached
+        prefix boundary into its freshly assigned pool slot."""
+        bs = self.cache_config.block_size
+        k = seq.num_cached_tokens // bs
+        layers = None
+        if k > 0:
+            hashes = self.block_engine._prompt_block_hashes(seq)
+            layers = self._snap_store.get(hashes[k - 1])
+        if layers is None:
+            # snapshot evicted after admission: fall back to recomputing
+            # the whole prompt (rewriting identical KV into the shared
+            # cached blocks is byte-identical, hence safe)
+            seq.num_computed_tokens = 0
+            seq.num_cached_tokens = 0
+            return
+        li = 0
+        pages = []
+        slot_j = jnp.int32(slot)
+        for cache in self.kv_pages:
+            if isinstance(cache, dict):
+                snap = layers[li]
+                li += 1
+                cache = {
+                    "rec": _set_pool_row(cache["rec"], slot_j,
+                                         jnp.asarray(snap["rec"])),
+                    "conv": _set_pool_row(cache["conv"], slot_j,
+                                          jnp.asarray(snap["conv"])),
+                }
+            pages.append(cache)
+        self.kv_pages = pages
+
+    def _capture_snapshots(self, plan: StepPlan, row_seqs) -> None:
+        """Fetch this step's block-boundary state snapshots to host and
+        strip them from the cache pytree (keeps the jit signature of the
+        next step stable)."""
+        if self._snap_store is None:
+            return
+        if plan.snap_hash_blocks:
+            row_of = {s.seq_id: i for i, s in enumerate(row_seqs)}
+            for sid, nblocks in plan.snap_hash_blocks.items():
+                seq = row_seqs[row_of[sid]]
+                hashes = self.block_engine._prompt_block_hashes(seq)
+                if nblocks > len(hashes):
+                    continue
+                row = row_of[sid]
+                layers = []
+                for cache in self.kv_pages:
+                    if isinstance(cache, dict) and "snap_rec" in cache:
+                        layers.append({
+                            "rec": np.asarray(cache["snap_rec"][row]),
+                            "conv": np.asarray(cache["snap_conv"][row]),
+                        })
+                self._snap_store.put(hashes[nblocks - 1], layers)
+        self.kv_pages = [
+            {"rec": c["rec"], "conv": c["conv"]}
+            if isinstance(c, dict) else c
+            for c in self.kv_pages
+        ]
+
     def abort_request(self, request_id: str) -> None:
         self.scheduler.abort(request_id)
 
@@ -395,17 +502,28 @@ class LLMEngine:
         self._execute_swaps(sched_out)
 
         if hasattr(self.model, "make_caches"):
-            # recurrent-state slot assignment (hybrid GDN layers)
+            # recurrent-state slot assignment (hybrid GDN layers); fresh
+            # slots of prefix-cache hits get their snapshot restored
             for sg in sched_out.scheduled:
                 for sid in sg.token_chunks:
                     if sid not in self._state_slots:
-                        self._state_slots[sid] = self._state_slot_free.pop()
+                        slot = self._state_slot_free.pop()
+                        self._state_slots[sid] = slot
+                        seq = sg.group.seqs[sid]
+                        if (
+                            self._snap_store is not None
+                            and seq.num_computed_tokens > 0
+                            and seq.num_computed_tokens
+                            == seq.num_cached_tokens
+                        ):
+                            self._restore_snapshot(seq, slot)
         plan = build_step_input(
             sched_out.scheduled,
             self.block_engine,
             self.cache_config.block_size,
             self.scheduler_config.max_model_len,
             state_slot_map=self._state_slots,
+            snap_boundaries=self._snap_store is not None,
         )
         S = plan.step.kv_lens.shape[0]
 
@@ -423,7 +541,11 @@ class LLMEngine:
             seq = group.seqs[sid]
             row_seqs.append(seq)
             rows_params.append(group.sampling_params)
-            rows_hist.append(seq.get_token_ids()[-64:])
+            # honor per-request repeat_last_n (bucketed in SamplingTensors;
+            # reference: arbitrary repeat_last_n windows)
+            rows_hist.append(
+                seq.get_token_ids()[-group.sampling_params.repeat_last_n:]
+            )
             rows_pos.append(seq.get_output_len())
             rows_sub.append(list(group.seqs).index(sid))
         st = SamplingTensors.build(
@@ -461,6 +583,7 @@ class LLMEngine:
         )
         tokens = np.asarray(tokens)
         logprobs = np.asarray(logprobs)
+        self._capture_snapshots(plan, row_seqs)
         if want_logprobs:
             top_vals = np.asarray(top_vals)
             top_ids = np.asarray(top_ids)
@@ -613,7 +736,10 @@ class LLMEngine:
     ) -> List[RequestOutput]:
         outputs = []
         for group in finished:
-            outputs.append(self._group_output(group))
+            out = self._group_output(group)
+            outputs.append(out)
+            if self.request_logger is not None:
+                self.request_logger.log_finished(out)
             self._groups.pop(group.request_id, None)
         for group in sched_out.ignored:
             outputs.append(self._group_output(group))
@@ -647,8 +773,9 @@ class LLMEngine:
         """Encode prompts to pooled hidden-state vectors (reference:
         /v1/embeddings -> process_embedding_batch, llm_engine.rs:1807).
 
-        Runs outside the continuous-batching scheduler: one prefill pass
-        per call, KV blocks allocated and freed around it."""
+        Prompts are greedily packed into shared ragged prefill batches
+        (one device dispatch serves many prompts, like the reference's
+        embedding batch path) within the step token budget."""
         from candle_vllm_tpu.engine.input_builder import build_step_input
         from candle_vllm_tpu.engine.scheduler import ScheduledGroup
 
@@ -657,23 +784,36 @@ class LLMEngine:
                 self.model.forward_hidden, donate_argnums=(1,)
             )
 
-        outs: List[np.ndarray] = []
         budget = self.scheduler_config.max_num_batched_tokens
+        max_rows = 256  # input-builder seq bucket cap
         for ids in prompts:
             if len(ids) > budget:
                 raise ValueError(
                     f"embedding input ({len(ids)} tokens) exceeds the step "
                     f"budget ({budget})"
                 )
-            seq = Sequence(self._next_seq_id, list(ids))
-            self._next_seq_id += 1
-            group = SequenceGroup(f"emb-{seq.seq_id}", [seq], SamplingParams())
-            self.block_engine.allocate(seq)
-            seq.num_cached_tokens = 0
-            seq.num_computed_tokens = 0
+
+        outs: List[Optional[np.ndarray]] = [None] * len(prompts)
+
+        def flush(batch: List[Tuple[int, List[int]]]) -> None:
+            scheduled = []
+            seqs = []
             try:
+                for _, ids in batch:
+                    seq = Sequence(self._next_seq_id, list(ids))
+                    self._next_seq_id += 1
+                    group = SequenceGroup(
+                        f"emb-{seq.seq_id}", [seq], SamplingParams()
+                    )
+                    self.block_engine.allocate(seq)
+                    seq.num_cached_tokens = 0
+                    seq.num_computed_tokens = 0
+                    seqs.append(seq)
+                    scheduled.append(
+                        ScheduledGroup(group, {seq.seq_id: len(ids)})
+                    )
                 plan = build_step_input(
-                    [ScheduledGroup(group, {seq.seq_id: len(ids)})],
+                    scheduled,
                     self.block_engine,
                     self.cache_config.block_size,
                     self.scheduler_config.max_model_len,
@@ -681,15 +821,35 @@ class LLMEngine:
                 hidden, self.kv_pages = self._jit_hidden(
                     self.params, self.kv_pages, plan.step
                 )
-                T = len(ids)
-                if pooling == "mean":
-                    vec = np.asarray(hidden[:T], np.float32).mean(axis=0)
-                else:  # last-token pooling
-                    vec = np.asarray(hidden[T - 1], np.float32)
+                h = np.asarray(hidden, np.float32)
+                # rows are sorted by chunk length inside build_step_input;
+                # recover each prompt's span from the plan's cu boundaries
+                sid_to_idx = {
+                    seq.seq_id: idx for (idx, _), seq in zip(batch, seqs)
+                }
+                cu = np.asarray(plan.step.cu_q_lens)
+                for i, sid in enumerate(plan.seq_ids):
+                    lo, hi = int(cu[i]), int(cu[i + 1])
+                    idx = sid_to_idx[sid]
+                    if pooling == "mean":
+                        outs[idx] = h[lo:hi].mean(axis=0)
+                    else:  # last-token pooling
+                        outs[idx] = h[hi - 1]
             finally:
-                self.block_engine.free(seq)
-            outs.append(vec)
-        return outs
+                for seq in seqs:
+                    self.block_engine.free(seq)
+
+        batch: List[Tuple[int, List[int]]] = []
+        used = 0
+        for idx, ids in enumerate(prompts):
+            if batch and (used + len(ids) > budget or len(batch) >= max_rows):
+                flush(batch)
+                batch, used = [], 0
+            batch.append((idx, list(ids)))
+            used += len(ids)
+        if batch:
+            flush(batch)
+        return outs  # type: ignore[return-value]
 
     # -- introspection -------------------------------------------------------
     def kv_usage(self) -> float:

@@ -130,7 +130,8 @@ def paged_attention_with_write(
     if mesh is None or mesh.shape.get(tp_axis, 1) == 1:
         if quantized:
             pages, scales = kv_pages
-            pages, scales = write_kv(pages, k, v, step.slot_mapping, scales)
+            pages, scales = write_kv(pages, k, v, step.slot_mapping, scales,
+                                     kv4=spec.kv4)
             out = ragged_paged_attention(
                 q, pages, step.kv_lens, step.page_tables, step.cu_q_lens,
                 spec=spec, kv_scales=scales,
@@ -168,7 +169,8 @@ def paged_attention_with_write(
 
     if quantized:
         def local_q(q, k, v, pages, scales, kv_lens, pt, cu, slots):
-            pages, scales = write_kv(pages, k, v, slots, scales)
+            pages, scales = write_kv(pages, k, v, slots, scales,
+                                     kv4=spec.kv4)
             out = ragged_paged_attention(
                 q, pages, kv_lens, pt, cu, spec=local_spec, kv_scales=scales
             )
@@ -313,6 +315,7 @@ def make_attn_specs(config: ModelConfig) -> "list[AttnLayerSpec]":
                     sliding_window=sliding,
                     chunk_size=chunk,
                     logit_soft_cap=config.attn_logit_softcapping,
+                    kv4=config.kv_cache_dtype == "int4",
                 ),
                 use_qk_norm=config.use_qk_norm,
                 qk_norm_eps=config.rms_norm_eps,

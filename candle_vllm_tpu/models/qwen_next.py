@@ -202,7 +202,7 @@ class Qwen3NextForCausalLM(QwenMoeForCausalLM):
             )
             b = linear(x, params, f"{g}.in_proj_b")
             a = linear(x, params, f"{g}.in_proj_a")
-        out, rec, conv = gdn_mixed(
+        out, rec, conv, snapshots = gdn_mixed(
             mixed_qkv, z, a, b,
             params[f"{g}.conv1d.weight"],
             params.get(f"{g}.conv1d.bias"),
@@ -211,12 +211,18 @@ class Qwen3NextForCausalLM(QwenMoeForCausalLM):
             params[f"{g}.norm.weight"],
             cache["rec"], cache["conv"],
             step.state_slots, step.cu_q_lens, step.kv_lens,
+            step.snap_pos,
             num_k_heads=self.hk, num_v_heads=self.hv,
             head_k_dim=self.dk, head_v_dim=self.dv,
             scale=self.dk ** -0.5,
         )
         out = linear(out.astype(x.dtype), params, f"{g}.out_proj")
-        return out, {"rec": rec, "conv": conv}
+        new_cache = {"rec": rec, "conv": conv}
+        if snapshots is not None:
+            # block-boundary state snapshots ride the step outputs; the
+            # engine fetches + stores them host-side (mamba.rs analogue)
+            new_cache["snap_rec"], new_cache["snap_conv"] = snapshots
+        return out, new_cache
 
     def forward_hidden(self, params, kv_pages, step: StepInput):
         from candle_vllm_tpu.models.layers import attention_block

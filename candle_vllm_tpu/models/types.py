@@ -42,6 +42,11 @@ class StepInput:
     # None for text-only models/steps.
     mm_embeds: jnp.ndarray = None  # [1+n_ds, M, hidden]
     mm_idx: jnp.ndarray = None     # [T] i32; -1 for text/padding rows
+    # hybrid GDN models with prefix caching: in-chunk offset at which each
+    # sequence's recurrent state is snapshotted for the prefix-snapshot
+    # store (-1 = none; reference: scheduler/mamba.rs:15-291).  None for
+    # non-hybrid models.
+    snap_pos: jnp.ndarray = None   # [S] i32
 
     @property
     def num_tokens(self) -> int:

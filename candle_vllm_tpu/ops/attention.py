@@ -44,6 +44,9 @@ class AttentionSpec:
     # llama4/mod.rs:185-200 use_chunked_attention + chunked masks)
     chunk_size: Optional[int] = None
     logit_soft_cap: Optional[float] = None
+    # int4 KV cache: pages pack K (lo nibble) and V (hi nibble) per head
+    # into one byte plane (kv_cache.allocate_kv_pages_int4)
+    kv4: bool = False
     # per-q-head attention sinks (gpt-oss style): a learned logit that
     # joins the softmax denominator (reference: PagedAttention sinks)
     has_sinks: bool = False
@@ -95,8 +98,12 @@ def _ragged_paged_attention_jnp(
     sinks: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     T, H, D = q.shape
-    P, ps, twoK, Dp = kv_pages.shape
-    K = twoK // 2
+    P, ps, planes, Dp = kv_pages.shape
+    kv4 = spec.kv4
+    K = spec.num_kv_heads
+    # plane dims may be padded up to Mosaic tiling minimums
+    # (kv_cache.allocate_*: int8 pages to 4, f32 scales to 8)
+    twoK = planes
     G = spec.group_size
     S, MAXP = page_tables.shape
     L = MAXP * ps
@@ -111,13 +118,30 @@ def _ragged_paged_attention_jnp(
 
     # gather each token's full KV context: [T, MAXP, ps, 2K, D] -> [T, L, ...]
     pages = page_tables[seq_idx]
-    kv = kv_pages[pages].reshape(T, L, twoK, Dp)[..., :D].astype(jnp.float32)
-    if kv_scales is not None:
-        # [T, MAXP, 2K, ps] -> [T, L, 2K] per-(token,head) scales
-        sc = jnp.swapaxes(kv_scales[pages], 2, 3).reshape(T, L, twoK)
-        kv = kv * sc[..., None].astype(jnp.float32)
-    k = kv[:, :, 0::2, :]  # interleaved per head
-    v = kv[:, :, 1::2, :]
+    if kv4:
+        # packed int4: K lo-nibble / V hi-nibble share one byte plane
+        # (kv_cache.allocate_kv_pages_int4); planes may be pad-extended
+        b = kv_pages[pages].reshape(T, L, planes, Dp)[:, :, :K, :D].astype(
+            jnp.float32
+        )
+        vq = jnp.floor(b / 16.0)
+        kq = b - 16.0 * vq - 8.0
+        sc = jnp.swapaxes(kv_scales[pages], 2, 3).reshape(
+            T, L, kv_scales.shape[1]
+        )[:, :, : 2 * K]
+        k = kq * sc[:, :, 0::2, None].astype(jnp.float32)
+        v = vq * sc[:, :, 1::2, None].astype(jnp.float32)
+    else:
+        kv = kv_pages[pages].reshape(T, L, planes, Dp)[:, :, : 2 * K, :D]
+        kv = kv.astype(jnp.float32)
+        if kv_scales is not None:
+            # [T, MAXP, 2K', ps] -> [T, L, 2K] per-(token,head) scales
+            sc = jnp.swapaxes(kv_scales[pages], 2, 3).reshape(
+                T, L, kv_scales.shape[1]
+            )[:, :, : 2 * K]
+            kv = kv * sc[..., None].astype(jnp.float32)
+        k = kv[:, :, 0::2, :]  # interleaved per head
+        v = kv[:, :, 1::2, :]
 
     qf = q.astype(jnp.float32).reshape(T, K, G, D)
     scores = jnp.einsum("tkgd,tlkd->tkgl", qf, k) * spec.sm_scale

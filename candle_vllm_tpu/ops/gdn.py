@@ -59,14 +59,23 @@ def gdn_mixed(
     state_slots: jnp.ndarray,  # [S] i32 pool slot per sequence
     cu_q_lens: jnp.ndarray,    # [S+1]
     kv_lens: jnp.ndarray,      # [S] (post-step length; start = kvl - qlen)
+    snap_pos: Optional[jnp.ndarray] = None,  # [S] i32 in-chunk snapshot
+                                             # offset; -1 = no snapshot
     *,
     num_k_heads: int,
     num_v_heads: int,
     head_k_dim: int,
     head_v_dim: int,
     scale: float,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (out [T, Hv*Dv], rec_state, conv_state)."""
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Optional[Tuple]]:
+    """Returns (out [T, Hv*Dv], rec_state, conv_state, snapshots).
+
+    ``snap_pos[s] = j`` captures sequence s's recurrent state right after
+    scan step j into the returned ``snapshots = (snap_rec [S, ...],
+    snap_conv [S, ...])`` — the TPU form of the reference's mamba
+    block-boundary snapshot capture (scheduler/mamba.rs:15-291): the
+    engine stores them host-side keyed by the prefix block hash so later
+    identical prompts can restore state instead of re-prefilling."""
     T = mixed_qkv.shape[0]
     S = state_slots.shape[0]
     Hk, Hv, Dk, Dv = num_k_heads, num_v_heads, head_k_dim, head_v_dim
@@ -88,9 +97,17 @@ def gdn_mixed(
     z = z.astype(jnp.float32)
 
     out0 = jnp.zeros((T, Hv, Dv), jnp.float32)
+    snap = snap_pos is not None
+    snap_rec0 = jnp.zeros((S, Hv, Dk, Dv), jnp.float32) if snap else None
+    snap_conv0 = (
+        jnp.zeros((S, conv.shape[1], W - 1), jnp.float32) if snap else None
+    )
 
     def step(carry, j):
-        rec, conv, out = carry
+        if snap:
+            rec, conv, out, s_rec, s_conv = carry
+        else:
+            rec, conv, out = carry
         idx = jnp.clip(cu_q_lens[:-1] + j, 0, T - 1)    # [S]
         active = j < q_lens                              # [S]
         x = mixed[idx]                                   # [S, conv_dim]
@@ -127,11 +144,24 @@ def gdn_mixed(
         # sequence's clipped index can collide with a real row
         idx_write = jnp.where(active, idx, T)
         out = out.at[idx_write].set(o, mode="drop")
+        if snap:
+            hit = (j == snap_pos) & active                  # [S]
+            s_rec = jnp.where(hit[:, None, None, None], rec, s_rec)
+            s_conv = jnp.where(hit[:, None, None], conv, s_conv)
+            return (rec, conv, out, s_rec, s_conv), None
         return (rec, conv, out), None
 
-    (rec, conv, out), _ = jax.lax.scan(
-        step, (rec, conv, out0), jnp.arange(T, dtype=jnp.int32)
-    )
+    if snap:
+        (rec, conv, out, snap_rec, snap_conv), _ = jax.lax.scan(
+            step, (rec, conv, out0, snap_rec0, snap_conv0),
+            jnp.arange(T, dtype=jnp.int32),
+        )
+        snapshots = (snap_rec, snap_conv)
+    else:
+        (rec, conv, out), _ = jax.lax.scan(
+            step, (rec, conv, out0), jnp.arange(T, dtype=jnp.int32)
+        )
+        snapshots = None
 
     # gated RMSNorm (per-head weights; reference: gdn_norm_weight) + gate
     var = jnp.mean(jnp.square(out), axis=-1, keepdims=True)
@@ -141,4 +171,4 @@ def gdn_mixed(
 
     rec_state = rec_state.at[state_slots].set(rec.astype(rec_state.dtype))
     conv_state = conv_state.at[state_slots].set(conv.astype(conv_state.dtype))
-    return out, rec_state, conv_state
+    return out, rec_state, conv_state, snapshots

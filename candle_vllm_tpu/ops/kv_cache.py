@@ -39,15 +39,49 @@ def allocate_kv_pages(
     dtype=jnp.bfloat16,
     sharding=None,
     pad_head_dim_to: int = 1,
+    pad_planes_to: int = 1,
 ) -> List[jnp.ndarray]:
     """``pad_head_dim_to=128`` pads the lane dim up to the TPU tile width —
     required by the Pallas attention kernel's page DMA (Mosaic cannot slice
-    sub-tile lane extents); write/attend ops pad/slice transparently."""
+    sub-tile lane extents); ``pad_planes_to`` similarly pads the K/V plane
+    dim up to the dtype's second-minor tiling minimum (4 for int8 pages,
+    8 for f32 scales — Mosaic rejects smaller DMA extents).  Write/attend
+    ops pad/slice transparently."""
     head_dim = -(-head_dim // pad_head_dim_to) * pad_head_dim_to
-    shape = (num_pages, page_size, 2 * num_kv_heads, head_dim)
+    planes = -(-2 * num_kv_heads // pad_planes_to) * pad_planes_to
+    shape = (num_pages, page_size, planes, head_dim)
     out = []
     for _ in range(num_layers):
         arr = jnp.zeros(shape, dtype=dtype)
+        if sharding is not None:
+            arr = jax.device_put(arr, sharding)
+        out.append(arr)
+    return out
+
+
+def allocate_kv_pages_int4(
+    num_layers: int,
+    num_pages: int,
+    page_size: int,
+    num_kv_heads: int,
+    head_dim: int,
+    sharding=None,
+    pad_head_dim_to: int = 1,
+    pad_planes_to: int = 1,
+) -> List[jnp.ndarray]:
+    """4-bit KV pages: K and V of head h share one byte plane
+    ``[P, ps, K, D]`` int8 — K in the low nibble, V in the high nibble
+    (TurboQuant-class compression, reference cache_engine.rs:401-518
+    allocate_turboquant_layers; 4x the bf16 capacity).  Packing K with V
+    (instead of adjacent lanes) keeps the lane dim at the full tile width
+    so page DMAs stay dense, and lets ``write_kv`` store both nibbles in
+    one scatter with no read-modify-write."""
+    head_dim = -(-head_dim // pad_head_dim_to) * pad_head_dim_to
+    planes = -(-num_kv_heads // pad_planes_to) * pad_planes_to
+    shape = (num_pages, page_size, planes, head_dim)
+    out = []
+    for _ in range(num_layers):
+        arr = jnp.zeros(shape, dtype=jnp.int8)
         if sharding is not None:
             arr = jax.device_put(arr, sharding)
         out.append(arr)
@@ -60,13 +94,16 @@ def allocate_kv_scales(
     page_size: int,
     num_kv_heads: int,
     sharding=None,
+    pad_planes_to: int = 1,
 ) -> List[jnp.ndarray]:
     """Per-(token, head) dequant scales for a quantized KV cache.
     Layout [P, 2K, page_size] — scale rows are lane vectors the attention
-    kernel broadcasts across score columns."""
+    kernel broadcasts across score columns.  ``pad_planes_to=8`` meets the
+    f32 second-minor tiling minimum for whole-plane DMA slices."""
+    planes = -(-2 * num_kv_heads // pad_planes_to) * pad_planes_to
     out = []
     for _ in range(num_layers):
-        arr = jnp.ones((num_pages, 2 * num_kv_heads, page_size), jnp.float32)
+        arr = jnp.ones((num_pages, planes, page_size), jnp.float32)
         if sharding is not None:
             arr = jax.device_put(arr, sharding)
         out.append(arr)
@@ -79,6 +116,7 @@ def write_kv(
     v: jnp.ndarray,
     slot_mapping: jnp.ndarray,
     kv_scales: Optional[jnp.ndarray] = None,
+    kv4: bool = False,
 ) -> jnp.ndarray:
     """Scatter new K/V rows into their pages.
 
@@ -95,6 +133,25 @@ def write_kv(
     Dp = kv_pages.shape[3]
     page_idx = slot_mapping // page_size
     offset = slot_mapping % page_size
+    if kv4:
+        # int4 cache: K lo-nibble / V hi-nibble share one byte plane
+        # (see allocate_kv_pages_int4); scales per (token, head) absmax/7
+        assert kv_scales is not None, "int4 cache requires scale planes"
+        kf = k.astype(jnp.float32)
+        vf = v.astype(jnp.float32)
+        sk = jnp.maximum(jnp.max(jnp.abs(kf), -1) / 7.0, 1e-8)  # [T, K]
+        sv = jnp.maximum(jnp.max(jnp.abs(vf), -1) / 7.0, 1e-8)
+        qk = jnp.clip(jnp.round(kf / sk[..., None]), -7, 7)
+        qv = jnp.clip(jnp.round(vf / sv[..., None]), -7, 7)
+        b = (qv * 16.0 + qk + 8.0).astype(jnp.int8)             # [T, K, D]
+        if Dp != D:
+            b = jnp.pad(b, ((0, 0), (0, 0), (0, Dp - D)))
+        pages = kv_pages.at[page_idx, offset, :K].set(b, mode="drop")
+        scale = jnp.stack([sk, sv], axis=2).reshape(T, 2 * K)
+        scales = kv_scales.at[page_idx, : 2 * K, offset].set(
+            scale.astype(kv_scales.dtype), mode="drop"
+        )
+        return pages, scales
     # interleave per head: [T, K, 2, D] -> [T, 2K, D] = k0,v0,k1,v1,...
     kv = jnp.stack([k, v], axis=2).reshape(T, 2 * K, D)
     if kv_scales is not None:
@@ -107,14 +164,16 @@ def write_kv(
         ).astype(jnp.int8)
         if Dp != D:
             q = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
-        pages = kv_pages.at[page_idx, offset].set(q, mode="drop")
-        scales = kv_scales.at[page_idx, :, offset].set(
+        pages = kv_pages.at[page_idx, offset, : 2 * K].set(q, mode="drop")
+        scales = kv_scales.at[page_idx, : 2 * K, offset].set(
             scale.astype(kv_scales.dtype), mode="drop"
         )
         return pages, scales
     kv = kv.astype(kv_pages.dtype)
     if Dp != D:  # lane-padded cache (see allocate_kv_pages)
         kv = jnp.pad(kv, ((0, 0), (0, 0), (0, Dp - D)))
+    if kv_pages.shape[2] != 2 * K:  # plane-padded cache
+        return kv_pages.at[page_idx, offset, : 2 * K].set(kv, mode="drop")
     return kv_pages.at[page_idx, offset].set(kv, mode="drop")
 
 

@@ -1,0 +1,260 @@
+"""Fused W4A16 decode MLP megakernel: down(silu(gate) * up) in ONE
+pallas_call with continuous weight streaming.
+
+Decode is weight-bandwidth-bound; the per-projection kernels
+(``quant_matmul.py``) leave a pipeline bubble at every kernel boundary —
+the down-proj weight stream cannot start until the gate_up call retires.
+This kernel owns the whole MLP: weights stay in HBM (``pl.ANY``) and are
+manually double-buffered tile-by-tile across BOTH projections, so the
+weight stream never stalls (the analogue of the reference stacking
+back-to-back Marlin launches on separate CUDA streams).
+
+Layout (the standard tile-contiguous W4A16 pack, see quant_matmul.py):
+  gu_q [2*I/TO, H, TO/2] int8  — gate tiles 0..I/TO-1, then up tiles
+  gu_s [H/g, 2*I] bf16
+  dn_q [H/TO, I, TO/2] int8
+  dn_s [I/g, H] bf16
+
+Grid: ``I/TO`` paired gate+up steps (each DMAs one gate and one up tile,
+computing an h tile), then ``H/TO * n_chunks`` down steps (each DMAs one
+[CH, TO/2] chunk of a down tile).  All DMAs are issued 2 steps ahead.
+
+Decode-only: T <= 8 (the caller falls back to the per-projection kernels
+for prefill).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 128
+
+
+def _w4_tile_matmul(x, p, s, acc):
+    """acc += x @ dequant(p) for one [TI, TO/2]-packed tile.
+
+    x [T, TI] bf16; p [TI, TOH] int8; s [TI/g, TO] f32; acc [T, TO] f32.
+    Group-split form: scales hit the [T, TO] partial products; the low
+    nibble is recovered as plo = x@b - 16*(x@hi) (see quant_matmul.py).
+    """
+    TI, TOH = p.shape
+    pf32 = p.astype(jnp.float32)
+    hi = jnp.floor(pf32 * 0.0625).astype(jnp.bfloat16)
+    pf = pf32.astype(jnp.bfloat16)
+    acc_lo = acc[:, :TOH]
+    acc_hi = acc[:, TOH:]
+    for gi in range(TI // GROUP):
+        sl = slice(gi * GROUP, (gi + 1) * GROUP)
+        xb = x[:, sl]
+        ppf = jnp.dot(xb, pf[sl], preferred_element_type=jnp.float32)
+        phi = jnp.dot(xb, hi[sl], preferred_element_type=jnp.float32)
+        plo = ppf - 16.0 * phi
+        rs = jnp.sum(xb.astype(jnp.float32), axis=1, keepdims=True)
+        s32 = s[gi][None, :]
+        acc_lo = acc_lo + (plo - 8.0 * rs) * s32[:, :TOH]
+        acc_hi = acc_hi + phi * s32[:, TOH:]
+    return jnp.concatenate([acc_lo, acc_hi], axis=1)
+
+
+def _kernel(
+    # scalars (SMEM)
+    n_gu_ref,        # [1] number of paired gate/up steps (I/TO)
+    # VMEM inputs
+    x_ref,           # [T, H] bf16
+    gu_s_ref,        # [2*n_gu, H/g, TO] bf16 (per-tile planes)
+    dn_s_ref,        # [n_dn_tiles*n_chunks, CH/g, TO] bf16 (per-step)
+    # HBM (manual DMA)
+    gu_q_ref,        # [2*I/TO, H, TO/2] int8
+    dn_q_ref,        # [H/TO, I, TO/2] int8
+    # outputs / scratch
+    out_ref,         # [T, H]
+    h_ref,           # [T, I] f32 scratch (intermediate activations)
+    acc_ref,         # [T, TO] f32 scratch (down accumulator)
+    gbuf,            # [2, H, TO/2] int8 gate tiles
+    ubuf,            # [2, H, TO/2] int8 up tiles
+    dbuf,            # [2, CH, TO/2] int8 down chunks
+    gsem, usem, dsem,
+    *,
+    TO: int,
+    CH: int,
+    n_chunks: int,
+    T: int,
+):
+    i = pl.program_id(0)
+    n_gu = n_gu_ref[0]
+    n_total = pl.num_programs(0)
+    TOH = TO // 2
+    H = x_ref.shape[1]
+    I = h_ref.shape[1]
+
+    def gu_dma(slot, step):
+        g = pltpu.make_async_copy(
+            gu_q_ref.at[step], gbuf.at[slot], gsem.at[slot]
+        )
+        u = pltpu.make_async_copy(
+            gu_q_ref.at[step + n_gu], ubuf.at[slot], usem.at[slot]
+        )
+        return g, u
+
+    def dn_dma(slot, step):
+        tile = step // n_chunks
+        chunk = step % n_chunks
+        return pltpu.make_async_copy(
+            dn_q_ref.at[tile, pl.ds(chunk * CH, CH)],
+            dbuf.at[slot],
+            dsem.at[slot],
+        )
+
+    def start(step):
+        slot = step % 2
+
+        @pl.when(step < n_gu)
+        def _g():
+            g, u = gu_dma(slot, step)
+            g.start()
+            u.start()
+
+        @pl.when(step >= n_gu)
+        def _d():
+            dn_dma(slot, step - n_gu).start()
+
+    # prologue + distance-1 prefetch: with 2 buffers, step i may only
+    # refill slot (i+1)%2 — the one its compute is NOT reading
+    @pl.when(i == 0)
+    def _warm():
+        start(0)
+
+    @pl.when(i + 1 < n_total)
+    def _prefetch():
+        start(i + 1)
+
+    slot = i % 2
+
+    @pl.when(i < n_gu)
+    def _gate_up():
+        g, u = gu_dma(slot, i)
+        g.wait()
+        u.wait()
+        x = x_ref[...]
+        zero = jnp.zeros((T, TO), jnp.float32)
+        sg = gu_s_ref[i].astype(jnp.float32)
+        gate = _w4_tile_matmul(x, gbuf[slot], sg, zero)
+        su = gu_s_ref[i + n_gu].astype(jnp.float32)
+        up = _w4_tile_matmul(x, ubuf[slot], su, zero)
+        h = jax.nn.silu(gate) * up
+        h_ref[:, pl.ds(i * TO, TO)] = h
+
+    @pl.when(i >= n_gu)
+    def _down():
+        j = i - n_gu
+        tile = j // n_chunks
+        chunk = j % n_chunks
+
+        @pl.when(chunk == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        dn_dma(slot, j).wait()
+        xh = h_ref[:, pl.ds(chunk * CH, CH)].astype(jnp.bfloat16)
+        # dn_s ships one [CH/g, TO] plane per down grid step so this is a
+        # single leading dynamic index (Mosaic lowers it as a VMEM slice)
+        sd = dn_s_ref[j].astype(jnp.float32)
+        acc_ref[...] = _w4_tile_matmul(xh, dbuf[slot], sd, acc_ref[...])
+
+        @pl.when(chunk == n_chunks - 1)
+        def _flush():
+            out_ref[:, pl.ds(tile * TO, TO)] = acc_ref[...].astype(
+                out_ref.dtype
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_mlp_w4(
+    x: jnp.ndarray,       # [T, H] bf16 (T <= 8)
+    gu_q: jnp.ndarray,    # [2*I/TO, H, TO/2] int8
+    gu_s: jnp.ndarray,    # [H/g, 2I]
+    dn_q: jnp.ndarray,    # [H/TO, I, TO/2] int8
+    dn_s: jnp.ndarray,    # [I/g, H]
+    *,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    T, H = x.shape
+    twoI = gu_s.shape[1]
+    I = twoI // 2
+    n_gu_tiles = gu_q.shape[0]
+    TO = twoI // n_gu_tiles
+    n_gu = I // TO
+    TOH = TO // 2
+    n_dn_tiles = dn_q.shape[0]
+    assert dn_q.shape[1] == I and n_dn_tiles * TO == H
+
+    # down inner chunk: largest divisor of I that is <= 4096 and a
+    # multiple of 8*GROUP (scales sublane alignment)
+    CH = I
+    for c in range(min(I, 4096), GROUP - 1, -GROUP):
+        if I % c == 0 and ((c // GROUP) % 8 == 0 or c == I):
+            CH = c
+            break
+    n_chunks = I // CH
+    n_total = n_gu + n_dn_tiles * n_chunks
+
+    Tp = max(8, T)
+    if Tp != T:
+        x = jnp.pad(x, ((0, Tp - T), (0, 0)))
+    x = x.astype(jnp.bfloat16)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_total,),
+        in_specs=[
+            pl.BlockSpec((Tp, H), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # gu_s whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # dn_s whole
+            pl.BlockSpec(memory_space=pl.ANY),       # gu_q HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # dn_q HBM
+        ],
+        out_specs=pl.BlockSpec((Tp, H), lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Tp, I), jnp.float32),
+            pltpu.VMEM((Tp, TO), jnp.float32),
+            pltpu.VMEM((2, H, TOH), jnp.int8),
+            pltpu.VMEM((2, H, TOH), jnp.int8),
+            pltpu.VMEM((2, CH, TOH), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, TO=TO, CH=CH, n_chunks=n_chunks, T=Tp),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tp, H), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray([n_gu], jnp.int32),
+        x,
+        # [H/g, 2I] -> [2*n_gu, H/g, TO] per-tile scale planes
+        gu_s.astype(jnp.bfloat16)
+        .reshape(gu_s.shape[0], 2 * n_gu, TO)
+        .transpose(1, 0, 2),
+        # [I/g, H] -> [n_dn_tiles * n_chunks, CH/g, TO] per-step planes
+        dn_s.astype(jnp.bfloat16)
+        .reshape(n_chunks, CH // GROUP, n_dn_tiles, TO)
+        .transpose(2, 0, 1, 3)
+        .reshape(n_dn_tiles * n_chunks, CH // GROUP, TO),
+        gu_q,
+        dn_q,
+    )
+    return out[:T]

@@ -58,6 +58,7 @@ def _kernel(
     spec: AttentionSpec,
     bq: int,
     quantized: bool = False,
+    kv4: bool = False,
 ):
     rest = list(rest)
     kv_scales_ref = rest.pop(0) if quantized else None
@@ -165,8 +166,16 @@ def _kernel(
 
                 for h in range(K):
                     q_h = q_ref[:, h * G : (h + 1) * G, :].reshape(BQG, D)
-                    k_h = kv_buf[slot, :, 2 * h, :]      # [ps, D]
-                    v_h = kv_buf[slot, :, 2 * h + 1, :]  # [ps, D]
+                    if kv4:
+                        # packed nibbles: K lo / V hi share one byte plane
+                        # (kv_cache.allocate_kv_pages_int4); exact f32
+                        # unpack — floor(b/16) == b >> 4 for int8
+                        b = kv_buf[slot, :, h, :].astype(jnp.float32)
+                        v_h = jnp.floor(b * 0.0625)
+                        k_h = b - 16.0 * v_h - 8.0
+                    else:
+                        k_h = kv_buf[slot, :, 2 * h, :]      # [ps, D]
+                        v_h = kv_buf[slot, :, 2 * h + 1, :]  # [ps, D]
                     scores = jax.lax.dot_general(
                         q_h.astype(jnp.float32),
                         k_h.astype(jnp.float32),
@@ -255,9 +264,9 @@ def ragged_paged_attention_pallas(
     if (sinks is not None) != spec.has_sinks:
         spec = dataclasses.replace(spec, has_sinks=sinks is not None)
     T, H, D = q.shape
-    _, ps, twoK, Dp = kv_pages.shape
-    K = twoK // 2
-    assert H == spec.num_q_heads and K == spec.num_kv_heads
+    _, ps, twoK, Dp = kv_pages.shape  # twoK = plane dim (may be padded)
+    K = spec.num_kv_heads
+    assert H == spec.num_q_heads
     if Dp != D:
         # lane-padded cache: pad q; zero k/q pad lanes don't affect scores,
         # zero v pad lanes are sliced off the output
@@ -270,6 +279,9 @@ def ragged_paged_attention_pallas(
         )
         return out[..., :D]
     quantized = kv_scales is not None
+    # int4 cache: K/V nibbles share one byte plane -> pages carry K (not
+    # 2K) head planes (kv_cache.allocate_kv_pages_int4)
+    kv4 = spec.kv4
     G = spec.group_size
     S = kv_lens.shape[0]
 
@@ -312,7 +324,7 @@ def ragged_paged_attention_pallas(
             pltpu.VMEM((K, bq * G, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ] + (
-            [pltpu.VMEM((2, twoK, ps), jnp.float32),
+            [pltpu.VMEM((2, kv_scales.shape[1], ps), jnp.float32),
              pltpu.SemaphoreType.DMA((2,))]
             if quantized else []
         ),
@@ -339,7 +351,8 @@ def ragged_paged_attention_pallas(
             ).reshape(K, bq * G_, 128)
         )
     out = pl.pallas_call(
-        functools.partial(_kernel, spec=spec, bq=bq, quantized=quantized),
+        functools.partial(_kernel, spec=spec, bq=bq, quantized=quantized,
+                          kv4=kv4),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T_pad, H, D), q.dtype),
         compiler_params=pltpu.CompilerParams(

@@ -164,7 +164,9 @@ def quant_matmul_pallas(
     # pipeline better (measured 916 GB/s at TI=4096, TO=512).  The scales
     # block is [TI/group, TO]: Mosaic needs its sublane dim divisible by 8
     # unless it spans the whole array, hence TI % (8*group) == 0 or TI == IN.
-    ti_cap = 4096
+    import os
+
+    ti_cap = int(os.environ.get("CVT_TI_CAP", "4096"))
     TI = IN  # single input pass (scales block spans the whole array)
     for t in range(min(IN, ti_cap), group - 1, -group):
         if IN % t == 0 and ((t // group) % 8 == 0 or t == IN):

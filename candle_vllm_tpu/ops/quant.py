@@ -39,8 +39,15 @@ DEFAULT_GROUP = 128
 
 def pick_tile_out(n_out: int) -> int:
     """Kernel out-tile width for a tensor: widest tile dividing OUT.
-    TO=512 measured fastest (DMA blocks of TI x 256 bytes at w4)."""
-    return 512 if n_out % 512 == 0 else 256
+    TO=1024 measured fastest on the full 8B decode step (130.7 vs 122.3
+    tok/s at TO=512; /tmp tile A/B 2026-08-17); CVT_TILE_OUT overrides
+    for tuning sweeps."""
+    import os
+
+    want = int(os.environ.get("CVT_TILE_OUT", "1024"))
+    while want > 256 and n_out % want:
+        want //= 2
+    return want if n_out % want == 0 else 256
 
 Params = Dict[str, jnp.ndarray]
 

@@ -48,15 +48,26 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--disable-prefix-cache", action="store_true")
     p.add_argument("--preemption-mode", default="recompute", choices=["recompute", "swap"])
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    # multi-host (reference: multi-node bootstrap, communicator.rs:218-324)
+    p.add_argument("--num-nodes", type=int, default=1)
+    p.add_argument("--node-rank", type=int, default=0)
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address host:port "
+                        "(rank 0 host)")
+    p.add_argument("--bridge-port", type=int, default=18515,
+                   help="request-replication TCP port on rank 0")
     p.add_argument("--isq", choices=["w4a16", "int8"], default=None,
                    help="in-situ weight quantization at load")
-    p.add_argument("--kvcache-dtype", choices=["auto", "int8"], default="auto",
-                   help="KV cache dtype (int8 = quantized, ~2x capacity)")
+    p.add_argument("--kvcache-dtype", choices=["auto", "int8", "int4"], default="auto",
+                   help="KV cache dtype (int8 ~2x, int4 ~4x capacity)")
     p.add_argument("--holding-time-ms", type=float, default=2.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mcp-config", default=None,
                    help="JSON config of MCP servers whose tools are "
                         "injected into chat requests")
+    p.add_argument("--log-requests", default=None, metavar="PATH",
+                   help="append per-request lifecycle records (JSONL) to "
+                        "PATH (reference: request logger)")
     p.add_argument("--warmup", action="store_true",
                    help="pre-compile common batch shapes before serving "
                         "(the analogue of the reference's CUDA-graph "
@@ -166,6 +177,10 @@ def build_engine(args):
         tokenizer=tokenizer, seed=args.seed,
         quantization=None if gguf_params is not None else args.isq,
     )
+    if args.log_requests:
+        from candle_vllm_tpu.engine.stats import RequestLogger
+
+        engine.request_logger = RequestLogger(args.log_requests)
     if args.warmup:
         warmup_engine(engine)
     return engine, model_name
@@ -194,7 +209,30 @@ def warmup_engine(engine) -> None:
 
 def main(argv=None) -> None:
     args = make_parser().parse_args(argv)
+    if args.num_nodes > 1:
+        # join the global mesh BEFORE any jax usage; every host then sees
+        # all devices and builds identical engine replicas
+        from candle_vllm_tpu.parallel.multihost import init_distributed
+
+        init_distributed(
+            coordinator=args.coordinator,
+            num_processes=args.num_nodes,
+            process_id=args.node_rank,
+        )
     engine, model_name = build_engine(args)
+
+    if args.num_nodes > 1 and args.node_rank > 0:
+        # follower host: replay the leader's intake sequence in lockstep —
+        # no HTTP server (reference: daemon ranks, communicator.rs)
+        from candle_vllm_tpu.parallel.multihost import FollowerLink
+
+        leader_host = (args.coordinator or "127.0.0.1:0").rsplit(":", 1)[0]
+        print(f"follower rank {args.node_rank}: linking to "
+              f"{leader_host}:{args.bridge_port}", flush=True)
+        link = FollowerLink(leader_host, args.bridge_port)
+        link.run_engine_loop(engine)
+        link.close()
+        return
 
     from candle_vllm_tpu.engine.async_engine import AsyncLLMEngine
     from candle_vllm_tpu.server.chat_template import ChatTemplate
@@ -217,8 +255,19 @@ def main(argv=None) -> None:
 
         mcp_manager = MCPManager.from_config(args.mcp_config)
 
+    bridge = None
+    if args.num_nodes > 1:
+        from candle_vllm_tpu.parallel.multihost import RequestBridge
+
+        bridge = RequestBridge(args.bridge_port,
+                               num_followers=args.num_nodes - 1)
+        print(f"waiting for {args.num_nodes - 1} follower host(s) on "
+              f":{args.bridge_port} ...", flush=True)
+        bridge.wait_for_followers()
+
     state = ServerState(
-        AsyncLLMEngine(engine, holding_time_ms=args.holding_time_ms),
+        AsyncLLMEngine(engine, holding_time_ms=args.holding_time_ms,
+                       bridge=bridge),
         model_name,
         template,
         mcp_manager=mcp_manager,

@@ -20,7 +20,7 @@ def run_gdn(mixed, z, a, b, conv_w, a_log, dt_bias, norm_w, rec, conv,
         jnp.asarray(kv_lens, jnp.int32),
         num_k_heads=hk, num_v_heads=hv, head_k_dim=dk, head_v_dim=dv,
         scale=dk ** -0.5,
-    )
+    )[:3]
 
 
 def naive_gdn(mixed, z, a, b, conv_w, a_log, dt_bias, norm_w,
@@ -300,3 +300,81 @@ def test_qwen3_5_split_proj_engine_generation():
     eng2 = LLMEngine(cfg, cache, sched)
     out2 = eng2.generate([[1, 2, 3, 4, 5]], sp)
     assert out[0].outputs[0].token_ids == out2[0].outputs[0].token_ids
+
+
+# ---------------------------------------------------------------------------
+# prefix snapshots (reference: scheduler/mamba.rs:15-291)
+# ---------------------------------------------------------------------------
+
+
+def snap_engine(chunk=64, **kw):
+    from candle_vllm_tpu.engine.llm_engine import LLMEngine
+
+    cfg = hybrid_config()
+    cache = CacheConfig(block_size=8, num_gpu_blocks=32, num_cpu_blocks=0)
+    sched = SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=128,
+                            prefill_chunk_size=chunk, max_model_len=128,
+                            enable_prefix_caching=kw.pop("prefix", True))
+    return LLMEngine(cfg, cache, sched, seed=0)
+
+
+def gen(eng, prompt, rid="r", max_tokens=5):
+    from candle_vllm_tpu.sampling_params import SamplingParams
+
+    eng.add_request(rid, prompt_token_ids=prompt,
+                    sampling_params=SamplingParams(temperature=0.0,
+                                                   max_tokens=max_tokens))
+    outs = {}
+    while eng.has_unfinished_requests():
+        for o in eng.step():
+            outs[o.request_id] = o
+    return outs[rid]
+
+
+def test_gdn_snapshot_capture_and_gated_hit():
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(0, 128, size=21).tolist()  # 2 full blocks of 8
+    eng = snap_engine()
+    assert eng._snap_store is not None
+    out1 = gen(eng, prompt, rid="a")
+    # the boundary snapshot (at (21-1)//8*8 = 16 tokens) was captured
+    assert len(eng._snap_store) == 1
+    # identical prompt: gated prefix hit restores state
+    out2 = gen(eng, prompt, rid="b")
+    seq_b_cached = eng._snap_store.hits
+    assert seq_b_cached >= 1
+    assert out1.outputs[0].token_ids == out2.outputs[0].token_ids
+    # tokens must equal a no-cache engine's (state restore is exact)
+    ref = gen(snap_engine(prefix=False), prompt, rid="c")
+    assert ref.outputs[0].token_ids == out1.outputs[0].token_ids
+
+
+def test_gdn_snapshot_gate_blocks_unsnapshotted_prefix():
+    """A prefix match beyond any snapshot boundary must be capped —
+    otherwise the hit would skip recurrent-state computation."""
+    rng = np.random.default_rng(8)
+    prompt = rng.integers(0, 128, size=21).tolist()
+    eng = snap_engine()
+    gen(eng, prompt, rid="a")
+    store = eng._snap_store
+    # simulate snapshot loss (evicted): matches must fall back to 0
+    store._store.clear()
+    store._bytes = 0
+    from candle_vllm_tpu.engine.sequence import Sequence
+
+    seq = Sequence(999, prompt)
+    cached = eng.block_engine.allocate(seq)
+    assert cached == 0  # gate refused the block match
+    eng.block_engine.free(seq)
+
+
+def test_gdn_snapshot_restored_equals_chunked():
+    """Cached-prefix generation must match small-chunk prefill exactly."""
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(0, 128, size=30).tolist()
+    eng = snap_engine(chunk=64)
+    out1 = gen(eng, prompt, rid="a")
+    out2 = gen(eng, prompt, rid="b")   # snapshot-restored
+    chunky = gen(snap_engine(chunk=4, prefix=False), prompt, rid="c")
+    assert out1.outputs[0].token_ids == chunky.outputs[0].token_ids
+    assert out2.outputs[0].token_ids == chunky.outputs[0].token_ids

@@ -134,3 +134,134 @@ def test_engine_with_int8_kv_cache():
         # int8 KV noise may flip late tokens; early tokens should agree
         assert a.outputs[0].token_ids[:2] == b.outputs[0].token_ids[:2]
         assert len(b.outputs[0].token_ids) == 6
+
+
+# ---------------------------------------------------------------------------
+# int4 (TurboQuant turbo4-class) cache: K lo-nibble / V hi-nibble packing
+# (reference: cache_engine.rs:401-518, README.md:267-291)
+# ---------------------------------------------------------------------------
+
+
+def test_write_int4_roundtrip():
+    from candle_vllm_tpu.ops.kv_cache import allocate_kv_pages_int4
+
+    ps, K, D = 8, 2, 32
+    pages = allocate_kv_pages_int4(1, 4, ps, K, D)[0]
+    scales = jnp.ones((4, 2 * K, ps), jnp.float32)
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.standard_normal((3, K, D)) * 2.0, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((3, K, D)) * 0.5, jnp.float32)
+    slots = jnp.asarray([8, 9, 10], jnp.int32)
+    pages, scales = write_kv(pages, k, v, slots, scales, kv4=True)
+    b = np.asarray(pages[1, 1, 0], np.float32)  # token 1, head 0
+    vq = np.floor(b / 16.0)
+    kq = b - 16.0 * vq - 8.0
+    deq_k = kq * float(scales[1, 0, 1])
+    deq_v = vq * float(scales[1, 1, 1])
+    # 4-bit: coarse but bounded by one scale step
+    np.testing.assert_allclose(deq_k, np.asarray(k[1, 0]),
+                               atol=float(scales[1, 0, 1]) * 0.51)
+    np.testing.assert_allclose(deq_v, np.asarray(v[1, 0]),
+                               atol=float(scales[1, 1, 1]) * 0.51)
+
+
+def make_int4_case(rng, q_lens, kv_lens, H=4, K=2, D=32, ps=8):
+    from candle_vllm_tpu.ops.kv_cache import allocate_kv_pages_int4
+
+    S = len(q_lens)
+    T = sum(q_lens)
+    total_pages = sum(-(-l // ps) for l in kv_lens) + 2
+    maxp = max(-(-l // ps) for l in kv_lens)
+    pages = allocate_kv_pages_int4(1, total_pages, ps, K, D)[0]
+    scales = jnp.ones((total_pages, 2 * K, ps), jnp.float32)
+    fpages = jnp.zeros((total_pages, ps, 2 * K, D), jnp.float32)
+    pt = np.zeros((S, maxp), np.int32)
+    nxt = 1
+    for s, l in enumerate(kv_lens):
+        n = -(-l // ps)
+        pt[s, :n] = range(nxt, nxt + n)
+        nxt += n
+    for s, l in enumerate(kv_lens):
+        k = jnp.asarray(rng.standard_normal((l, K, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((l, K, D)), jnp.float32)
+        pos = np.arange(l)
+        slots = jnp.asarray(pt[s, pos // ps] * ps + pos % ps, jnp.int32)
+        pages, scales = write_kv(pages, k, v, slots, scales, kv4=True)
+        fpages = write_kv(fpages, k, v, slots)
+    q = jnp.asarray(rng.standard_normal((T, H, D)), jnp.float32)
+    cu = np.zeros(S + 1, np.int32)
+    cu[1:] = np.cumsum(q_lens)
+    spec = AttentionSpec(num_q_heads=H, num_kv_heads=K, head_dim=D,
+                         sm_scale=D ** -0.5, kv4=True)
+    fspec = AttentionSpec(num_q_heads=H, num_kv_heads=K, head_dim=D,
+                          sm_scale=D ** -0.5)
+    return (q, pages, scales, fpages, jnp.asarray(kv_lens, jnp.int32),
+            jnp.asarray(pt), jnp.asarray(cu), spec, fspec)
+
+
+def test_int4_attention_jnp_close_to_fp():
+    rng = np.random.default_rng(4)
+    q, pages, scales, fpages, kv_lens, pt, cu, spec, fspec = make_int4_case(
+        rng, [1, 7, 1], [20, 7, 33]
+    )
+    fp = _ragged_paged_attention_jnp(q, fpages, kv_lens, pt, cu, spec=fspec)
+    qt = _ragged_paged_attention_jnp(
+        q, pages, kv_lens, pt, cu, spec=spec, kv_scales=scales
+    )
+    # 4-bit noise is larger than int8 but attention output stays close
+    np.testing.assert_allclose(
+        np.asarray(qt), np.asarray(fp), rtol=2e-1, atol=3e-1
+    )
+    # and correlates strongly with the fp result
+    a, b = np.asarray(qt).ravel(), np.asarray(fp).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_int4_attention_pallas_matches_jnp():
+    rng = np.random.default_rng(5)
+    q, pages, scales, fpages, kv_lens, pt, cu, spec, fspec = make_int4_case(
+        rng, [1, 5, 1, 12], [9, 21, 16, 12]
+    )
+    ref = _ragged_paged_attention_jnp(
+        q, pages, kv_lens, pt, cu, spec=spec, kv_scales=scales
+    )
+    got = ragged_paged_attention_pallas(
+        q, pages, kv_lens, pt, cu, scales, spec=spec, bq=8, interpret=True
+    )
+    T = int(cu[-1])
+    np.testing.assert_allclose(
+        np.asarray(got[:T]), np.asarray(ref[:T]), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_engine_with_int4_kv_cache():
+    from candle_vllm_tpu.engine.llm_engine import LLMEngine
+    from candle_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = ModelConfig(
+        architecture="LlamaForCausalLM",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=128,
+        max_model_len=128,
+        dtype=jnp.float32,
+    )
+    sched = SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=256,
+                            prefill_chunk_size=64, max_model_len=128)
+    rng = np.random.default_rng(6)
+    ps = [rng.integers(0, 128, size=12).tolist() for _ in range(2)]
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+    eng = LLMEngine(
+        cfg,
+        CacheConfig(block_size=8, num_gpu_blocks=64, num_cpu_blocks=0,
+                    kv_cache_dtype="int4"),
+        sched, seed=0,
+    )
+    # int4 pages carry K (not 2K) byte planes
+    assert eng.kv_pages[0][0].shape[2] == 2
+    got = eng.generate(ps, sp)
+    assert all(len(o.outputs[0].token_ids) == 6 for o in got)

@@ -252,3 +252,19 @@ def test_seeded_sampling_reproducible():
         [p], SamplingParams(temperature=1.0, max_tokens=6, seed=777)
     )[0].outputs[0].token_ids
     assert c != a
+
+
+def test_embed_batched_matches_singleton():
+    """Batched embedding packing must give the same vectors as one-at-a-
+    time calls (reference: process_embedding_batch, llm_engine.rs:1807)."""
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, 128, size=n).tolist() for n in (5, 17, 9, 3)]
+    eng = make_engine()
+    batched = eng.embed(prompts, pooling="last")
+    singles = [eng.embed([p], pooling="last")[0] for p in prompts]
+    for b, s in zip(batched, singles):
+        np.testing.assert_allclose(b, s, rtol=2e-4, atol=2e-4)
+    bm = eng.embed(prompts, pooling="mean")
+    sm = [eng.embed([p], pooling="mean")[0] for p in prompts]
+    for b, s in zip(bm, sm):
+        np.testing.assert_allclose(b, s, rtol=2e-4, atol=2e-4)
