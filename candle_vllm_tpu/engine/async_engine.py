@@ -60,9 +60,14 @@ class RequestStream:
 
 
 class AsyncLLMEngine:
-    def __init__(self, engine: LLMEngine, holding_time_ms: float = 0.0):
+    def __init__(self, engine: LLMEngine, holding_time_ms: float = 0.0,
+                 bridge=None):
         self.engine = engine
         self.holding_time_ms = holding_time_ms
+        # multi-host leader: intake/step events fan out to follower hosts
+        # (parallel/multihost.RequestBridge; reference: communicator.rs
+        # daemon broadcast)
+        self.bridge = bridge
         self._intake: List[tuple] = []
         self._intake_lock = threading.Lock()
         self._device_lock = threading.Lock()  # step vs embed serialization
@@ -111,6 +116,12 @@ class AsyncLLMEngine:
         group = self.engine._groups.get(request_id)
         if group is not None:
             group.cancelled = True
+        if self.bridge is not None:
+            from candle_vllm_tpu.parallel.multihost import IntakeEvent
+
+            self.bridge.publish(
+                IntakeEvent(kind="abort", request_id=request_id)
+            )
 
     async def generate(
         self,
@@ -155,6 +166,17 @@ class AsyncLLMEngine:
                     )
                 continue
             group = self.engine._groups[request_id]
+            if self.bridge is not None:
+                from candle_vllm_tpu.parallel.multihost import IntakeEvent
+
+                seq0 = group.get_seqs()[0]
+                self.bridge.publish(IntakeEvent(
+                    kind="add",
+                    request_id=request_id,
+                    prompt_token_ids=list(seq0.prompt_token_ids),
+                    sampling=group.sampling_params.to_dict(),
+                    mm=IntakeEvent.encode_mm(mm),
+                ))
             stream = self._streams.get(request_id)
             if stream is not None:
                 group.on_token = self._make_on_token(stream)
@@ -173,6 +195,10 @@ class AsyncLLMEngine:
 
     def _step_once(self) -> List[RequestOutput]:
         with self._device_lock:
+            if self.bridge is not None:
+                from candle_vllm_tpu.parallel.multihost import IntakeEvent
+
+                self.bridge.publish(IntakeEvent(kind="step"))
             return self.engine.step()
 
     async def embed(self, prompts, pooling: str = "last"):

@@ -78,3 +78,56 @@ class EngineStats:
         for k, v in snap.items():
             lines.append(f"candle_vllm_tpu_{k} {v}")
         return "\n".join(lines) + "\n"
+
+
+class RequestLogger:
+    """Per-request lifecycle JSONL log (reference: the request logger /
+    per-rank file logs, SURVEY.md §5 tracing).  One line per finished
+    request: timings, token counts, cache hits, finish reason."""
+
+    def __init__(self, path: str):
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._f = open(path, "a", buffering=1)
+
+    def log_finished(self, output) -> None:
+        import json
+        import time as _t
+
+        m = output.metrics
+        ttft_ms = (
+            (m.first_token_time - m.arrival_time) * 1e3
+            if m.first_token_time is not None
+            else None
+        )
+        total_ms = (
+            (m.finished_time - m.arrival_time) * 1e3
+            if m.finished_time is not None
+            else None
+        )
+        completion = sum(len(o.token_ids) for o in output.outputs)
+        decode_tok_s = None
+        if (
+            m.finished_time is not None
+            and m.first_token_time is not None
+            and completion > 1
+        ):
+            d = m.finished_time - m.first_token_time
+            if d > 0:
+                decode_tok_s = (completion - 1) / d
+        rec = {
+            "ts": _t.time(),
+            "request_id": output.request_id,
+            "prompt_tokens": m.prompt_tokens,
+            "cached_tokens": m.cached_tokens,
+            "completion_tokens": completion,
+            "ttft_ms": round(ttft_ms, 1) if ttft_ms is not None else None,
+            "total_ms": round(total_ms, 1) if total_ms is not None else None,
+            "decode_tok_s": round(decode_tok_s, 2) if decode_tok_s else None,
+            "finish_reasons": [o.finish_reason for o in output.outputs],
+        }
+        self._f.write(json.dumps(rec) + "\n")
+
+    def close(self) -> None:
+        self._f.close()

@@ -21,7 +21,10 @@ GGUF_MAGIC = 0x46554747  # "GGUF"
 # ggml tensor types
 GGML_F32, GGML_F16 = 0, 1
 GGML_Q8_0 = 8
+GGML_Q2_K = 10
+GGML_Q3_K = 11
 GGML_Q4_K = 12
+GGML_Q5_K = 13
 GGML_Q6_K = 14
 
 _VALUE_READERS = {
@@ -47,22 +50,48 @@ def _read_value(f: BinaryIO, vtype: int) -> Any:
     return struct.unpack(fmt, f.read(size))[0]
 
 
+def _shard_paths(path: str) -> List[str]:
+    """Multi-shard discovery: ``model-00001-of-00003.gguf`` expands to all
+    sibling shards (reference: src/backend/gguf.rs:48-80 Content::from
+    multi-file reader)."""
+    import re as _re
+
+    m = _re.search(r"-(\d{5})-of-(\d{5})\.gguf$", path)
+    if not m:
+        return [path]
+    total = int(m.group(2))
+    return [
+        path[: m.start()] + f"-{i + 1:05d}-of-{total:05d}.gguf"
+        for i in range(total)
+    ]
+
+
 class GGUFFile:
-    """Parsed header: metadata dict + tensor table (lazy data reads)."""
+    """Parsed header(s): metadata dict + tensor table (lazy data reads).
+    Accepts single files or any shard of a ``-NNNNN-of-NNNNN`` set."""
 
     def __init__(self, path: str):
         self.path = path
         self.metadata: Dict[str, Any] = {}
-        self.tensors: Dict[str, Tuple[List[int], int, int]] = {}
+        # name -> (dims, ttype, absolute offset, shard path)
+        self.tensors: Dict[str, Tuple[List[int], int, int, str]] = {}
+        for shard in _shard_paths(path):
+            self._read_header(shard)
+
+    def _read_header(self, path: str) -> None:
         with open(path, "rb") as f:
             magic, version = struct.unpack("<II", f.read(8))
             assert magic == GGUF_MAGIC, f"not a GGUF file: {path}"
             assert version in (2, 3), f"unsupported GGUF version {version}"
             n_tensors, n_kv = struct.unpack("<QQ", f.read(16))
+            metadata: Dict[str, Any] = {}
             for _ in range(n_kv):
                 key = _read_str(f)
                 (vtype,) = struct.unpack("<I", f.read(4))
-                self.metadata[key] = _read_value(f, vtype)
+                metadata[key] = _read_value(f, vtype)
+            # first shard's metadata wins on conflicts
+            for k, v in metadata.items():
+                self.metadata.setdefault(k, v)
             infos = []
             for _ in range(n_tensors):
                 name = _read_str(f)
@@ -70,18 +99,18 @@ class GGUFFile:
                 dims = list(struct.unpack(f"<{nd}Q", f.read(8 * nd)))
                 ttype, offset = struct.unpack("<IQ", f.read(12))
                 infos.append((name, dims, ttype, offset))
-            align = int(self.metadata.get("general.alignment", 32))
+            align = int(metadata.get("general.alignment", 32))
             base = f.tell()
             base = (base + align - 1) // align * align
             for name, dims, ttype, offset in infos:
-                self.tensors[name] = (dims, ttype, base + offset)
+                self.tensors[name] = (dims, ttype, base + offset, path)
 
     def read_tensor(self, name: str) -> np.ndarray:
         """Dequantized tensor, numpy shape = reversed ggml dims
         ([out, in] for llama.cpp weights — HF order)."""
-        dims, ttype, offset = self.tensors[name]
+        dims, ttype, offset, shard = self.tensors[name]
         n = int(np.prod(dims))
-        with open(self.path, "rb") as f:
+        with open(shard, "rb") as f:
             f.seek(offset)
             if ttype == GGML_F32:
                 data = np.frombuffer(f.read(4 * n), np.float32)
@@ -89,8 +118,14 @@ class GGUFFile:
                 data = np.frombuffer(f.read(2 * n), np.float16).astype(np.float32)
             elif ttype == GGML_Q8_0:
                 data = _dequant_q8_0(f.read(n // 32 * 34), n)
+            elif ttype == GGML_Q2_K:
+                data = _dequant_q2_k(f.read(n // 256 * 84), n)
+            elif ttype == GGML_Q3_K:
+                data = _dequant_q3_k(f.read(n // 256 * 110), n)
             elif ttype == GGML_Q4_K:
                 data = _dequant_q4_k(f.read(n // 256 * 144), n)
+            elif ttype == GGML_Q5_K:
+                data = _dequant_q5_k(f.read(n // 256 * 176), n)
             elif ttype == GGML_Q6_K:
                 data = _dequant_q6_k(f.read(n // 256 * 210), n)
             else:
@@ -109,6 +144,101 @@ def _dequant_q8_0(buf: bytes, n: int) -> np.ndarray:
     d = raw[:, :2].copy().view(np.float16).astype(np.float32)  # [nb, 1]
     qs = raw[:, 2:].copy().view(np.int8).astype(np.float32)
     return (qs * d).reshape(-1)
+
+
+def _dequant_q2_k(buf: bytes, n: int) -> np.ndarray:
+    """block_q2_K: scales[16] (4-bit sc | 4-bit min), qs[64], d, dmin."""
+    nb = n // 256
+    raw = np.frombuffer(buf, np.uint8).reshape(nb, 84)
+    sc = raw[:, :16]
+    qs = raw[:, 16:80]
+    d = raw[:, 80:82].copy().view(np.float16).astype(np.float32)[:, 0]
+    dmin = raw[:, 82:84].copy().view(np.float16).astype(np.float32)[:, 0]
+    out = np.empty((nb, 256), np.float32)
+    is_ = 0
+    y = 0
+    for half in range(2):            # 128-element halves
+        q = qs[:, half * 32 : half * 32 + 32]
+        for shift in (0, 2, 4, 6):
+            for sub in range(2):     # two 16-element groups
+                s = sc[:, is_]
+                dl = d * (s & 0xF)
+                ml = dmin * (s >> 4)
+                qq = (q[:, sub * 16 : sub * 16 + 16] >> shift) & 3
+                out[:, y : y + 16] = dl[:, None] * qq - ml[:, None]
+                is_ += 1
+                y += 16
+    return out.reshape(-1)
+
+
+def _dequant_q3_k(buf: bytes, n: int) -> np.ndarray:
+    """block_q3_K: hmask[32], qs[64], scales[12] (16 x 6-bit), d."""
+    nb = n // 256
+    raw = np.frombuffer(buf, np.uint8).reshape(nb, 110)
+    hm = raw[:, :32]
+    qs = raw[:, 32:96]
+    aux = raw[:, 96:108].copy().view(np.uint32)       # [nb, 3]
+    d = raw[:, 108:110].copy().view(np.float16).astype(np.float32)[:, 0]
+    km1, km2 = np.uint32(0x03030303), np.uint32(0x0F0F0F0F)
+    a0, a1, tmp = aux[:, 0], aux[:, 1], aux[:, 2]
+    out_aux = np.stack(
+        [
+            (a0 & km2) | (((tmp >> np.uint32(0)) & km1) << np.uint32(4)),
+            (a1 & km2) | (((tmp >> np.uint32(2)) & km1) << np.uint32(4)),
+            ((a0 >> np.uint32(4)) & km2)
+            | (((tmp >> np.uint32(4)) & km1) << np.uint32(4)),
+            ((a1 >> np.uint32(4)) & km2)
+            | (((tmp >> np.uint32(6)) & km1) << np.uint32(4)),
+        ],
+        axis=1,
+    )
+    scales = out_aux.view(np.int8).astype(np.float32) - 32  # [nb, 16]
+    out = np.empty((nb, 256), np.float32)
+    is_ = 0
+    y = 0
+    m = 1
+    for half in range(2):
+        q = qs[:, half * 32 : half * 32 + 32]
+        for shift in (0, 2, 4, 6):
+            for sub in range(2):
+                dl = d * scales[:, is_]
+                sl = slice(sub * 16, sub * 16 + 16)
+                qq = ((q[:, sl] >> shift) & 3).astype(np.int8)
+                hbit = (hm[:, sl] & m) != 0
+                qq = qq - np.where(hbit, 0, 4).astype(np.int8)
+                out[:, y : y + 16] = dl[:, None] * qq
+                is_ += 1
+                y += 16
+            m <<= 1
+    return out.reshape(-1)
+
+
+def _dequant_q5_k(buf: bytes, n: int) -> np.ndarray:
+    """block_q5_K: d, dmin, scales[12] (q4k packing), qh[32], qs[128]."""
+    nb = n // 256
+    raw = np.frombuffer(buf, np.uint8).reshape(nb, 176)
+    d = raw[:, :2].copy().view(np.float16).astype(np.float32)[:, 0]
+    dmin = raw[:, 2:4].copy().view(np.float16).astype(np.float32)[:, 0]
+    scales, mins = _unpack_q4k_scales(raw[:, 4:16])
+    qh = raw[:, 16:48]
+    qs = raw[:, 48:176]
+    out = np.empty((nb, 256), np.float32)
+    for c in range(4):               # 64-element chunks
+        b = qs[:, c * 32 : (c + 1) * 32]
+        u1, u2 = 1 << (2 * c), 2 << (2 * c)
+        lo = (b & 0xF).astype(np.float32) + np.where(
+            (qh & u1) != 0, 16.0, 0.0
+        )
+        hi = (b >> 4).astype(np.float32) + np.where(
+            (qh & u2) != 0, 16.0, 0.0
+        )
+        d1 = d * scales[:, 2 * c]
+        m1 = dmin * mins[:, 2 * c]
+        d2 = d * scales[:, 2 * c + 1]
+        m2 = dmin * mins[:, 2 * c + 1]
+        out[:, c * 64 : c * 64 + 32] = lo * d1[:, None] - m1[:, None]
+        out[:, c * 64 + 32 : c * 64 + 64] = hi * d2[:, None] - m2[:, None]
+    return out.reshape(-1)
 
 
 def _unpack_q4k_scales(sc: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

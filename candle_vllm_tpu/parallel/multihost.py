@@ -1,0 +1,260 @@
+"""Multi-host bring-up: ``jax.distributed`` bootstrap + request bridge.
+
+The TPU replacement for the reference's multi-node runtime
+(``/root/reference/src/openai/communicator.rs:218-324`` MpiCommunicator /
+DaemonManager TCP bootstrap, ``heartbeat.rs``): instead of broadcasting
+per-step ``ForwardPayload`` tensors over NCCL/TCP, every host runs the
+SAME scheduler and input-builder over replicated state and issues the
+same SPMD step — only *request intake* needs distribution, which the
+``RequestBridge`` provides as a tiny framed-JSON TCP fan-out from the
+serving host (rank 0) to follower hosts.
+
+Flow on an N-host mesh:
+
+  rank 0:  HTTP server -> engine.add_request -> bridge.publish(...)
+           engine.step() each iteration after publishing a step marker
+  rank k:  bridge.follow() yields the identical intake sequence; the
+           follower applies it to its local engine replica and steps in
+           lockstep.  Scheduling is deterministic pure Python, so all
+           hosts compute identical StepInputs and the jitted step runs
+           as one multi-host SPMD program over the global mesh.
+
+Heartbeats ride the same sockets: followers that miss ``HEARTBEAT_SECS``
+pings mark the leader dead and exit (reference: heartbeat.rs behavior).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import struct
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+
+HEARTBEAT_SECS = 5.0
+_LEN = struct.Struct("!I")
+
+
+def init_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[List[int]] = None,
+) -> None:
+    """Join the multi-host JAX runtime (reference analogue: multi-node
+    NCCL bootstrap, communicator.rs:218-324).  After this, ``jax.devices()``
+    spans every host and a ``Mesh`` over it runs cross-host SPMD with XLA
+    collectives over ICI/DCN.
+
+    No-ops when num_processes <= 1 or the runtime is already initialized.
+    Env fallbacks: CVT_COORDINATOR, CVT_NUM_PROCESSES, CVT_PROCESS_ID.
+    """
+    coordinator = coordinator or os.environ.get("CVT_COORDINATOR")
+    if num_processes is None:
+        num_processes = int(os.environ.get("CVT_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("CVT_PROCESS_ID", "0"))
+    if num_processes <= 1 or coordinator is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+
+
+def _send_msg(sock: socket.socket, obj: Dict[str, Any]) -> None:
+    data = json.dumps(obj).encode()
+    sock.sendall(_LEN.pack(len(data)) + data)
+
+
+def _recv_msg(sock: socket.socket) -> Optional[Dict[str, Any]]:
+    hdr = b""
+    while len(hdr) < _LEN.size:
+        chunk = sock.recv(_LEN.size - len(hdr))
+        if not chunk:
+            return None
+        hdr += chunk
+    (n,) = _LEN.unpack(hdr)
+    data = b""
+    while len(data) < n:
+        chunk = sock.recv(n - len(data))
+        if not chunk:
+            return None
+        data += chunk
+    return json.loads(data)
+
+
+@dataclass
+class IntakeEvent:
+    """One replicated engine-input event, in identical order on all hosts."""
+
+    kind: str                    # "add" | "abort" | "step" | "hb" | "stop"
+    request_id: str = ""
+    prompt_token_ids: List[int] = field(default_factory=list)
+    sampling: Dict[str, Any] = field(default_factory=dict)
+    mm: Optional[Dict[str, Any]] = None  # encoded MultiModalInputs
+
+    def to_wire(self) -> Dict[str, Any]:
+        return {
+            "kind": self.kind,
+            "request_id": self.request_id,
+            "prompt_token_ids": self.prompt_token_ids,
+            "sampling": self.sampling,
+            "mm": self.mm,
+        }
+
+    @classmethod
+    def from_wire(cls, d: Dict[str, Any]) -> "IntakeEvent":
+        return cls(
+            kind=d["kind"],
+            request_id=d.get("request_id", ""),
+            prompt_token_ids=list(d.get("prompt_token_ids", [])),
+            sampling=dict(d.get("sampling", {})),
+            mm=d.get("mm"),
+        )
+
+    @staticmethod
+    def encode_mm(mm) -> Optional[Dict[str, Any]]:
+        """MultiModalInputs -> JSON-safe dict (pixel patches ride base64 so
+        every host encodes identical image embeddings)."""
+        if mm is None:
+            return None
+        import base64
+
+        import numpy as np
+
+        patches = np.ascontiguousarray(mm.patches, np.float32)
+        return {
+            "patches": base64.b64encode(patches.tobytes()).decode(),
+            "shape": list(patches.shape),
+            "grids": [list(g) for g in mm.grids],
+            "seed": mm.seed,
+            "merge_unit": mm.merge_unit,
+        }
+
+    @staticmethod
+    def decode_mm(d: Optional[Dict[str, Any]]):
+        if d is None:
+            return None
+        import base64
+
+        import numpy as np
+
+        from candle_vllm_tpu.multimodal.processor import MultiModalInputs
+
+        patches = np.frombuffer(
+            base64.b64decode(d["patches"]), np.float32
+        ).reshape(d["shape"])
+        return MultiModalInputs(
+            patches=patches,
+            grids=[tuple(g) for g in d["grids"]],
+            seed=int(d["seed"]),
+            merge_unit=int(d["merge_unit"]),
+        )
+
+
+class RequestBridge:
+    """Leader side: accepts follower connections and fans out intake
+    events so every host replays the identical sequence."""
+
+    def __init__(self, port: int, num_followers: int):
+        self.num_followers = num_followers
+        self._server = socket.create_server(("0.0.0.0", port))
+        self._conns: List[socket.socket] = []
+        self._lock = threading.Lock()
+        self._hb_stop = threading.Event()
+
+    def wait_for_followers(self, timeout: float = 120.0) -> None:
+        self._server.settimeout(timeout)
+        while len(self._conns) < self.num_followers:
+            conn, _ = self._server.accept()
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            self._conns.append(conn)
+        t = threading.Thread(target=self._heartbeat_loop, daemon=True)
+        t.start()
+
+    def _heartbeat_loop(self) -> None:
+        while not self._hb_stop.wait(HEARTBEAT_SECS / 2):
+            try:
+                self.publish(IntakeEvent(kind="hb"))
+            except OSError:
+                return
+
+    def publish(self, ev: IntakeEvent) -> None:
+        with self._lock:
+            for conn in self._conns:
+                _send_msg(conn, ev.to_wire())
+
+    def close(self) -> None:
+        self._hb_stop.set()
+        try:
+            self.publish(IntakeEvent(kind="stop"))
+        except OSError:
+            pass
+        for c in self._conns:
+            c.close()
+        self._server.close()
+
+
+class FollowerLink:
+    """Follower side: connects to the leader and yields intake events.
+
+    ``run_engine_loop`` applies them to a local engine replica — add/abort
+    mutate scheduler state, each "step" marker triggers one engine.step()
+    so the follower issues the same SPMD computation as the leader.
+    """
+
+    def __init__(self, leader_host: str, port: int,
+                 connect_timeout: float = 120.0):
+        deadline = time.monotonic() + connect_timeout
+        while True:
+            try:
+                self._sock = socket.create_connection(
+                    (leader_host, port), timeout=5.0
+                )
+                break
+            except OSError:
+                if time.monotonic() > deadline:
+                    raise
+                time.sleep(0.2)
+        self._sock.settimeout(HEARTBEAT_SECS * 3)
+
+    def events(self):
+        while True:
+            msg = _recv_msg(self._sock)
+            if msg is None:
+                return
+            ev = IntakeEvent.from_wire(msg)
+            if ev.kind == "stop":
+                return
+            if ev.kind == "hb":
+                continue
+            yield ev
+
+    def run_engine_loop(self, engine, on_step: Optional[Callable] = None) -> None:
+        from candle_vllm_tpu.sampling_params import SamplingParams
+
+        for ev in self.events():
+            if ev.kind == "add":
+                engine.add_request(
+                    ev.request_id,
+                    prompt_token_ids=ev.prompt_token_ids,
+                    sampling_params=SamplingParams(**ev.sampling),
+                    mm_inputs=IntakeEvent.decode_mm(ev.mm),
+                )
+            elif ev.kind == "abort":
+                engine.abort_request(ev.request_id)
+            elif ev.kind == "step":
+                outs = engine.step()
+                if on_step is not None:
+                    on_step(outs)
+
+    def close(self) -> None:
+        self._sock.close()

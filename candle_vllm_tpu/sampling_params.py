@@ -76,3 +76,20 @@ class SamplingParams:
             or abs(self.frequency_penalty) > _SAMPLING_EPS
             or abs(self.repetition_penalty - 1.0) > _SAMPLING_EPS
         )
+
+
+def _sp_to_dict(self) -> dict:
+    """JSON-safe field dict (multi-host intake replication; defaults
+    omitted so the wire stays small)."""
+    import dataclasses
+
+    out = {}
+    for f in dataclasses.fields(self):
+        v = getattr(self, f.name)
+        d = f.default if f.default is not dataclasses.MISSING else None
+        if v != d and not callable(v):
+            out[f.name] = v
+    return out
+
+
+SamplingParams.to_dict = _sp_to_dict

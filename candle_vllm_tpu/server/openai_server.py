@@ -48,6 +48,8 @@ from candle_vllm_tpu.tools import (
     StreamToolParser,
     family_for_model,
     parse_complete,
+    build_invalid_call_feedback,
+    filter_forced_calls,
     validate_tool_call,
 )
 
@@ -69,6 +71,14 @@ class ServerState:
         self.chat_template = chat_template
         self.tokenizer = self.engine.tokenizer
         self.mcp_manager = mcp_manager
+        # reasoning-scaffold repair for replayed assistant turns
+        # (reference: conversation/mod.rs RenderedPromptRepairer)
+        from candle_vllm_tpu.server.prompt_repair import PromptRepairer
+
+        self.prompt_repairer = PromptRepairer.from_template(
+            getattr(chat_template, "source", None),
+            eos_token=getattr(chat_template, "eos_token", None) or None,
+        )
 
 
 def _error(status: int, message: str, type_: str = "invalid_request_error"):
@@ -237,9 +247,19 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
     except Exception as e:
         return _error(400, f"invalid request: {e}")
 
-    # request tools + cached MCP tools (reference: openai/mod.rs:201-247)
+    # request tools + cached MCP tools, then tool_choice resolution
+    # (reference: openai/mod.rs:187-247 resolve_tools_for_request)
     if state.mcp_manager is not None and state.mcp_manager.cached_tools:
         req.tools = (req.tools or []) + state.mcp_manager.cached_tools
+    from candle_vllm_tpu.tools.parser import resolve_tool_choice
+
+    try:
+        resolved_tools, tc_mode, forced_tool = resolve_tool_choice(
+            req.tools, req.tool_choice
+        )
+    except ValueError as e:
+        return _error(400, str(e))
+    req.tools = resolved_tools or None
     messages, image_srcs = _flatten_image_parts(
         [m.model_dump(exclude_none=True) for m in req.messages]
     )
@@ -253,6 +273,13 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
     except TemplateError as e:
         return _error(400, f"chat template error: {e}")
 
+    if (
+        state.prompt_repairer is not None
+        and state.prompt_repairer.has_reasoning_scaffold
+    ):
+        repaired = state.prompt_repairer.repair(prompt)
+        if repaired is not None:
+            prompt = repaired
     mm = None
     if image_srcs:
         try:
@@ -274,7 +301,8 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
     request_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
     if req.stream:
         return await _stream_chat(
-            request, state, request_id, prompt_ids, sp, req, mm=mm
+            request, state, request_id, prompt_ids, sp, req, mm=mm,
+            forced_tool=forced_tool,
         )
 
     out = await state.async_engine.generate(
@@ -285,7 +313,20 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
     choices = []
     for i, o in enumerate(out.outputs):
         content, reasoning, calls = parse_complete(o.text, family)
-        calls = [c for c in calls if validate_tool_call(c, req.tools) is None]
+        calls = filter_forced_calls(calls, forced_tool)
+        valid, invalid = [], []
+        for c in calls:
+            err = validate_tool_call(c, req.tools)
+            if err is None:
+                valid.append(c)
+            else:
+                invalid.append((c, err))
+        calls = valid
+        if invalid and not calls:
+            # schema feedback to the client (reference: helpers.rs
+            # build_invalid_tool_call_feedback)
+            fb = build_invalid_call_feedback(invalid, req.tools, forced_tool)
+            content = ((content + "\n\n") if content else "") + (fb or "")
         logprobs = None
         if req.logprobs and o.logprobs:
             logprobs = {
@@ -334,6 +375,7 @@ async def _stream_chat(
     sp: SamplingParams,
     req: ChatCompletionRequest,
     mm=None,
+    forced_tool=None,
 ) -> web.StreamResponse:
     response = web.StreamResponse(
         status=200,
@@ -376,10 +418,13 @@ async def _stream_chat(
             elif pe.kind == "reasoning" and pe.text:
                 delta = DeltaMessage(reasoning_content=pe.text)
             elif pe.kind == "tool_calls":
+                kept = filter_forced_calls(list(pe.calls or []), forced_tool)
+                if not kept:
+                    continue
                 delta = DeltaMessage(
                     tool_calls=[
                         {**c.to_openai(), "index": i}
-                        for i, c in enumerate(pe.calls or [])
+                        for i, c in enumerate(kept)
                     ]
                 )
             else:

@@ -11,8 +11,11 @@ arguments against the request's JSON schemas.
 from candle_vllm_tpu.tools.parser import (  # noqa: F401
     ToolCall,
     ToolFamily,
+    build_invalid_call_feedback,
     family_for_model,
+    filter_forced_calls,
     parse_complete,
+    resolve_tool_choice,
     validate_tool_call,
 )
 from candle_vllm_tpu.tools.stream_parser import StreamToolParser  # noqa: F401

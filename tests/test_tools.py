@@ -140,3 +140,172 @@ def test_stream_invalid_call_dropped():
     collect(parser, ['<tool_call>{"name": "bogus", "arguments": {}}</tool_call>'])
     assert parser.tool_calls == []
     assert parser.errors and "unknown tool" in parser.errors[0]
+
+
+# ---------------------------------------------------------------------------
+# round-2 depth: pythonic / XML formats, tool_choice, feedback
+# (ports of reference scenarios, stream_parser.rs:2518-3600 + helpers.rs)
+# ---------------------------------------------------------------------------
+
+from candle_vllm_tpu.tools.parser import (
+    _FAMILIES,
+    build_invalid_call_feedback,
+    filter_forced_calls,
+    parse_glm_xml_call,
+    parse_pythonic_calls,
+    parse_xml_invoke_calls,
+    resolve_tool_choice,
+)
+
+
+def test_pythonic_single_call():
+    calls = parse_pythonic_calls('get_weather(city="Paris", days=3)')
+    assert len(calls) == 1
+    assert calls[0].name == "get_weather"
+    assert json.loads(calls[0].arguments) == {"city": "Paris", "days": 3}
+
+
+def test_pythonic_list_of_calls():
+    calls = parse_pythonic_calls(
+        '[get_weather(city="Boston"), get_time(tz="EST")]'
+    )
+    assert [c.name for c in calls] == ["get_weather", "get_time"]
+
+
+def test_pythonic_dotted_name():
+    # gemma default_api.tool style
+    calls = parse_pythonic_calls('default_api.search(query="tpu")')
+    assert calls[0].name == "search"
+    assert json.loads(calls[0].arguments) == {"query": "tpu"}
+
+
+def test_pythonic_fenced_tool_code():
+    calls = parse_pythonic_calls('```tool_code\nsearch(query="x")\n```')
+    assert calls and calls[0].name == "search"
+
+
+def test_llama4_complete_with_markers():
+    fam = _FAMILIES["llama4"]
+    text = 'Let me check. <|python_start|>[lookup(id=7)]<|python_end|>'
+    content, _, calls = parse_complete(text, fam)
+    assert calls[0].name == "lookup"
+    assert json.loads(calls[0].arguments) == {"id": 7}
+    assert "Let me check." in content
+
+
+def test_llama4_bare_pythonic_fallback():
+    # stream_parser.rs:1598: llama4 sometimes skips the python markers
+    fam = _FAMILIES["llama4"]
+    content, _, calls = parse_complete('[lookup(id=9)]', fam)
+    assert calls and calls[0].name == "lookup"
+    assert content == ""
+
+
+def test_gemma_python_call_syntax():
+    fam = _FAMILIES["gemma"]
+    text = ('<start_function_call>get_weather(city="Lyon")'
+            '<end_function_call>')
+    content, _, calls = parse_complete(text, fam)
+    assert calls[0].name == "get_weather"
+    assert json.loads(calls[0].arguments) == {"city": "Lyon"}
+
+
+def test_gemma4_envelope():
+    fam = _FAMILIES["gemma4"]
+    text = '<|tool_call>{"name": "f", "arguments": {"a": 1}}<tool_call|>'
+    _, _, calls = parse_complete(text, fam)
+    assert calls[0].name == "f"
+
+
+def test_minimax_invoke_envelope():
+    # stream_parser.rs:3216 test_minimax_envelope_accepts_complete_invoke_block
+    fam = _FAMILIES["minimax"]
+    text = (
+        "<minimax:tool_call>"
+        '<invoke name="get_weather">'
+        '<parameter name="city">Tokyo</parameter>'
+        '<parameter name="days">2</parameter>'
+        "</invoke></minimax:tool_call>"
+    )
+    _, _, calls = parse_complete(text, fam)
+    assert calls[0].name == "get_weather"
+    assert json.loads(calls[0].arguments) == {"city": "Tokyo", "days": 2}
+
+
+def test_glm47_xml_format():
+    # stream_parser.rs:2903 test_envelope_glm47_xml_format
+    calls = parse_glm_xml_call(
+        "get_weather<arg_key>city</arg_key><arg_value>Berlin</arg_value>"
+        "<arg_key>unit</arg_key><arg_value>\"C\"</arg_value>"
+    )
+    assert calls[0].name == "get_weather"
+    assert json.loads(calls[0].arguments) == {"city": "Berlin", "unit": "C"}
+
+
+def test_glm_family_routes_xml_payload():
+    fam = _FAMILIES["glm"]
+    text = ("<tool_call>f<arg_key>x</arg_key><arg_value>1</arg_value>"
+            "</tool_call>")
+    _, _, calls = parse_complete(text, fam)
+    assert calls[0].name == "f"
+    assert json.loads(calls[0].arguments) == {"x": 1}
+
+
+def test_llama3_python_tag_prefix():
+    fam = _FAMILIES["llama"]
+    text = '<|python_tag|>{"name": "f", "parameters": {"a": 1}}'
+    content, _, calls = parse_complete(text, fam)
+    assert calls and calls[0].name == "f"
+
+
+TOOLS = [
+    {"type": "function",
+     "function": {"name": "get_weather",
+                  "parameters": {"type": "object",
+                                 "properties": {"city": {"type": "string"}},
+                                 "required": ["city"]}}},
+    {"type": "function", "function": {"name": "get_time", "parameters": {}}},
+]
+
+
+def test_tool_choice_none_clears_tools():
+    tools, mode, forced = resolve_tool_choice(TOOLS, "none")
+    assert tools == [] and mode == "none" and forced is None
+
+
+def test_tool_choice_required_needs_tools():
+    import pytest
+    with pytest.raises(ValueError):
+        resolve_tool_choice([], "required")
+    tools, mode, _ = resolve_tool_choice(TOOLS, "required")
+    assert mode == "required" and len(tools) == 2
+
+
+def test_tool_choice_function_filters():
+    import pytest
+    tools, mode, forced = resolve_tool_choice(
+        TOOLS, {"type": "function", "function": {"name": "get_time"}}
+    )
+    assert mode == "function" and forced == "get_time"
+    assert len(tools) == 1
+    with pytest.raises(ValueError):
+        resolve_tool_choice(
+            TOOLS, {"type": "function", "function": {"name": "nope"}}
+        )
+
+
+def test_forced_name_filtering():
+    calls = [ToolCall(name="get_time", arguments="{}"),
+             ToolCall(name="other", arguments="{}")]
+    kept = filter_forced_calls(calls, "get_time")
+    assert [c.name for c in kept] == ["get_time"]
+    assert filter_forced_calls(calls, None) == calls
+
+
+def test_invalid_call_feedback_message():
+    bad = ToolCall(name="get_weather", arguments='{"city": 5}')
+    err = validate_tool_call(bad, TOOLS)
+    assert err is not None
+    fb = build_invalid_call_feedback([(bad, err)], TOOLS, "get_weather")
+    assert "get_weather" in fb and "Required tool_choice" in fb
+    assert "Allowed tools" in fb
