@@ -451,7 +451,8 @@ class ModelConfig:
             extra={
                 k: v
                 for k, v in cfg.items()
-                if k.startswith("_") or k in _HYBRID_EXTRA_KEYS
+                if k.startswith("_") or k.startswith("index_")
+                or k in _HYBRID_EXTRA_KEYS
             },
         )
         mt = mc.model_type or ""

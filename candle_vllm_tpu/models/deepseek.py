@@ -45,6 +45,9 @@ from candle_vllm_tpu.ops.rope import apply_rope, compute_cos_sin, make_rope_spec
     # glm4_moe_lite.rs:339-420 MlaConfig::from_config, is_gpt_neox=false)
     "Glm4MoeLiteForCausalLM",
     "GlmMoeDsaForCausalLM",
+    # V3.2: MLA + DSA lightning indexer (reference: layers/indexer.rs,
+    # mla_attention.rs sparse prefill)
+    "DeepseekV32ForCausalLM",
 )
 class DeepseekForCausalLM(LlamaForCausalLM):
     def __init__(self, config, mesh=None):
@@ -68,6 +71,17 @@ class DeepseekForCausalLM(LlamaForCausalLM):
         # rope_scaling (factor 40, mscale_all_dim 1.0) and expect
         # sm_scale *= mscale^2 with mscale = 0.1*mscale_all_dim*ln(f)+1.
         self.mla_mscale_sq = 1.0
+        # DSA sparse-prefill indexer (V3.2/GLM5 class; reference:
+        # indexer.rs).  ``use_dsa`` routes whole-prompt prefill through
+        # the sparse path; it must stay False for engines running mixed
+        # prefill+decode steps (in-batch indexing has no paged reads yet)
+        ex = config.extra or {}
+        self.dsa_heads = int(ex.get("index_n_heads", 0) or 0)
+        self.dsa_head_dim = int(ex.get("index_head_dim", 0) or 0)
+        self.dsa_topk = int(ex.get("index_topk", 0) or 0)
+        self.has_dsa = bool(self.dsa_heads and self.dsa_head_dim
+                            and self.dsa_topk and c.q_lora_rank)
+        self.use_dsa = bool(ex.get("use_dsa_prefill", False)) and self.has_dsa
         rs = c.rope_scaling
         if (
             rs is not None
@@ -118,6 +132,14 @@ class DeepseekForCausalLM(LlamaForCausalLM):
                 c.kv_lora_rank, H * (nope + v_dim)
             )
             shapes[f"{a}.o_proj.weight"] = (H * v_dim, c.hidden_size)
+            if self.has_dsa:
+                # DSA lightning indexer weights (reference: indexer.rs:38-76)
+                Hn, Dh = self.dsa_heads, self.dsa_head_dim
+                shapes[f"{a}.indexer.wq_b.weight"] = (c.q_lora_rank, Hn * Dh)
+                shapes[f"{a}.indexer.wk.weight"] = (c.hidden_size, Dh)
+                shapes[f"{a}.indexer.k_norm.weight"] = (Dh,)
+                shapes[f"{a}.indexer.k_norm.bias"] = (Dh,)
+                shapes[f"{a}.indexer.weights_proj.weight"] = (c.hidden_size, Hn)
             # dense or MoE mlp per layer
             if m is not None and self.is_moe_layer(i):
                 shapes[f"{p}.mlp.gate.weight"] = (c.hidden_size, m.num_experts)

@@ -59,6 +59,7 @@ def _kernel(
     bq: int,
     quantized: bool = False,
     kv4: bool = False,
+    pg: int = 1,
 ):
     rest = list(rest)
     kv_scales_ref = rest.pop(0) if quantized else None
@@ -72,8 +73,9 @@ def _kernel(
     K = spec.num_kv_heads
     G = spec.group_size
     D = spec.head_dim
-    ps = kv_buf.shape[1]
+    ps = kv_buf.shape[2]
     BQG = bq * G
+    PW = pg * ps  # kv positions per grouped step
 
     row0 = b * bq
     t_used = tused_ref[0]
@@ -83,28 +85,19 @@ def _kernel(
     m_ref[...] = jnp.full_like(m_ref, NEG_INF)
     l_ref[...] = jnp.zeros_like(l_ref)
 
-    def get_dma(slot, page_id):
+    def get_dma(slot, j, page_id):
         return pltpu.make_async_copy(
-            kv_pages_ref.at[page_id], kv_buf.at[slot], sems.at[slot]
+            kv_pages_ref.at[page_id], kv_buf.at[slot, j], sems.at[slot, j]
         )
 
-    def get_scale_dma(slot, page_id):
+    def get_scale_dma(slot, j, page_id):
         return pltpu.make_async_copy(
-            kv_scales_ref.at[page_id], sc_buf.at[slot], sc_sems.at[slot]
+            kv_scales_ref.at[page_id], sc_buf.at[slot, j],
+            sc_sems.at[slot, j],
         )
 
-    def start_page(slot, page_id):
-        get_dma(slot, page_id).start()
-        if quantized:
-            get_scale_dma(slot, page_id).start()
-
-    def wait_page(slot, page_id):
-        get_dma(slot, page_id).wait()
-        if quantized:
-            get_scale_dma(slot, page_id).wait()
-
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (bq, ps), 0) + row0
-    kv_iota = jax.lax.broadcasted_iota(jnp.int32, (bq, ps), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (bq, PW), 0) + row0
+    kv_iota = jax.lax.broadcasted_iota(jnp.int32, (bq, PW), 1)
 
     @pl.when(row0 < t_used)
     def _process():
@@ -135,23 +128,59 @@ def _kernel(
             else:
                 pg_lo = jnp.int32(0)
             pg_lo = jnp.minimum(pg_lo, pg_hi)  # empty range when no pages
+            # grouped page steps: each compute step consumes ``pg`` pages
+            # so per-head dots are [BQG, D] x [D, pg*ps] — pg x fewer MXU
+            # issues on long-context decode (the measured decode floor)
+            g_lo = pg_lo // pg
+            g_hi = (pg_hi + pg - 1) // pg
 
-            @pl.when(pg_lo < pg_hi)
+            def start_group(slot, g):
+                for j in range(pg):
+                    page = g * pg + j
+
+                    @pl.when((page >= pg_lo) & (page < pg_hi))
+                    def _start(j=j, page=page):
+                        get_dma(slot, j, pt_ref[s, page]).start()
+                        if quantized:
+                            get_scale_dma(slot, j, pt_ref[s, page]).start()
+
+            def wait_group(slot, g):
+                for j in range(pg):
+                    page = g * pg + j
+                    valid = (page >= pg_lo) & (page < pg_hi)
+
+                    @pl.when(valid)
+                    def _wait(j=j, page=page):
+                        get_dma(slot, j, pt_ref[s, page]).wait()
+                        if quantized:
+                            get_scale_dma(slot, j, pt_ref[s, page]).wait()
+
+                    @pl.when(jnp.logical_not(valid))
+                    def _zero(j=j):
+                        # skipped sub-pages must not hold NaN garbage:
+                        # masked probabilities are 0 but 0 * NaN = NaN in
+                        # the p @ V dot
+                        kv_buf[slot, j] = jnp.zeros_like(kv_buf[slot, j])
+                        if quantized:
+                            sc_buf[slot, j] = jnp.zeros_like(sc_buf[slot, j])
+
+            @pl.when(g_lo < g_hi)
             def _prologue():
-                start_page(pg_lo % 2, pt_ref[s, pg_lo])
+                start_group(g_lo % 2, g_lo)
 
-            def page_body(p, _):
-                slot = p % 2
+            def page_body(g, _):
+                slot = g % 2
 
-                @pl.when(p + 1 < pg_hi)
+                @pl.when(g + 1 < g_hi)
                 def _prefetch():
-                    start_page((p + 1) % 2, pt_ref[s, p + 1])
+                    start_group((g + 1) % 2, g + 1)
 
-                wait_page(slot, pt_ref[s, p])
+                wait_group(slot, g)
 
                 # mask for (row, kv) pairs: row belongs to s, causal,
-                # within context, within window
-                kv_pos = p * ps + kv_iota              # [BQ, ps]
+                # within context, within window; lanes of skipped or
+                # garbage sub-pages are excluded by the bounds masks
+                kv_pos = g * PW + kv_iota              # [BQ, PW]
                 q_pos = pos_off + row_iota             # [BQ, ps] (pos of row)
                 mask = (row_iota >= cu_s) & (row_iota < cu_e)
                 mask &= kv_pos <= q_pos
@@ -160,9 +189,10 @@ def _kernel(
                     mask &= kv_pos > q_pos - spec.sliding_window
                 if spec.chunk_size is not None:
                     mask &= kv_pos >= (q_pos // spec.chunk_size) * spec.chunk_size
+                mask &= kv_pos >= pg_lo * ps
                 mask3 = jnp.broadcast_to(
-                    mask[:, None, :], (bq, G, ps)
-                ).reshape(BQG, ps)
+                    mask[:, None, :], (bq, G, PW)
+                ).reshape(BQG, PW)
 
                 for h in range(K):
                     q_h = q_ref[:, h * G : (h + 1) * G, :].reshape(BQG, D)
@@ -170,12 +200,14 @@ def _kernel(
                         # packed nibbles: K lo / V hi share one byte plane
                         # (kv_cache.allocate_kv_pages_int4); exact f32
                         # unpack — floor(b/16) == b >> 4 for int8
-                        b = kv_buf[slot, :, h, :].astype(jnp.float32)
+                        b = kv_buf[slot, :, :, h, :].reshape(
+                            PW, D
+                        ).astype(jnp.float32)
                         v_h = jnp.floor(b * 0.0625)
                         k_h = b - 16.0 * v_h - 8.0
                     else:
-                        k_h = kv_buf[slot, :, 2 * h, :]      # [ps, D]
-                        v_h = kv_buf[slot, :, 2 * h + 1, :]  # [ps, D]
+                        k_h = kv_buf[slot, :, :, 2 * h, :].reshape(PW, D)
+                        v_h = kv_buf[slot, :, :, 2 * h + 1, :].reshape(PW, D)
                     scores = jax.lax.dot_general(
                         q_h.astype(jnp.float32),
                         k_h.astype(jnp.float32),
@@ -185,7 +217,9 @@ def _kernel(
                     if quantized:
                         # int8 cache: fold the per-(token,head) K scale
                         # into the score columns (fused dequant)
-                        scores = scores * sc_buf[slot, 2 * h, :][None, :]
+                        scores = scores * sc_buf[slot, :, 2 * h, :].reshape(
+                            PW
+                        )[None, :]
                     if spec.logit_soft_cap is not None:
                         cap = spec.logit_soft_cap
                         scores = cap * jnp.tanh(scores / cap)
@@ -204,7 +238,9 @@ def _kernel(
                     p_v = p_ij
                     if quantized:
                         # fold the V scale into the probabilities
-                        p_v = p_ij * sc_buf[slot, 2 * h + 1, :][None, :]
+                        p_v = p_ij * sc_buf[slot, :, 2 * h + 1, :].reshape(
+                            PW
+                        )[None, :]
                     pv = jax.lax.dot_general(
                         p_v,
                         v_h.astype(jnp.float32),
@@ -216,7 +252,7 @@ def _kernel(
                     l_ref[h] = jnp.broadcast_to(l_new, (BQG, 128))
                 return 0
 
-            jax.lax.fori_loop(pg_lo, pg_hi, page_body, 0)
+            jax.lax.fori_loop(g_lo, g_hi, page_body, 0)
             return 0
 
         jax.lax.fori_loop(s_lo, s_hi + 1, seq_body, 0)
@@ -285,12 +321,15 @@ def ragged_paged_attention_pallas(
     G = spec.group_size
     S = kv_lens.shape[0]
 
+    MAXP = page_tables.shape[1]
     bq = min(bq, max(8, T))
     T_pad = pl.cdiv(T, bq) * bq
     if T_pad != T:
         q = jnp.pad(q, ((0, T_pad - T), (0, 0), (0, 0)))
     NB = T_pad // bq
 
+    # pages per grouped compute step (fewer, bigger MXU issues)
+    pg = 4 if MAXP >= 4 else (2 if MAXP >= 2 else 1)
     cu = cu_q_lens.astype(jnp.int32)
     t_used = cu[S]
     starts = jnp.arange(NB, dtype=jnp.int32) * bq
@@ -318,14 +357,14 @@ def ragged_paged_attention_pallas(
             (bq, H, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, ps, twoK, D), kv_pages.dtype),
+            pltpu.VMEM((2, pg, ps, twoK, D), kv_pages.dtype),
             pltpu.VMEM((K, bq * G, D), jnp.float32),
             pltpu.VMEM((K, bq * G, 128), jnp.float32),
             pltpu.VMEM((K, bq * G, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, pg)),
         ] + (
-            [pltpu.VMEM((2, kv_scales.shape[1], ps), jnp.float32),
-             pltpu.SemaphoreType.DMA((2,))]
+            [pltpu.VMEM((2, pg, kv_scales.shape[1], ps), jnp.float32),
+             pltpu.SemaphoreType.DMA((2, pg))]
             if quantized else []
         ),
     )
@@ -352,7 +391,7 @@ def ragged_paged_attention_pallas(
         )
     out = pl.pallas_call(
         functools.partial(_kernel, spec=spec, bq=bq, quantized=quantized,
-                          kv4=kv4),
+                          kv4=kv4, pg=pg),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T_pad, H, D), q.dtype),
         compiler_params=pltpu.CompilerParams(

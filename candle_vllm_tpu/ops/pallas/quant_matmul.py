@@ -166,7 +166,7 @@ def quant_matmul_pallas(
     # unless it spans the whole array, hence TI % (8*group) == 0 or TI == IN.
     import os
 
-    ti_cap = int(os.environ.get("CVT_TI_CAP", "4096"))
+    ti_cap = int(os.environ.get("CVT_TI_CAP", "7168"))
     TI = IN  # single input pass (scales block spans the whole array)
     for t in range(min(IN, ti_cap), group - 1, -group):
         if IN % t == 0 and ((t // group) % 8 == 0 or t == IN):
