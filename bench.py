@@ -126,10 +126,29 @@ def main() -> None:
     logits, kv_pages = fwd(params, kv_pages, prefill_step)
     first_tok = int(np.asarray(jnp.argmax(logits[0])))
 
+    # TTFT via loop differencing (a single dispatch+fetch through the
+    # axon tunnel carries ~0.8 s of round-trip that a co-located host
+    # doesn't pay; see .claude/skills/verify/SKILL.md)
+    def prefill_loop(params, kv, n):
+        def body(i, carry):
+            kv, acc = carry
+            lg, kv = model.forward(params, kv, prefill_step)
+            return (kv, acc * (1.0 + lg[0, 0] * 1e-24).astype(acc.dtype))
+        return jax.lax.fori_loop(
+            0, n, body, (kv, jnp.ones((8, 8), jnp.bfloat16))
+        )[1]
+
+    ploop = jax.jit(prefill_loop)
+    np.asarray(ploop(params, kv_pages, jnp.int32(2)))
     t0 = time.time()
+    np.asarray(ploop(params, kv_pages, jnp.int32(2)))
+    d_lo = time.time() - t0
+    t0 = time.time()
+    np.asarray(ploop(params, kv_pages, jnp.int32(10)))
+    d_hi = time.time() - t0
+    ttft = (d_hi - d_lo) / 8
     logits2, kv_pages = fwd(params, kv_pages, prefill_step)
     _ = np.asarray(logits2[0, 0])
-    ttft = time.time() - t0
 
     # ---- device-resident greedy decode loop -----------------------------
     pt_j = jnp.asarray(pt)
@@ -205,16 +224,28 @@ def main() -> None:
         sp = SamplingParams(temperature=0.0, ignore_eos=True,
                             max_tokens=args.engine_steps + 32)
         eng.add_request("bench", prompt_token_ids=list(prompt), sampling_params=sp)
+        # measure the tunnel round-trip so the serving numbers can be
+        # adjusted to what a co-located host would see (each engine step
+        # fetches sampled tokens; through axon that fetch pays a full
+        # RTT that production TPU hosts do not)
+        probe = jax.jit(lambda x: x + 1)
+        _ = np.asarray(probe(jnp.zeros(8)))
+        t0 = time.time()
+        for _ in range(5):
+            _ = np.asarray(probe(jnp.zeros(8)))
+        rtt = (time.time() - t0) / 5
         t0 = time.time()
         eng.step()  # prefill
-        engine_ttft_ms = (time.time() - t0) * 1e3
+        engine_ttft_ms = (time.time() - t0 - rtt) * 1e3
         for _ in range(8):  # warm decode shapes
             eng.step()
         t0 = time.time()
         for _ in range(args.engine_steps):
             eng.step()
         d_eng = time.time() - t0
-        engine_tok_s = args.engine_steps / d_eng
+        engine_tok_s = args.engine_steps / max(
+            d_eng - args.engine_steps * rtt, 1e-9
+        )
 
     hbm_bw = 819e9  # v5e
     sol_toks = hbm_bw / stream_bytes
@@ -231,6 +262,7 @@ def main() -> None:
             "ttft_ms_1k_prompt": round(ttft * 1e3, 1),
             "engine_decode_tok_s": round(engine_tok_s, 2) if engine_tok_s else None,
             "engine_ttft_ms": round(engine_ttft_ms, 1) if engine_ttft_ms else None,
+            "tunnel_rtt_ms_adjusted": True,
             "backend": jax.default_backend(),
             "reference_baseline_tok_s": baseline,
         },

@@ -343,6 +343,10 @@ class LLMEngine:
         tokens, logprobs = sample(
             logits, st, key, greedy_only=greedy_only, penalties=penalties
         )
+        # ONE packed device->host transfer per step: token ids are exact
+        # in f32 up to 2^24 (every real vocab); separate fetches each pay
+        # a full host round-trip
+        packed = jnp.stack([tokens.astype(jnp.float32), logprobs])
         # top-k alternatives for the API's logprobs field — only compiled
         # in when some scheduled request asked for logprobs (a full-vocab
         # log_softmax + top_k is pure wasted bandwidth otherwise)
@@ -350,7 +354,7 @@ class LLMEngine:
         if want_logprobs:
             logp = jax.nn.log_softmax(logits, axis=-1)
             top_vals, top_ids = jax.lax.top_k(logp, 8)
-        return tokens, logprobs, top_vals, top_ids, kv_pages
+        return packed, top_vals, top_ids, kv_pages
 
     # -- request intake ----------------------------------------------------
     def add_request(
@@ -404,11 +408,17 @@ class LLMEngine:
                 f"model {self.model_config.architecture} does not accept "
                 "image inputs"
             )
-        from candle_vllm_tpu.multimodal.processor import (
-            vision_encoder_host_inputs,
-        )
+        prep = getattr(self.model, "prepare_vision_inputs", None)
+        if prep is not None:
+            hi = prep(mm_inputs)
+        else:
+            from candle_vllm_tpu.multimodal.processor import (
+                vision_encoder_host_inputs,
+            )
 
-        hi = vision_encoder_host_inputs(mm_inputs, self.model_config.vision)
+            hi = vision_encoder_host_inputs(
+                mm_inputs, self.model_config.vision
+            )
         emb = self.model.encode_vision(self.params, hi)
         total = mm_inputs.num_image_tokens
         emb = np.ascontiguousarray(emb[:, :total])
@@ -575,14 +585,15 @@ class LLMEngine:
 
         self._key, sub = jax.random.split(self._key)
         want_logprobs = any(p.logprobs for p in rows_params)
-        tokens, logprobs, top_vals, top_ids, self.kv_pages = self._jit_step(
+        packed, top_vals, top_ids, self.kv_pages = self._jit_step(
             self.params, self.kv_pages, plan.step, copy_src, copy_dst, st, sub,
             want_logprobs=want_logprobs,
             greedy_only=all(p.is_greedy for p in rows_params),
             penalties=any(p.has_penalties for p in rows_params),
         )
-        tokens = np.asarray(tokens)
-        logprobs = np.asarray(logprobs)
+        packed = np.asarray(packed)
+        tokens = packed[0].astype(np.int64)
+        logprobs = packed[1]
         self._capture_snapshots(plan, row_seqs)
         if want_logprobs:
             top_vals = np.asarray(top_vals)

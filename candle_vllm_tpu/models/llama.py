@@ -41,7 +41,6 @@ Params = Dict[str, jnp.ndarray]
     "GemmaForCausalLM",
     "Gemma2ForCausalLM",
     "Gemma3ForCausalLM",
-    "Gemma3ForConditionalGeneration",
     "Gemma4ForCausalLM",
     "Gemma4ForConditionalGeneration",
     "Gemma4TextForCausalLM",

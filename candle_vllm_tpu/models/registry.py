@@ -27,6 +27,7 @@ def register(*archs: str):
 def get_model(config: ModelConfig, mesh: Optional[Mesh] = None):
     from candle_vllm_tpu.models import (  # noqa: F401  (populates registry)
         deepseek,
+        gemma3_vl,
         llama,
         llama4,
         qwen3_vl,

@@ -235,3 +235,142 @@ class VisionTower:
 
         main = self._merger(params, "model.visual.merger", x, postshuffle=False)
         return jnp.stack([main] + taps, axis=0)
+
+
+class SiglipVisionTower:
+    """SigLIP ViT + avg-pool multimodal projector (Gemma3-VL family).
+
+    TPU re-design of the reference's ``gemma3_vl/mod.rs``
+    (VisionEmbeddings, VisionTransformer, MultiModalProjector): fixed
+    image size means fixed patch count — the encoder jit is a plain
+    [N, P, hidden] batch with full (non-causal, non-segmented)
+    attention, learned positional embeddings, and the projector's
+    avg-pool + RMS-norm + linear down to ``mm_tokens_per_image`` text
+    embeddings per image.  Weight names mirror the HF checkpoint
+    (``vision_tower.vision_model.*`` / ``multi_modal_projector.*``).
+    """
+
+    def __init__(self, config: ModelConfig):
+        self.config = config
+        self.v: VisionConfig = config.vision
+        v = self.v
+        self.head_dim = v.hidden_size // v.num_heads
+        self.side = v.image_size // v.patch_size
+        self.num_patches = self.side * self.side
+        self.patch_dim = v.in_channels * v.patch_size ** 2
+        mm = (config.extra or {}).get("_outer_config", {}) or {}
+        self.tokens_per_image = int(mm.get("mm_tokens_per_image", 256))
+        pooled = int(round(self.tokens_per_image ** 0.5))
+        assert pooled * pooled == self.tokens_per_image
+        assert self.side % pooled == 0
+        self.pool_k = self.side // pooled
+        self.pooled_side = pooled
+
+    def param_shapes(self) -> Dict[str, Tuple[int, ...]]:
+        v = self.v
+        H, I = v.hidden_size, v.intermediate_size
+        vm = "vision_tower.vision_model"
+        s: Dict[str, Tuple[int, ...]] = {
+            f"{vm}.embeddings.patch_embedding.weight": (self.patch_dim, H),
+            f"{vm}.embeddings.patch_embedding.bias": (H,),
+            f"{vm}.embeddings.position_embedding.weight": (
+                self.num_patches, H
+            ),
+            f"{vm}.post_layernorm.weight": (H,),
+            f"{vm}.post_layernorm.bias": (H,),
+            "multi_modal_projector.mm_input_projection_weight": (
+                H, self.config.hidden_size
+            ),
+            "multi_modal_projector.mm_soft_emb_norm.weight": (H,),
+        }
+        for i in range(v.depth):
+            p = f"{vm}.encoder.layers.{i}"
+            for ln in ("layer_norm1", "layer_norm2"):
+                s[f"{p}.{ln}.weight"] = (H,)
+                s[f"{p}.{ln}.bias"] = (H,)
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                s[f"{p}.self_attn.{proj}.weight"] = (H, H)
+                s[f"{p}.self_attn.{proj}.bias"] = (H,)
+            s[f"{p}.mlp.fc1.weight"] = (H, I)
+            s[f"{p}.mlp.fc1.bias"] = (I,)
+            s[f"{p}.mlp.fc2.weight"] = (I, H)
+            s[f"{p}.mlp.fc2.bias"] = (H,)
+        return s
+
+    def _attention(self, params: Params, p: str, x: jnp.ndarray) -> jnp.ndarray:
+        v = self.v
+        N, P, H = x.shape
+        nh, hd = v.num_heads, self.head_dim
+
+        def proj(name):
+            return (
+                jnp.einsum(
+                    "nph,hk->npk", x,
+                    params[f"{p}.self_attn.{name}.weight"],
+                )
+                + params[f"{p}.self_attn.{name}.bias"]
+            ).reshape(N, P, nh, hd)
+
+        q = proj("q_proj").astype(jnp.float32)
+        k = proj("k_proj").astype(jnp.float32)
+        val = proj("v_proj").astype(jnp.float32)
+        scores = jnp.einsum("nqhd,nkhd->nhqk", q, k) * (hd ** -0.5)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("nhqk,nkhd->nqhd", probs, val).reshape(N, P, H)
+        return (
+            jnp.einsum("nph,hk->npk", out.astype(x.dtype),
+                       params[f"{p}.self_attn.out_proj.weight"])
+            + params[f"{p}.self_attn.out_proj.bias"]
+        )
+
+    def encode(self, params: Params, patches: jnp.ndarray) -> jnp.ndarray:
+        """patches [N, P, patch_dim] raster order -> [1, N*tokens_per_image,
+        text_hidden] (leading axis matches the deepstack convention: row 0
+        only — SigLIP has no deepstack taps)."""
+        v = self.v
+        dtype = self.config.dtype
+        vm = "vision_tower.vision_model"
+        x = (
+            jnp.einsum("npd,dh->nph", patches.astype(dtype),
+                       params[f"{vm}.embeddings.patch_embedding.weight"])
+            + params[f"{vm}.embeddings.patch_embedding.bias"]
+        )
+        x = x + params[f"{vm}.embeddings.position_embedding.weight"][None]
+        for i in range(v.depth):
+            p = f"{vm}.encoder.layers.{i}"
+            h = _layer_norm(x, params[f"{p}.layer_norm1.weight"],
+                            params[f"{p}.layer_norm1.bias"])
+            x = x + self._attention(params, p, h)
+            h = _layer_norm(x, params[f"{p}.layer_norm2.weight"],
+                            params[f"{p}.layer_norm2.bias"])
+            h = (
+                jnp.einsum("nph,hk->npk", h, params[f"{p}.mlp.fc1.weight"])
+                + params[f"{p}.mlp.fc1.bias"]
+            )
+            h = _gelu(h, v.hidden_act)
+            x = x + (
+                jnp.einsum("npk,kh->nph", h, params[f"{p}.mlp.fc2.weight"])
+                + params[f"{p}.mlp.fc2.bias"]
+            )
+        x = _layer_norm(x, params[f"{vm}.post_layernorm.weight"],
+                        params[f"{vm}.post_layernorm.bias"])
+
+        # projector: [N, side, side, H] -> avg-pool k x k -> RMS norm ->
+        # linear to text hidden (gemma3_vl/mod.rs:311-328)
+        N = x.shape[0]
+        side, k = self.side, self.pool_k
+        g = x.reshape(N, side // k, k, side // k, k, v.hidden_size)
+        pooled = g.mean(axis=(2, 4))                 # [N, ps, ps, H]
+        pooled = pooled.reshape(N, self.tokens_per_image, v.hidden_size)
+        from candle_vllm_tpu.ops.norms import rms_norm
+
+        pooled = rms_norm(
+            pooled, params["multi_modal_projector.mm_soft_emb_norm.weight"],
+            1e-6, add_unit_offset=True,
+        )
+        out = jnp.einsum(
+            "nth,hk->ntk", pooled,
+            params["multi_modal_projector.mm_input_projection_weight"],
+        )
+        return out.reshape(1, N * self.tokens_per_image,
+                           self.config.hidden_size)

@@ -54,6 +54,9 @@ class MultiModalInputs:
     seed: int = 0
     # merge-area divisor turning patch counts into prompt tokens
     merge_unit: int = 4
+    # fixed-token families (gemma3: mm_tokens_per_image via avg-pool
+    # projector) override the merge math
+    tokens_override: Optional[int] = None
 
     @property
     def num_patches(self) -> int:
@@ -62,6 +65,8 @@ class MultiModalInputs:
     @property
     def num_image_tokens(self) -> int:
         # post-merge tokens the prompt must carry as <image_pad> ids
+        if self.tokens_override is not None:
+            return self.tokens_override
         return self.num_patches // self.merge_unit
 
 
@@ -99,7 +104,9 @@ class ImageProcessConfig:
                 image_start_token="<start_of_image>",
                 image_end_token="<end_of_image>",
                 patch_size=v.patch_size,
-                spatial_merge_size=v.spatial_merge_size,
+                # SigLIP consumes raster-order patches; downsampling
+                # happens in the avg-pool projector, not patch merging
+                spatial_merge_size=1,
                 temporal_patch_size=1,
                 max_height=v.image_size,
                 max_width=v.image_size,
@@ -315,9 +322,14 @@ class TileImageProcessor:
             if all_patches
             else np.zeros((0, 0), np.float32)
         )
-        mm = MultiModalInputs(patches=patches, grids=grids,
-                              seed=_mm_seed(patches),
-                              merge_unit=c.spatial_merge_size ** 2)
+        mm = MultiModalInputs(
+            patches=patches, grids=grids, seed=_mm_seed(patches),
+            merge_unit=c.spatial_merge_size ** 2,
+            tokens_override=(
+                c.mm_tokens_per_image * len(grids)
+                if c.mm_tokens_per_image else None
+            ),
+        )
         if prompt is not None:
             for t, gh, gw in grids:
                 m = c.spatial_merge_size

@@ -102,6 +102,105 @@ def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
+def _prefill_kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int):
+    """Prefill (large T): dequantize each weight tile ONCE into a VMEM
+    bf16 scratch (at the first T step of its column tile), then run a
+    single [TT, IN] x [IN, TO] dot per T tile.  The MXU sees full-size
+    dots and the VPU dequant amortizes over T/TT steps — measured 5-16%
+    MFU for the XLA dequant+dot path (it materializes the dequantized
+    weights in HBM) vs MXU-bound here."""
+    if len(rest) == 3:
+        z_ref, out_ref, w_ref = rest
+    else:
+        out_ref, w_ref = rest
+        z_ref = None
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _dequant():
+        IN = qw_ref.shape[1]
+        # chunked so the f32 temporaries stay bounded (a full-depth
+        # dequant of a [14336, 1024] tile needs ~150MB of f32 scratch)
+        CH = min(IN, 2048)
+        for c in range(IN // CH):
+            rows = pl.ds(c * CH, CH)
+            p = qw_ref[0, rows]             # [CH, TOH] | [CH, TO]
+            s = s_ref[c * CH // group : (c + 1) * CH // group].astype(
+                jnp.float32
+            )
+            G = CH // group
+            pf32 = p.astype(jnp.float32)
+            if w4:
+                hi = jnp.floor(pf32 * 0.0625)
+                lo = pf32 - 16.0 * hi - 8.0
+                w = jnp.concatenate([lo, hi], axis=1)   # [CH, TO]
+            else:
+                w = pf32
+            TO = w.shape[1]
+            sf = jnp.broadcast_to(
+                s[:, None, :], (G, group, TO)
+            ).reshape(CH, TO)
+            w = w * sf
+            if z_ref is not None:
+                z = z_ref[
+                    c * CH // group : (c + 1) * CH // group
+                ].astype(jnp.float32)
+                w = w - jnp.broadcast_to(
+                    z[:, None, :], (G, group, TO)
+                ).reshape(CH, TO)
+            w_ref[rows] = w.astype(jnp.bfloat16)
+
+    out_ref[...] = jnp.dot(
+        x_ref[...], w_ref[...], preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+def _quant_matmul_prefill(x, qweight, scales, zoffs, *, w4, interpret):
+    """Large-T dispatch: grid (out_tile, t_tile), weight tiles resident."""
+    T, IN = x.shape
+    OUT = scales.shape[1]
+    n_tiles = qweight.shape[0]
+    TO = OUT // n_tiles
+    TOH = TO // 2 if w4 else TO
+    group = IN // scales.shape[0]
+    TT = 256 if IN > 8192 else 512
+    Tp = pl.cdiv(T, TT) * TT
+    out_dtype = x.dtype
+    if Tp != T:
+        x = jnp.pad(x, ((0, Tp - T), (0, 0)))
+    x = x.astype(jnp.bfloat16)
+    grid = (n_tiles, Tp // TT)
+    scale_spec = pl.BlockSpec(
+        (IN // group, TO), lambda o, t: (0, o), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((TT, IN), lambda o, t: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, IN, TOH), lambda o, t: (o, 0, 0),
+                     memory_space=pltpu.VMEM),
+        scale_spec,
+    ]
+    inputs = [x, qweight, scales.astype(jnp.bfloat16)]
+    if zoffs is not None:
+        in_specs.append(scale_spec)
+        inputs.append(zoffs.astype(jnp.bfloat16))
+    out = pl.pallas_call(
+        functools.partial(_prefill_kernel, w4=w4, group=group),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (TT, TO), lambda o, t: (t, o), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Tp, OUT), out_dtype),
+        scratch_shapes=[pltpu.VMEM((IN, TO), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return out[:T]
+
+
 def dequant_w4_jnp(qweight: jnp.ndarray, scales: jnp.ndarray,
                    zoffs: jnp.ndarray | None = None) -> jnp.ndarray:
     """Tiled-packed w4 -> [IN, OUT] f32 via XLA ops (oracle + prefill)."""
@@ -152,13 +251,11 @@ def quant_matmul_pallas(
     group = IN // scales.shape[0]
 
     if T > PREFILL_T_THRESHOLD:
-        # prefill: MXU-bound — dequant once, single plain dot
-        if w4:
-            w = dequant_w4_jnp(qweight, scales, zoffs)
-        else:
-            w = dequant_int8_jnp(qweight, scales)
-        return jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        # prefill: MXU-bound — dequant each weight tile once into VMEM
+        # and sweep T tiles against it (see _prefill_kernel)
+        return _quant_matmul_prefill(
+            x, qweight, scales, zoffs, w4=w4, interpret=interpret
+        )
 
     # deepest contiguous input pass that fits VMEM; fewer grid steps
     # pipeline better (measured 916 GB/s at TI=4096, TO=512).  The scales

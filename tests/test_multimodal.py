@@ -314,3 +314,90 @@ def test_text_only_request_on_vl_model():
         outs = eng.step()
     # no crash, text path untouched
     assert True
+
+
+# ---------------------------------------------------------------------------
+# Gemma3-VL: SigLIP tower + avg-pool projector (reference: gemma3_vl/mod.rs)
+# ---------------------------------------------------------------------------
+
+
+def tiny_gemma3vl_config():
+    return ModelConfig(
+        architecture="Gemma3ForConditionalGeneration",
+        model_type="gemma3",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=128,
+        max_model_len=128,
+        dtype=jnp.float32,
+        eos_token_ids=[],
+        vision=VisionConfig(
+            depth=2, hidden_size=32, out_hidden_size=32,
+            intermediate_size=48, num_heads=2, in_channels=3,
+            patch_size=2, spatial_merge_size=1, temporal_patch_size=1,
+            num_position_embeddings=16, image_size=8,
+        ),
+        image_token_id=IMG_TOK,
+        extra={"_outer_config": {"mm_tokens_per_image": 4}},
+    )
+
+
+def gemma_mm(*seeds):
+    from candle_vllm_tpu.multimodal.processor import (
+        ImageProcessConfig,
+        TileImageProcessor,
+    )
+
+    cfg = ImageProcessConfig.from_model_config(tiny_gemma3vl_config())
+    assert cfg.model_type == "gemma3"
+    assert cfg.spatial_merge_size == 1
+    proc = TileImageProcessor(cfg)
+    return proc.process([make_image(8, 8, seed=s) for s in seeds])[0]
+
+
+def test_gemma3vl_processor_fixed_tokens():
+    mm = gemma_mm(1, 2)
+    assert mm.num_patches == 32        # two 4x4 raster grids
+    assert mm.num_image_tokens == 8    # 4 pooled tokens per image
+
+
+def test_gemma3vl_encode_shapes():
+    from candle_vllm_tpu.models.registry import get_model
+
+    cfg = tiny_gemma3vl_config()
+    model = get_model(cfg)
+    assert type(model).__name__ == "Gemma3VLForConditionalGeneration"
+    assert model.has_vision
+    params = model.init_params(seed=0)
+    mm = gemma_mm(1)
+    hi = model.prepare_vision_inputs(mm)
+    assert hi["patches"].shape == (1, 16, 12)  # [N, P, C*ps*ps]
+    out = model.encode_vision(params, hi)
+    assert out.shape == (1, 4, 64)     # [1, tokens_per_image, text hidden]
+
+
+def test_gemma3vl_engine_end_to_end():
+    from candle_vllm_tpu.engine.llm_engine import LLMEngine
+
+    cfg = tiny_gemma3vl_config()
+    cache = CacheConfig(block_size=8, num_gpu_blocks=32, num_cpu_blocks=0)
+    sched = SchedulerConfig(max_model_len=128, preemption_mode="recompute")
+    eng = LLMEngine(cfg, cache, sched, seed=0)
+    mm = gemma_mm(1)
+    ids = [1, 2] + [IMG_TOK] * mm.num_image_tokens + [3, 4]
+    eng.add_request("g", prompt_token_ids=ids,
+                    sampling_params=SamplingParams(temperature=0.0,
+                                                   max_tokens=5),
+                    mm_inputs=mm)
+    outs = {}
+    while eng.has_unfinished_requests():
+        for o in eng.step():
+            outs[o.request_id] = o
+    assert len(outs["g"].outputs[0].token_ids) == 5
+    # different image content changes the embeddings
+    e1, _ = eng._encode_mm(gemma_mm(1), ids)
+    e2, _ = eng._encode_mm(gemma_mm(5), ids)
+    assert not np.allclose(e1, e2)
