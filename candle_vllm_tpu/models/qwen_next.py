@@ -202,7 +202,12 @@ class Qwen3NextForCausalLM(QwenMoeForCausalLM):
             )
             b = linear(x, params, f"{g}.in_proj_b")
             a = linear(x, params, f"{g}.in_proj_a")
-        out, rec, conv, snapshots = gdn_mixed(
+        # chunked-parallel form for prefill-size buckets (O(T/64)
+        # sequential steps); tiny decode buckets keep the cheap scan
+        from candle_vllm_tpu.ops.gdn import gdn_mixed_chunked
+
+        gdn_fn = gdn_mixed_chunked if x.shape[0] >= 64 else gdn_mixed
+        out, rec, conv, snapshots = gdn_fn(
             mixed_qkv, z, a, b,
             params[f"{g}.conv1d.weight"],
             params.get(f"{g}.conv1d.bias"),

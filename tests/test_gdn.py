@@ -378,3 +378,84 @@ def test_gdn_snapshot_restored_equals_chunked():
     chunky = gen(snap_engine(chunk=4, prefix=False), prompt, rid="c")
     assert out1.outputs[0].token_ids == chunky.outputs[0].token_ids
     assert out2.outputs[0].token_ids == chunky.outputs[0].token_ids
+
+
+def test_chunked_matches_scan_ragged():
+    """gdn_mixed_chunked must equal the sequential scan on ragged mixed
+    batches (the attention-rs chunked-deltanet analogue)."""
+    rng = np.random.default_rng(5)
+    hk, hv, dk, dv, W = 2, 4, 8, 16, 4
+    conv_dim = 2 * hk * dk + hv * dv
+    T = 96
+    cu = [0, 40, 41, 96]
+    kv_lens = [60, 5, 55]   # seq 0 and 2 mid-prefill (start > 0)
+    slots = [0, 1, 2]
+    mixed = rng.normal(size=(T, conv_dim)).astype(np.float32)
+    z = rng.normal(size=(T, hv, dv)).astype(np.float32)
+    av = rng.normal(size=(T, hv)).astype(np.float32)
+    bv = rng.normal(size=(T, hv)).astype(np.float32)
+    conv_w = (rng.normal(size=(conv_dim, W)) * 0.2).astype(np.float32)
+    a_log = (rng.normal(size=hv) * 0.1).astype(np.float32)
+    dt_bias = (rng.normal(size=hv) * 0.1).astype(np.float32)
+    norm_w = np.ones(dv, np.float32)
+    rec0 = (rng.normal(size=(6, hv, dk, dv)) * 0.3).astype(np.float32)
+    conv0 = (rng.normal(size=(6, conv_dim, W - 1)) * 0.3).astype(np.float32)
+    snap = np.array([31, -1, 16], np.int32)
+
+    def run(fn, **kw):
+        return fn(
+            jnp.asarray(mixed), jnp.asarray(z), jnp.asarray(av),
+            jnp.asarray(bv), jnp.asarray(conv_w), None,
+            jnp.asarray(a_log), jnp.asarray(dt_bias), jnp.asarray(norm_w),
+            jnp.asarray(rec0), jnp.asarray(conv0),
+            jnp.asarray(slots, jnp.int32), jnp.asarray(cu, jnp.int32),
+            jnp.asarray(kv_lens, jnp.int32), jnp.asarray(snap),
+            num_k_heads=hk, num_v_heads=hv, head_k_dim=dk, head_v_dim=dv,
+            scale=dk ** -0.5, **kw,
+        )
+
+    o1, r1, c1, (sr1, sc1) = run(gdn.gdn_mixed)
+    o2, r2, c2, (sr2, sc2) = run(gdn.gdn_mixed_chunked, chunk=16)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2),
+                               rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                               rtol=3e-3, atol=3e-3)
+    # snapshots captured at the same boundaries
+    np.testing.assert_allclose(np.asarray(sr1[0]), np.asarray(sr2[0]),
+                               rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(sr1[2]), np.asarray(sr2[2]),
+                               rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(sc1[0]), np.asarray(sc2[0]),
+                               rtol=3e-3, atol=3e-3)
+
+
+def test_hybrid_engine_chunked_prefill_dispatch():
+    """Prefill buckets >= 64 route through the chunked kernel; generation
+    must stay identical to the small-chunk (scan) configuration."""
+    from candle_vllm_tpu.engine.llm_engine import LLMEngine
+    from candle_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = hybrid_config()
+    cache = CacheConfig(block_size=8, num_gpu_blocks=48, num_cpu_blocks=0)
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(0, 128, size=70).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=5)
+    big = LLMEngine(
+        cfg, cache,
+        SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=128,
+                        prefill_chunk_size=128, max_model_len=128,
+                        enable_prefix_caching=False,
+                        preemption_mode="recompute"),
+        seed=0,
+    ).generate([prompt], sp)
+    small = LLMEngine(
+        cfg, cache,
+        SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=128,
+                        prefill_chunk_size=8, max_model_len=128,
+                        enable_prefix_caching=False,
+                        preemption_mode="recompute"),
+        seed=0,
+    ).generate([prompt], sp)
+    assert big[0].outputs[0].token_ids == small[0].outputs[0].token_ids
