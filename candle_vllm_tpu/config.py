@@ -198,6 +198,15 @@ class VisionConfig:
     deepstack_visual_indexes: List[int] = field(default_factory=list)
     hidden_act: str = "gelu_pytorch_tanh"
     image_size: int = 768
+    # Pixtral/Mistral3 2D rotary (mistral3_vl/vision.rs:15-36)
+    rope_theta: float = 10000.0
+    # Llama4 tower (llama4/config.rs:130-186): pixel-shuffle merge ratio,
+    # adapter MLP dims, and the projector input width
+    pixel_shuffle_ratio: float = 0.5
+    projector_input_dim: int = 4096
+    projector_output_dim: int = 4096
+    vision_output_dim: int = 4096
+    norm_eps: float = 1e-5
 
     @classmethod
     def from_hf(cls, vc: Dict[str, Any]) -> "VisionConfig":
@@ -219,6 +228,12 @@ class VisionConfig:
             ),
             hidden_act=str(vc.get("hidden_act", "gelu_pytorch_tanh")),
             image_size=int(vc.get("image_size", 768)),
+            rope_theta=float(vc.get("rope_theta", 10000.0)),
+            pixel_shuffle_ratio=float(vc.get("pixel_shuffle_ratio", 0.5)),
+            projector_input_dim=int(vc.get("projector_input_dim", 4096)),
+            projector_output_dim=int(vc.get("projector_output_dim", 4096)),
+            vision_output_dim=int(vc.get("vision_output_dim", 4096)),
+            norm_eps=float(vc.get("norm_eps", 1e-5)),
         )
 
 
@@ -587,6 +602,10 @@ class ModelConfig:
                     setattr(mc, key, int(outer[key]))
             if mc.image_token_id is None and outer.get("image_token_index"):
                 mc.image_token_id = int(outer["image_token_index"])
+            # Mistral3 keeps spatial_merge_size at the OUTER level
+            # (mistral3_vl/config.rs Mistral3Config.spatial_merge_size)
+            if "spatial_merge_size" in outer:
+                mc.vision.spatial_merge_size = int(outer["spatial_merge_size"])
         for k, v in overrides.items():
             setattr(mc, k, v)
         return mc
@@ -671,6 +690,9 @@ class SchedulerConfig:
     # fraction of prefix-cache blocks evictable under pressure per schedule
     # (reference: scheduler/mod.rs:37 PREFIX_CACHE_EVICT_FRACTION = 10%)
     prefix_evict_fraction: float = 0.1
+    # seconds a swapped-out group must wait before swapping back in
+    # (reference: scheduler/mod.rs:39 SWAP_IN_COOLING_PERIOD = 300ms)
+    swap_in_cooldown: float = 0.3
 
     def __post_init__(self) -> None:
         # the step token budget is authoritative; chunks can never exceed it

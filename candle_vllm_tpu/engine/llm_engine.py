@@ -260,19 +260,13 @@ class LLMEngine:
                 self.kv_pages = list(zip(pages, scales))
             else:
                 self.kv_pages = pages
+        # host swap tier: shape-agnostic (quantized tuples and hetero-KV
+        # layers mirror naturally); hybrid GDN models stay recompute-only
+        # (recurrent state is not paged)
         self.swap_space = (
-            HostSwapSpace(
-                model_config.num_hidden_layers,
-                cache_config.num_cpu_blocks,
-                cache_config.block_size,
-                kv_heads,
-                kv_head_dim if pad == 1 else -(-kv_head_dim // pad) * pad,
-                dtype=model_config.dtype,
-            )
+            HostSwapSpace(cache_config.num_cpu_blocks)
             if cache_config.num_cpu_blocks > 0
-            and not self.kv_quantized
             and not hasattr(self.model, "make_caches")
-            and not model_config.has_hetero_kv
             else None
         )
 
@@ -690,11 +684,6 @@ class LLMEngine:
 
     # -- cache ops ----------------------------------------------------------
     def _execute_swaps(self, out: SchedulerOutput) -> None:
-        if out.blocks_to_swap_out or out.blocks_to_swap_in:
-            assert not self.kv_quantized, (
-                "host swap of a quantized KV cache is not supported yet; "
-                "use preemption_mode='recompute'"
-            )
         if out.blocks_to_swap_out:
             assert self.swap_space is not None, "no CPU swap space configured"
             self.swap_space.swap_out(self.kv_pages, out.blocks_to_swap_out)

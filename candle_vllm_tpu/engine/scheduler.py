@@ -16,6 +16,7 @@ and the MXU saturated.
 
 from __future__ import annotations
 
+import time
 from collections import deque
 from dataclasses import dataclass, field
 from typing import Deque, Dict, List, Optional, Tuple
@@ -161,6 +162,14 @@ class Scheduler:
                 continue
             if len(self.running) >= self.config.max_num_seqs:
                 break
+            # swap-in cooling period (reference: mod.rs:39 SWAP_IN_COOLING_
+            # PERIOD 300ms): a freshly swapped-out group must not bounce
+            # straight back in while the pressure that evicted it persists
+            if (
+                time.monotonic() - getattr(group, "swapped_at", 0.0)
+                < self.config.swap_in_cooldown
+            ):
+                break
             if not self.block_engine.can_swap_in(group):
                 break
             self.swapped.popleft()
@@ -169,8 +178,15 @@ class Scheduler:
             chunks = {}
             for seq in group.get_unfinished():
                 seq.status = SequenceStatus.RUNNING
-            # swapped-in groups decode next step (their KV is intact)
-            if self.block_engine.can_append_slot(group):
+            if group.is_prefill:
+                # swapped out mid-prefill: resume chunked prefill where the
+                # swapped KV left off
+                chunks = self._schedule_prefill_chunks(group, budget, chunk_cap)
+                budget -= sum(chunks.values())
+                if chunks:
+                    out.scheduled.append(ScheduledGroup(group, chunks))
+            elif self.block_engine.can_append_slot(group):
+                # decode groups resume next token (their KV is intact)
                 for seq in group.get_unfinished():
                     cow = self.block_engine.append_slot(seq)
                     if cow is not None:
@@ -263,6 +279,7 @@ class Scheduler:
             out.blocks_to_swap_out.update(mapping)
             for seq in group.get_unfinished():
                 seq.status = SequenceStatus.SWAPPED
+            group.swapped_at = time.monotonic()
             self.swapped.append(group)
         else:
             # recompute: drop all KV, back to the head of the waiting queue

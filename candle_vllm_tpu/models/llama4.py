@@ -55,3 +55,71 @@ class Llama4ForCausalLM(QwenMoeForCausalLM):
             # top-1 sigmoid router has no qwen-style shared-expert gate
             shapes.pop(f"{p}.shared_expert_gate.weight", None)
         return shapes
+
+
+# vision wiring appended below the text stack to keep one class per
+# architecture name (the registry resolves to the LAST registration)
+import jax
+import numpy as np
+from jax.sharding import Mesh
+from typing import Optional
+
+from candle_vllm_tpu.config import ModelConfig
+
+
+@register("Llama4ForConditionalGeneration")
+class Llama4ForConditionalGeneration(Llama4ForCausalLM):
+    """Llama4 VL: vision tower + projector feeding image embeddings into
+    the iRoPE text stack (reference: llama4/mod.rs:330-343, 518-571 —
+    image features replace image_token rows of the input embeddings).
+    NOTE: the reference never wires Llama4 into its server-side image
+    preprocessor (multimodal.rs has no Llama4 arm), so this model-level
+    path plus our single-tile preprocessing exceeds reference parity."""
+
+    def __init__(self, config: ModelConfig, mesh: Optional[Mesh] = None):
+        super().__init__(config, mesh=mesh)
+        self.has_vision = config.vision is not None
+        if self.has_vision:
+            from candle_vllm_tpu.models.vision import Llama4VisionTower
+
+            self.vision_tower = Llama4VisionTower(config)
+            self._encode_jit = jax.jit(self.vision_tower.encode)
+
+    def param_shapes(self):
+        shapes = super().param_shapes()
+        if self.has_vision:
+            shapes.update(self.vision_tower.param_shapes())
+        return shapes
+
+    def checkpoint_fixup(self, name: str, arr):
+        # HF ships the unfold linear as [hidden, C*ps*ps]
+        if (
+            name == "vision_model.patch_embedding.linear.weight"
+            and arr.ndim == 2
+            and arr.shape[0] == self.config.vision.hidden_size
+        ):
+            return np.ascontiguousarray(arr.T)
+        return super().checkpoint_fixup(name, arr)
+
+    def prepare_vision_inputs(self, mm):
+        """Tiles are fixed-size: raster patches [B_tiles, N, pd] in the
+        unfold feature order (c, di, dj)."""
+        N = self.vision_tower.num_patches
+        n = max(len(mm.grids), 1)
+        patches = np.asarray(mm.patches, np.float32).reshape(n, N, -1)
+        return {"patches": patches}
+
+    def encode_vision(self, params, host_inputs) -> np.ndarray:
+        import jax.numpy as jnp
+
+        out = self._encode_jit(params, jnp.asarray(host_inputs["patches"]))
+        return np.asarray(out.astype(jnp.float32))
+
+    def _embed(self, params, step):
+        import jax.numpy as jnp
+
+        x = super()._embed(params, step)
+        if step.mm_embeds is None:
+            return x
+        sel = step.mm_embeds[0][jnp.clip(step.mm_idx, 0)].astype(x.dtype)
+        return jnp.where((step.mm_idx >= 0)[:, None], sel, x)

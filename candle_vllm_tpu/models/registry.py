@@ -30,6 +30,7 @@ def get_model(config: ModelConfig, mesh: Optional[Mesh] = None):
         gemma3_vl,
         llama,
         llama4,
+        mistral3_vl,
         qwen3_vl,
         qwen_moe,
         qwen_next,

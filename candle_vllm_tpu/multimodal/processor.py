@@ -117,6 +117,27 @@ class ImageProcessConfig:
                 image_std=np.asarray([0.5, 0.5, 0.5], np.float32),
                 absolute_resize=True,
             )
+        if arch.startswith("Llama4"):
+            # single global tile at the tower's fixed size; token count is
+            # post-pixel-shuffle (side*r)^2.  The reference has NO llama4
+            # arm in multimodal.rs — this exceeds reference parity.
+            side = v.image_size // v.patch_size
+            r = v.pixel_shuffle_ratio
+            return cls(
+                model_type="llama4",
+                image_token="<|image|>",
+                image_start_token="<|image_start|>",
+                image_end_token="<|image_end|>",
+                patch_size=v.patch_size,
+                spatial_merge_size=1,
+                temporal_patch_size=1,
+                max_height=v.image_size,
+                max_width=v.image_size,
+                mm_tokens_per_image=int(round(side * side * r * r)),
+                image_mean=np.asarray([0.5, 0.5, 0.5], np.float32),
+                image_std=np.asarray([0.5, 0.5, 0.5], np.float32),
+                absolute_resize=True,
+            )
         if arch.startswith("Mistral3"):
             return cls(
                 model_type="mistral3",
@@ -484,4 +505,57 @@ def vision_encoder_host_inputs(
         "pos_w": pos_w,
         "cos": np.cos(emb),
         "sin": np.sin(emb),
+    }
+
+
+def pixtral_host_inputs(
+    mm: MultiModalInputs,
+    vision: VisionConfig,
+    pad_to: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Host-side static-shape inputs for the Pixtral tower (Mistral3-VL):
+    padded patch rows, segment ids, and 2D rotary cos/sin built from the
+    meshgrid position ids ``row * max_patches_per_side + col`` against the
+    theta table (reference: mistral3_vl/vision.rs:15-36
+    VisionRotaryEmbedding, :274-289 position_ids_in_meshgrid)."""
+    m = vision.spatial_merge_size
+    head_dim = vision.hidden_size // vision.num_heads
+    max_side = vision.image_size // vision.patch_size
+
+    total = sum(t * gh * gw for t, gh, gw in mm.grids)
+    Np = pad_to or pad_patch_bucket(max(total, 1))
+    pd = mm.patches.shape[1] if mm.patches.size else (
+        vision.in_channels * vision.patch_size ** 2
+    )
+    patches = np.zeros((Np, pd), np.float32)
+    if mm.patches.size:
+        patches[:total] = mm.patches
+    seg_ids = np.zeros(Np, np.int32)
+    pos_ids = np.zeros(Np, np.int64)
+
+    t0 = 0
+    for img_i, (t, gh, gw) in enumerate(mm.grids):
+        n = t * gh * gw
+        seg_ids[t0 : t0 + n] = img_i + 1
+        # merge-group-order (row, col) coords (tile processor layout)
+        i = 0
+        ids = np.zeros(gh * gw, np.int64)
+        for br in range(gh // m):
+            for bc in range(gw // m):
+                for ir in range(m):
+                    for ic in range(m):
+                        ids[i] = (br * m + ir) * max_side + (bc * m + ic)
+                        i += 1
+        pos_ids[t0 : t0 + n] = np.tile(ids, t)
+        t0 += n
+
+    theta = 1.0 / vision.rope_theta ** (
+        np.arange(0, head_dim, 2, dtype=np.float64) / head_dim
+    )
+    ang = pos_ids[:, None].astype(np.float64) * theta[None, :]
+    return {
+        "patches": patches,
+        "seg_ids": seg_ids,
+        "cos": np.cos(ang).astype(np.float32),
+        "sin": np.sin(ang).astype(np.float32),
     }

@@ -204,35 +204,70 @@ def make_slot_mapping(
 class HostSwapSpace:
     """Host-memory swap tier (reference: CacheEngine CPU cache,
     cache_engine.rs:48-112).  Pages live as numpy arrays on host; swap ops
-    are explicit device_get / device_put of gathered page stacks."""
+    are explicit device_get / device_put of gathered page stacks.
 
-    def __init__(self, num_layers: int, num_pages: int, page_size: int,
-                 num_kv_heads: int, head_dim: int, dtype=jnp.bfloat16):
+    Shape-agnostic: host buffers are allocated lazily from the device page
+    structure on first swap, so quantized caches (per-layer ``(pages,
+    scales)`` tuples — the scale planes swap alongside their pages,
+    reference cache_engine.rs:401-518 quantized swap) and per-layer
+    heterogeneous KV shapes (Gemma4-class) are supported uniformly."""
+
+    def __init__(self, num_pages: int):
         import numpy as np
 
         self._np = np
+        self.num_pages = num_pages
+        self.pages: Optional[list] = None
+
+    def _ensure(self, kv_pages: list) -> None:
+        if self.pages is not None:
+            return
+        np = self._np
+
+        def host_mirror(arr):
+            return np.zeros((self.num_pages,) + tuple(arr.shape[1:]),
+                            dtype=jnp.dtype(arr.dtype))
+
         self.pages = [
-            np.zeros((num_pages, page_size, 2 * num_kv_heads, head_dim),
-                     dtype=jnp.dtype(dtype))
-            for _ in range(num_layers)
+            tuple(host_mirror(e) for e in entry)
+            if isinstance(entry, tuple) else host_mirror(entry)
+            for entry in kv_pages
         ]
 
-    def swap_out(self, kv_pages: List[jnp.ndarray], mapping: "dict[int, int]") -> None:
+    def swap_out(self, kv_pages: list, mapping: "dict[int, int]") -> None:
         if not mapping:
             return
+        self._ensure(kv_pages)
         src = jnp.asarray(sorted(mapping.keys()), dtype=jnp.int32)
         dst = [mapping[int(s)] for s in src]
-        for layer, pages in enumerate(kv_pages):
-            data = jax.device_get(gather_blocks(pages, src))
-            self.pages[layer][dst] = data
+        for layer, entry in enumerate(kv_pages):
+            if isinstance(entry, tuple):
+                for i, part in enumerate(entry):
+                    self.pages[layer][i][dst] = jax.device_get(
+                        gather_blocks(part, src)
+                    )
+            else:
+                self.pages[layer][dst] = jax.device_get(
+                    gather_blocks(entry, src)
+                )
 
-    def swap_in(self, kv_pages: List[jnp.ndarray], mapping: "dict[int, int]") -> List[jnp.ndarray]:
+    def swap_in(self, kv_pages: list, mapping: "dict[int, int]") -> list:
         if not mapping:
             return kv_pages
+        self._ensure(kv_pages)
         src = sorted(mapping.keys())
         dst = jnp.asarray([mapping[s] for s in src], dtype=jnp.int32)
         out = []
-        for layer, pages in enumerate(kv_pages):
-            data = jnp.asarray(self.pages[layer][src])
-            out.append(scatter_blocks(pages, dst, data))
+        for layer, entry in enumerate(kv_pages):
+            if isinstance(entry, tuple):
+                out.append(tuple(
+                    scatter_blocks(part, dst,
+                                   jnp.asarray(self.pages[layer][i][src]))
+                    for i, part in enumerate(entry)
+                ))
+            else:
+                out.append(
+                    scatter_blocks(entry, dst,
+                                   jnp.asarray(self.pages[layer][src]))
+                )
         return out

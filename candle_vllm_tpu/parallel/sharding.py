@@ -55,6 +55,14 @@ _DEFAULT_RULES: Tuple[Tuple[str, P], ...] = (
     (r"\.o_proj\.(weight|scales|qzeros)$", P("tp", None)),
     (r"\.o_proj\.qweight$", P(None, "tp", None)),
     (r"\.o_proj\.bias$", P()),
+    # MLA (DeepSeek family): the per-head up-projections shard by head —
+    # q_b [q_lora_rank, H*qk_dim] and kv_b [kv_lora_rank, H*(nope+v)] are
+    # column-parallel; the LoRA down-projections (q_a, kv_a_proj_with_mqa)
+    # stay replicated (their latent outputs are shared by every head, the
+    # analogue of the reference loading them as ReplicatedLinear,
+    # mla_attention.rs:83-196)
+    (r"\.(q_b_proj|kv_b_proj)\.(weight|scales|qzeros)$", P(None, "tp")),
+    (r"\.(q_b_proj|kv_b_proj)\.qweight$", P("tp", None, None)),
     # mlp: column-parallel gate/up, row-parallel down
     (r"\.(gate_proj|up_proj)\.(weight|scales|qzeros)$", P(None, "tp")),
     (r"\.(gate_proj|up_proj)\.qweight$", P("tp", None, None)),

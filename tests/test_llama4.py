@@ -136,8 +136,10 @@ def test_llama4_pallas_chunk_parity():
             jnp.asarray(pt), jnp.asarray(cu))
     got = ragged_paged_attention(*args, spec=spec, impl="pallas")
     want = ragged_paged_attention(*args, spec=spec, impl="jnp")
+    # kernel computes QK/PV dots in bf16 (MXU full-rate path); tolerance
+    # matches the other kernel-vs-oracle tests in test_pallas_attention.py
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-4, atol=2e-4)
+                               rtol=2e-2, atol=2e-2)
 
 
 def test_llama4_engine_end_to_end():

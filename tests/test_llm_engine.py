@@ -37,6 +37,7 @@ def make_engine(**kw):
         block_size=8,
         num_gpu_blocks=kw.pop("num_gpu_blocks", 64),
         num_cpu_blocks=kw.pop("num_cpu_blocks", 16),
+        kv_cache_dtype=kw.pop("kv_cache_dtype", "auto"),
     )
     sched = SchedulerConfig(
         max_num_seqs=kw.pop("max_num_seqs", 8),
@@ -45,6 +46,7 @@ def make_engine(**kw):
         max_model_len=cfg.max_model_len,
         enable_prefix_caching=kw.pop("enable_prefix_caching", True),
         preemption_mode=kw.pop("preemption_mode", "recompute"),
+        swap_in_cooldown=kw.pop("swap_in_cooldown", 0.0),
     )
     return LLMEngine(cfg, cache, sched, tokenizer=FakeTokenizer(), seed=0, **kw)
 
@@ -191,6 +193,21 @@ def test_preemption_by_swap():
     ref = make_engine().generate(ps, sp)
     swapped = make_engine(
         num_gpu_blocks=14, num_cpu_blocks=32,
+        enable_prefix_caching=False, preemption_mode="swap",
+    ).generate(ps, sp)
+    for a, b in zip(ref, swapped):
+        assert a.outputs[0].token_ids == b.outputs[0].token_ids
+
+
+def test_preemption_by_swap_quantized_kv():
+    """int8 KV pages and their scale planes must survive a host swap
+    round-trip (reference: cache_engine.rs quantized swap)."""
+    rng = np.random.default_rng(9)
+    ps = prompts(rng, 4, lo=8, hi=16)
+    sp = SamplingParams(temperature=0.0, max_tokens=8)
+    ref = make_engine(kv_cache_dtype="int8").generate(ps, sp)
+    swapped = make_engine(
+        kv_cache_dtype="int8", num_gpu_blocks=14, num_cpu_blocks=32,
         enable_prefix_caching=False, preemption_mode="swap",
     ).generate(ps, sp)
     for a, b in zip(ref, swapped):

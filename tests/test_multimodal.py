@@ -401,3 +401,211 @@ def test_gemma3vl_engine_end_to_end():
     e1, _ = eng._encode_mm(gemma_mm(1), ids)
     e2, _ = eng._encode_mm(gemma_mm(5), ids)
     assert not np.allclose(e1, e2)
+
+
+# ---------------------------------------------------------------------------
+# Mistral3-VL: Pixtral tower + patch-merger projector
+# (reference: mistral3_vl/vision.rs + mod.rs)
+# ---------------------------------------------------------------------------
+
+
+def tiny_mistral3vl_config():
+    return ModelConfig(
+        architecture="Mistral3ForConditionalGeneration",
+        model_type="mistral3",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=128,
+        max_model_len=128,
+        dtype=jnp.float32,
+        eos_token_ids=[],
+        vision=VisionConfig(
+            depth=2, hidden_size=32, out_hidden_size=32,
+            intermediate_size=48, num_heads=2, in_channels=3,
+            patch_size=2, spatial_merge_size=2, temporal_patch_size=1,
+            image_size=16, rope_theta=10000.0,
+        ),
+        image_token_id=IMG_TOK,
+    )
+
+
+def mistral_mm(*seeds, size=8):
+    from candle_vllm_tpu.multimodal.processor import (
+        ImageProcessConfig,
+        TileImageProcessor,
+    )
+
+    cfg = ImageProcessConfig.from_model_config(tiny_mistral3vl_config())
+    assert cfg.model_type == "mistral3"
+    assert cfg.image_break_token == "[IMG_BREAK]"
+    proc = TileImageProcessor(cfg)
+    return proc.process([make_image(size, size, seed=s) for s in seeds])[0]
+
+
+def test_mistral3vl_encode_shapes_and_determinism():
+    from candle_vllm_tpu.models.registry import get_model
+
+    cfg = tiny_mistral3vl_config()
+    model = get_model(cfg)
+    assert type(model).__name__ == "Mistral3ForConditionalGeneration"
+    assert model.has_vision
+    params = model.init_params(seed=0)
+    mm = mistral_mm(1)                  # 8x8 img -> 4x4 patches, merge 2x2
+    assert mm.num_patches == 16
+    assert mm.num_image_tokens == 4
+    hi = model.prepare_vision_inputs(mm)
+    assert hi["patches"].shape[1] == 12          # C*ps*ps
+    assert hi["cos"].shape[1] == 8               # head_dim/2
+    out = model.encode_vision(params, hi)
+    out2 = model.encode_vision(params, hi)
+    assert out.shape[0] == 1 and out.shape[2] == 64
+    np.testing.assert_allclose(out, out2, rtol=1e-5)
+
+
+def test_mistral3vl_segment_isolation():
+    """Two images in one batch must encode identically to each alone
+    (block-diagonal attention via segment masks)."""
+    from candle_vllm_tpu.models.registry import get_model
+
+    cfg = tiny_mistral3vl_config()
+    model = get_model(cfg)
+    params = model.init_params(seed=0)
+    both = mistral_mm(1, 2)
+    a = mistral_mm(1)
+    hb = model.prepare_vision_inputs(both)
+    ha = model.prepare_vision_inputs(a)
+    ob = model.encode_vision(params, hb)
+    oa = model.encode_vision(params, ha)
+    nm = a.num_image_tokens
+    np.testing.assert_allclose(ob[0, :nm], oa[0, :nm], rtol=2e-4, atol=2e-4)
+
+
+def test_mistral3vl_engine_end_to_end():
+    from candle_vllm_tpu.engine.llm_engine import LLMEngine
+
+    cfg = tiny_mistral3vl_config()
+    cache = CacheConfig(block_size=8, num_gpu_blocks=32, num_cpu_blocks=0)
+    sched = SchedulerConfig(max_model_len=128, preemption_mode="recompute")
+    eng = LLMEngine(cfg, cache, sched, seed=0)
+    mm = mistral_mm(1)
+    ids = [1, 2] + [IMG_TOK] * mm.num_image_tokens + [3, 4]
+    eng.add_request("m", prompt_token_ids=ids,
+                    sampling_params=SamplingParams(temperature=0.0,
+                                                   max_tokens=5),
+                    mm_inputs=mm)
+    outs = {}
+    while eng.has_unfinished_requests():
+        for o in eng.step():
+            outs[o.request_id] = o
+    assert len(outs["m"].outputs[0].token_ids) == 5
+    e1, _ = eng._encode_mm(mistral_mm(1), ids)
+    e2, _ = eng._encode_mm(mistral_mm(5), ids)
+    assert not np.allclose(e1, e2)
+
+
+# ---------------------------------------------------------------------------
+# Llama4-VL: unfold tower + pixel-shuffle adapter
+# (reference: llama4/vision.rs + mod.rs:304-343)
+# ---------------------------------------------------------------------------
+
+
+def tiny_llama4vl_config():
+    return ModelConfig(
+        architecture="Llama4ForConditionalGeneration",
+        model_type="llama4",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=128,
+        max_model_len=128,
+        dtype=jnp.float32,
+        eos_token_ids=[],
+        vision=VisionConfig(
+            depth=2, hidden_size=32, intermediate_size=48, num_heads=2,
+            in_channels=3, patch_size=2, image_size=8,
+            pixel_shuffle_ratio=0.5, projector_input_dim=24,
+            projector_output_dim=24, vision_output_dim=24,
+        ),
+        image_token_id=IMG_TOK,
+    )
+
+
+def llama4_mm(*seeds):
+    from candle_vllm_tpu.multimodal.processor import (
+        ImageProcessConfig,
+        TileImageProcessor,
+    )
+
+    cfg = ImageProcessConfig.from_model_config(tiny_llama4vl_config())
+    assert cfg.model_type == "llama4"
+    assert cfg.mm_tokens_per_image == 4   # (4 * 0.5)^2
+    proc = TileImageProcessor(cfg)
+    return proc.process([make_image(8, 8, seed=s) for s in seeds])[0]
+
+
+def test_llama4vl_encode_shapes():
+    from candle_vllm_tpu.models.registry import get_model
+
+    cfg = tiny_llama4vl_config()
+    model = get_model(cfg)
+    assert type(model).__name__ == "Llama4ForConditionalGeneration"
+    assert model.has_vision
+    params = model.init_params(seed=0)
+    mm = llama4_mm(1)
+    hi = model.prepare_vision_inputs(mm)
+    assert hi["patches"].shape == (1, 16, 12)
+    out = model.encode_vision(params, hi)
+    assert out.shape == (1, 4, 64)
+
+
+def test_llama4vl_pixel_shuffle_layout():
+    """Pixel shuffle must gather 2x2 spatial neighborhoods into one
+    token's channel dim (vision.rs:430-460)."""
+    from candle_vllm_tpu.models.vision import Llama4VisionTower
+
+    cfg = tiny_llama4vl_config()
+    tower = Llama4VisionTower(cfg)
+    # tag each patch with (row, col); run just the shuffle reshapes
+    s = tower.side
+    H = cfg.vision.hidden_size
+    x = np.zeros((1, s, s, H), np.float32)
+    for i in range(s):
+        for j in range(s):
+            x[0, i, j, 0] = i * 10 + j
+    r = cfg.vision.pixel_shuffle_ratio
+    w2 = int(round(s * r))
+    c2 = int(round(H / r))
+    y = x.reshape(1, s, w2, c2).transpose(0, 2, 1, 3)
+    y = y.reshape(1, w2, w2, tower.shuffled_dim).transpose(0, 2, 1, 3)
+    y = y.reshape(1, tower.tokens_per_tile, tower.shuffled_dim)
+    # token 0's channels must contain patches (0,0),(0,1),(1,0),(1,1) tags
+    tags = {y[0, 0, k * H] for k in range(4)}
+    assert tags == {0.0, 1.0, 10.0, 11.0}
+
+
+def test_llama4vl_engine_end_to_end():
+    from candle_vllm_tpu.engine.llm_engine import LLMEngine
+
+    cfg = tiny_llama4vl_config()
+    cache = CacheConfig(block_size=8, num_gpu_blocks=32, num_cpu_blocks=0)
+    sched = SchedulerConfig(max_model_len=128, preemption_mode="recompute")
+    eng = LLMEngine(cfg, cache, sched, seed=0)
+    mm = llama4_mm(1)
+    ids = [1, 2] + [IMG_TOK] * mm.num_image_tokens + [3, 4]
+    eng.add_request("g", prompt_token_ids=ids,
+                    sampling_params=SamplingParams(temperature=0.0,
+                                                   max_tokens=5),
+                    mm_inputs=mm)
+    outs = {}
+    while eng.has_unfinished_requests():
+        for o in eng.step():
+            outs[o.request_id] = o
+    assert len(outs["g"].outputs[0].token_ids) == 5
+    e1, _ = eng._encode_mm(llama4_mm(1), ids)
+    e2, _ = eng._encode_mm(llama4_mm(5), ids)
+    assert not np.allclose(e1, e2)

@@ -107,8 +107,7 @@ def test_copy_blocks():
 
 
 def test_host_swap_roundtrip():
-    swap = kvc.HostSwapSpace(num_layers=2, num_pages=4, page_size=2,
-                             num_kv_heads=1, head_dim=4, dtype=jnp.float32)
+    swap = kvc.HostSwapSpace(num_pages=4)
     pages = [jnp.arange(4 * 2 * 2 * 4, dtype=jnp.float32).reshape(4, 2, 2, 4) * (l + 1)
              for l in range(2)]
     swap.swap_out(pages, {1: 3, 2: 0})
@@ -116,6 +115,20 @@ def test_host_swap_roundtrip():
     restored = swap.swap_in(zeroed, {3: 1, 0: 2})
     for l in range(2):
         assert jnp.allclose(restored[l], pages[l])
+
+
+def test_host_swap_roundtrip_quantized_tuple():
+    """Quantized caches swap as (pages, scales) tuples; the scale planes
+    must ride along (reference: cache_engine.rs:401-518)."""
+    swap = kvc.HostSwapSpace(num_pages=4)
+    pages = jnp.arange(4 * 2 * 2 * 4, dtype=jnp.int8).reshape(4, 2, 2, 4)
+    scales = jnp.arange(4 * 2 * 2, dtype=jnp.float32).reshape(4, 2, 2, 1)
+    entry = [(pages, scales)]
+    swap.swap_out(entry, {1: 2})
+    zeroed = [(pages.at[1].set(0), scales.at[1].set(0))]
+    restored = swap.swap_in(zeroed, {2: 1})
+    assert jnp.array_equal(restored[0][0], pages)
+    assert jnp.allclose(restored[0][1], scales)
 
 
 # ---------------------------------------------------------------------------

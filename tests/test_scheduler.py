@@ -15,6 +15,7 @@ def make_scheduler(
     chunk=16,
     max_model_len=128,
     preemption="recompute",
+    cooldown=0.0,
 ):
     cfg = SchedulerConfig(
         max_num_seqs=max_num_seqs,
@@ -22,6 +23,7 @@ def make_scheduler(
         prefill_chunk_size=chunk,
         max_model_len=max_model_len,
         preemption_mode=preemption,
+        swap_in_cooldown=cooldown,
     )
     be = BlockEngine(block_size, num_gpu_blocks, num_cpu_blocks=64)
     return Scheduler(cfg, be)
@@ -196,3 +198,55 @@ def test_finished_groups_feed_prefix_cache():
     s2.prompt_token_ids = list(seq.prompt_token_ids)
     out = run_step(sched)
     assert s2.num_cached_tokens == 8  # (12-1)//4*4
+
+
+def test_swap_in_cooldown_blocks_immediate_return():
+    """A freshly swapped-out group must wait out the cooling period before
+    swapping back in (reference: mod.rs:39 SWAP_IN_COOLING_PERIOD)."""
+    sched = make_scheduler(
+        num_gpu_blocks=8, max_num_seqs=4, max_batched=64,
+        preemption="swap", cooldown=3600.0,
+    )
+    g1, s1 = add_request(sched, prompt_len=12, arrival=1.0)
+    g2, s2 = add_request(sched, prompt_len=12, arrival=2.0)
+    run_step(sched)
+    for _ in range(12):
+        out = run_step(sched)
+        if out.blocks_to_swap_out:
+            break
+    assert s2.status == SequenceStatus.SWAPPED
+    for seq in g1.get_seqs():
+        seq.status = SequenceStatus.FINISHED_STOPPED
+    sched.free_finished()
+    out = run_step(sched)
+    assert not out.blocks_to_swap_in          # cooling period holds it out
+    assert s2.status == SequenceStatus.SWAPPED
+    g2.swapped_at = 0.0                        # cooldown elapsed
+    out = run_step(sched)
+    assert out.blocks_to_swap_in
+    assert s2.status == SequenceStatus.RUNNING
+
+
+def test_swapped_mid_prefill_resumes_chunked():
+    """A group swapped out mid-prefill must resume chunked prefill on
+    swap-in, not limp along one token per step."""
+    sched = make_scheduler(
+        block_size=4, num_gpu_blocks=10, max_num_seqs=4, max_batched=8,
+        chunk=8, preemption="swap",
+    )
+    # long prompt: prefill takes several chunks of 8
+    g1, s1 = add_request(sched, prompt_len=24, arrival=1.0)
+    run_step(sched)          # chunk 1 (8 tokens, 2 blocks)
+    # force a swap-out mid-prefill
+    out_obj = type(sched.schedule())()
+    sched._preempt(g1, out_obj)
+    assert s1.status == SequenceStatus.SWAPPED
+    assert s1.num_computed_tokens == 8
+    g1.swapped_at = 0.0
+    out = run_step(sched)
+    assert out.blocks_to_swap_in
+    # resumed with a full prefill chunk, not a single decode slot
+    assert out.scheduled and sum(
+        out.scheduled[0].token_chunks.values()
+    ) == 8
+    assert s1.num_computed_tokens == 16
