@@ -650,8 +650,14 @@ class CacheConfig:
 
     @staticmethod
     def kv_bytes_per_token(config: ModelConfig, kv_cache_dtype: str) -> int:
-        """Per-token KV bytes across all layers (2 = K and V)."""
+        """Per-token KV bytes across all layers (2 = K and V; MLA stores
+        the latent row once — reference lib.rs:128-281 sizes MLA caches as
+        kv_lora_rank + rope_dim per token)."""
         elem = {KV_DTYPE_AUTO: 2, KV_DTYPE_FP8: 1, KV_DTYPE_INT8: 1}.get(kv_cache_dtype)
+        if getattr(config, "kv_lora_rank", None):
+            lat = config.kv_lora_rank + (config.qk_rope_head_dim or 0)
+            e = elem if elem is not None else 1
+            return config.num_hidden_layers * lat * e
         if elem is None:  # int4 — half a byte plus scale overhead
             per = config.head_dim // 2 + 4
             return 2 * config.num_hidden_layers * config.num_key_value_heads * per

@@ -176,6 +176,13 @@ class LLMEngine:
         self.kv_int4 = cache_config.kv_cache_dtype == "int4"
         kv_dtype = jnp.int8 if self.kv_quantized else model_config.dtype
         kv_heads, kv_head_dim = self.model.kv_cache_spec()
+        # MLA latent caches store k == v once (model sets kv_shared;
+        # reference stores ckv+kpe single-copy, cache_engine.rs:172-184)
+        kv_shared = bool(getattr(self.model, "kv_shared", False))
+        assert not (kv_shared and self.kv_int4), (
+            "int4 packing already pairs K/V nibbles; shared MLA caches "
+            "use int8 or bf16"
+        )
         # recurrent-state slot pool (hybrid GDN models)
         self._state_pool_size = scheduler_config.max_num_seqs * 2 + 2
         self._state_slot_free = list(range(self._state_pool_size))
@@ -243,6 +250,7 @@ class LLMEngine:
                     sharding=self.plan.kv_pages_sharding() if self.plan else None,
                     pad_head_dim_to=pad,
                     pad_planes_to=plane_pad if self.kv_quantized else 1,
+                    kv_shared=kv_shared,
                 )
             if self.kv_quantized:
                 from candle_vllm_tpu.ops.kv_cache import allocate_kv_scales
@@ -256,6 +264,7 @@ class LLMEngine:
                     sharding=NamedSharding(self.plan.mesh, P(None, "tp", None))
                     if self.plan else None,
                     pad_planes_to=scale_pad,
+                    kv_shared=kv_shared,
                 )
                 self.kv_pages = list(zip(pages, scales))
             else:

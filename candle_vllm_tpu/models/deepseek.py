@@ -15,9 +15,9 @@ unified ragged paged-attention kernel:
   score[h]   = q_eff[h]·c_kv + q_pe[h]·k_pe   = [q_eff, q_pe]·k_latent
   out[h]     = (attn @ c_kv) @ W_uv[h]
 
-so the KV cache stores 2*(kv_lora+rope) per token independent of the head
-count — the same compression the reference's MLA cache achieves
-(cache_engine.rs:172-184).
+so the KV cache stores (kv_lora+rope) per token ONCE (``kv_shared``
+single-plane pages), independent of the head count — the same
+compression the reference's MLA cache achieves (cache_engine.rs:172-184).
 """
 
 from __future__ import annotations
@@ -93,6 +93,11 @@ class DeepseekForCausalLM(LlamaForCausalLM):
 
             m = 0.1 * rs.mscale_all_dim * math.log(rs.factor) + 1.0
             self.mla_mscale_sq = m * m
+
+    # MLA latent rows serve as both K and V — pages store them ONCE
+    # (ops/kv_cache.py kv_shared; reference stores ckv+kpe single-copy,
+    # cache_engine.rs:172-184): half the KV bytes and page bandwidth
+    kv_shared = True
 
     def kv_cache_spec(self) -> Tuple[int, int]:
         """(num_kv_heads, head_dim) for cache allocation: one latent head
@@ -217,6 +222,7 @@ class DeepseekForCausalLM(LlamaForCausalLM):
             num_kv_heads=1,
             head_dim=L + rope_d,
             sm_scale=qk_dim ** -0.5 * self.mla_mscale_sq,
+            kv_shared=True,
         )
         # v := k_lat too; the latent output's first L lanes are attn@c_kv
         out_lat, kv_pages = paged_attention_with_write(

@@ -131,13 +131,15 @@ def paged_attention_with_write(
         if quantized:
             pages, scales = kv_pages
             pages, scales = write_kv(pages, k, v, step.slot_mapping, scales,
-                                     kv4=spec.kv4)
+                                     kv4=spec.kv4,
+                                     kv_shared=spec.kv_shared)
             out = ragged_paged_attention(
                 q, pages, step.kv_lens, step.page_tables, step.cu_q_lens,
                 spec=spec, kv_scales=scales,
             )
             return out, (pages, scales)
-        kv_pages = write_kv(kv_pages, k, v, step.slot_mapping)
+        kv_pages = write_kv(kv_pages, k, v, step.slot_mapping,
+                            kv_shared=spec.kv_shared)
         out = ragged_paged_attention(
             q, kv_pages, step.kv_lens, step.page_tables, step.cu_q_lens,
             spec=spec,
@@ -170,7 +172,8 @@ def paged_attention_with_write(
     if quantized:
         def local_q(q, k, v, pages, scales, kv_lens, pt, cu, slots):
             pages, scales = write_kv(pages, k, v, slots, scales,
-                                     kv4=spec.kv4)
+                                     kv4=spec.kv4,
+                                     kv_shared=spec.kv_shared)
             out = ragged_paged_attention(
                 q, pages, kv_lens, pt, cu, spec=local_spec, kv_scales=scales
             )
@@ -189,7 +192,7 @@ def paged_attention_with_write(
         return out, (pages, scales)
 
     def local(q, k, v, kv_pages, kv_lens, pt, cu, slots):
-        kv_pages = write_kv(kv_pages, k, v, slots)
+        kv_pages = write_kv(kv_pages, k, v, slots, kv_shared=spec.kv_shared)
         out = ragged_paged_attention(
             q, kv_pages, kv_lens, pt, cu, spec=local_spec
         )

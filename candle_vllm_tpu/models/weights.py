@@ -58,7 +58,16 @@ def canonical_name(name: str) -> str:
 
 
 def _iter_safetensors(model_dir: str) -> Iterator[Tuple[str, np.ndarray]]:
+    """Yields tensors shard by shard, logging load progress every ~10%
+    of the total checkpoint bytes (the single-host analogue of the
+    reference's per-rank progress bars, backend/progress.rs:96-189; under
+    multi-host each host logs its own line, host id in the logger name)."""
+    import logging
+    import time as _time
+
     from safetensors import safe_open
+
+    log = logging.getLogger("candle_vllm_tpu.load")
 
     index_path = os.path.join(model_dir, "model.safetensors.index.json")
     if os.path.exists(index_path):
@@ -69,6 +78,12 @@ def _iter_safetensors(model_dir: str) -> Iterator[Tuple[str, np.ndarray]]:
         shards = sorted(
             f for f in os.listdir(model_dir) if f.endswith(".safetensors")
         )
+    total = sum(
+        os.path.getsize(os.path.join(model_dir, s)) for s in shards
+    ) or 1
+    done = 0
+    next_mark = 0.1
+    t0 = _time.monotonic()
     for shard in shards:
         path = os.path.join(model_dir, shard)
         with safe_open(path, framework="numpy") as f:
@@ -85,6 +100,15 @@ def _iter_safetensors(model_dir: str) -> Iterator[Tuple[str, np.ndarray]]:
                         pt = safe_open(path, framework="pt")
                     t = pt.get_tensor(name)
                     yield name, t.view(torch.uint8).numpy()
+        done += os.path.getsize(path)
+        if done / total >= next_mark or done == total:
+            dt = max(_time.monotonic() - t0, 1e-6)
+            log.info(
+                "loading weights: %d%% (%.1f/%.1f GB, %.2f GB/s)",
+                round(100 * done / total), done / 1e9, total / 1e9,
+                done / 1e9 / dt,
+            )
+            next_mark = done / total + 0.1
 
 
 def split_fused_weights(params: Dict, config) -> Dict:

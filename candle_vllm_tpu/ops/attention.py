@@ -50,6 +50,11 @@ class AttentionSpec:
     # per-q-head attention sinks (gpt-oss style): a learned logit that
     # joins the softmax denominator (reference: PagedAttention sinks)
     has_sinks: bool = False
+    # MLA latent cache: K and V are the SAME vector (the latent row), so
+    # pages carry ONE plane per head ([P, ps, K, D]) — half the KV bytes
+    # and page bandwidth of the generic layout, matching the reference's
+    # single-copy MLA cache (cache_engine.rs:172-184 ckv+kpe tensors)
+    kv_shared: bool = False
 
     @property
     def group_size(self) -> int:
@@ -131,6 +136,16 @@ def _ragged_paged_attention_jnp(
         )[:, :, : 2 * K]
         k = kq * sc[:, :, 0::2, None].astype(jnp.float32)
         v = vq * sc[:, :, 1::2, None].astype(jnp.float32)
+    elif spec.kv_shared:
+        # single shared plane per head: k == v == the latent row
+        kv = kv_pages[pages].reshape(T, L, planes, Dp)[:, :, :K, :D]
+        kv = kv.astype(jnp.float32)
+        if kv_scales is not None:
+            sc = jnp.swapaxes(kv_scales[pages], 2, 3).reshape(
+                T, L, kv_scales.shape[1]
+            )[:, :, :K]
+            kv = kv * sc[..., None].astype(jnp.float32)
+        k = v = kv
     else:
         kv = kv_pages[pages].reshape(T, L, planes, Dp)[:, :, : 2 * K, :D]
         kv = kv.astype(jnp.float32)

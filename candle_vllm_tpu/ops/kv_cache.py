@@ -40,15 +40,18 @@ def allocate_kv_pages(
     sharding=None,
     pad_head_dim_to: int = 1,
     pad_planes_to: int = 1,
+    kv_shared: bool = False,
 ) -> List[jnp.ndarray]:
     """``pad_head_dim_to=128`` pads the lane dim up to the TPU tile width —
     required by the Pallas attention kernel's page DMA (Mosaic cannot slice
     sub-tile lane extents); ``pad_planes_to`` similarly pads the K/V plane
     dim up to the dtype's second-minor tiling minimum (4 for int8 pages,
     8 for f32 scales — Mosaic rejects smaller DMA extents).  Write/attend
-    ops pad/slice transparently."""
+    ops pad/slice transparently.  ``kv_shared`` (MLA latent cache) stores
+    ONE plane per head — k == v — halving bytes vs the generic layout."""
     head_dim = -(-head_dim // pad_head_dim_to) * pad_head_dim_to
-    planes = -(-2 * num_kv_heads // pad_planes_to) * pad_planes_to
+    per_head = 1 if kv_shared else 2
+    planes = -(-per_head * num_kv_heads // pad_planes_to) * pad_planes_to
     shape = (num_pages, page_size, planes, head_dim)
     out = []
     for _ in range(num_layers):
@@ -95,12 +98,14 @@ def allocate_kv_scales(
     num_kv_heads: int,
     sharding=None,
     pad_planes_to: int = 1,
+    kv_shared: bool = False,
 ) -> List[jnp.ndarray]:
     """Per-(token, head) dequant scales for a quantized KV cache.
     Layout [P, 2K, page_size] — scale rows are lane vectors the attention
     kernel broadcasts across score columns.  ``pad_planes_to=8`` meets the
     f32 second-minor tiling minimum for whole-plane DMA slices."""
-    planes = -(-2 * num_kv_heads // pad_planes_to) * pad_planes_to
+    per_head = 1 if kv_shared else 2
+    planes = -(-per_head * num_kv_heads // pad_planes_to) * pad_planes_to
     out = []
     for _ in range(num_layers):
         arr = jnp.ones((num_pages, planes, page_size), jnp.float32)
@@ -117,6 +122,7 @@ def write_kv(
     slot_mapping: jnp.ndarray,
     kv_scales: Optional[jnp.ndarray] = None,
     kv4: bool = False,
+    kv_shared: bool = False,
 ) -> jnp.ndarray:
     """Scatter new K/V rows into their pages.
 
@@ -133,6 +139,26 @@ def write_kv(
     Dp = kv_pages.shape[3]
     page_idx = slot_mapping // page_size
     offset = slot_mapping % page_size
+    if kv_shared:
+        # MLA latent cache: one plane per head holds the shared k==v row
+        # (pages [P, ps, K, D]); v is ignored by contract
+        assert not kv4, "kv_shared + int4 packing not supported"
+        if kv_scales is not None:
+            kf = k.astype(jnp.float32)
+            scale = jnp.maximum(jnp.max(jnp.abs(kf), -1) / 127.0, 1e-8)
+            q8 = jnp.clip(jnp.round(kf / scale[..., None]), -127, 127
+                          ).astype(jnp.int8)
+            if Dp != D:
+                q8 = jnp.pad(q8, ((0, 0), (0, 0), (0, Dp - D)))
+            pages = kv_pages.at[page_idx, offset, :K].set(q8, mode="drop")
+            scales = kv_scales.at[page_idx, :K, offset].set(
+                scale.astype(kv_scales.dtype), mode="drop"
+            )
+            return pages, scales
+        kc = k.astype(kv_pages.dtype)
+        if Dp != D:
+            kc = jnp.pad(kc, ((0, 0), (0, 0), (0, Dp - D)))
+        return kv_pages.at[page_idx, offset, :K].set(kc, mode="drop")
     if kv4:
         # int4 cache: K lo-nibble / V hi-nibble share one byte plane
         # (see allocate_kv_pages_int4); scales per (token, head) absmax/7

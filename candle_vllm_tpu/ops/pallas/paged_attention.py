@@ -234,6 +234,10 @@ def _kernel(
                         ).astype(jnp.float32)
                         v_h = jnp.floor(b * 0.0625)
                         k_h = b - 16.0 * v_h - 8.0
+                    elif spec.kv_shared:
+                        # MLA latent cache: k == v == the single head
+                        # plane (half the page bytes of the 2K layout)
+                        k_h = v_h = kv_buf[slot, :, :, h, :].reshape(PW, D)
                     else:
                         k_h = kv_buf[slot, :, :, 2 * h, :].reshape(PW, D)
                         v_h = kv_buf[slot, :, :, 2 * h + 1, :].reshape(PW, D)
@@ -248,8 +252,10 @@ def _kernel(
                     ) * spec.sm_scale                  # [BQG, ps]
                     if quantized:
                         # int8 cache: fold the per-(token,head) K scale
-                        # into the score columns (fused dequant)
-                        scores = scores * sc_buf[slot, :, 2 * h, :].reshape(
+                        # into the score columns (fused dequant); shared
+                        # (MLA) caches have one scale plane per head
+                        k_plane = h if spec.kv_shared else 2 * h
+                        scores = scores * sc_buf[slot, :, k_plane, :].reshape(
                             PW
                         )[None, :]
                     if spec.logit_soft_cap is not None:
@@ -270,7 +276,8 @@ def _kernel(
                     p_v = p_ij
                     if quantized:
                         # fold the V scale into the probabilities
-                        p_v = p_ij * sc_buf[slot, :, 2 * h + 1, :].reshape(
+                        v_plane = h if spec.kv_shared else 2 * h + 1
+                        p_v = p_ij * sc_buf[slot, :, v_plane, :].reshape(
                             PW
                         )[None, :]
                     pv = jax.lax.dot_general(

@@ -263,6 +263,24 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
     messages, image_srcs = _flatten_image_parts(
         [m.model_dump(exclude_none=True) for m in req.messages]
     )
+    # replayed assistant turns: strip stale <think> blocks and mask raw
+    # tool-markup envelopes so neither re-enters the prompt (reference:
+    # stream_parser.rs strip_reasoning_blocks / mask_tool_envelopes;
+    # conversation history handling in conversation/mod.rs)
+    from candle_vllm_tpu.tools.parser import (
+        mask_tool_envelopes,
+        strip_reasoning_blocks,
+    )
+
+    fam = family_for_model(state.engine.model_config.model_type)
+    for m in messages:
+        if m.get("role") == "assistant" and isinstance(m.get("content"), str):
+            cleaned = strip_reasoning_blocks(m["content"], fam)
+            # keep markup when the turn carries structured tool_calls —
+            # the template renders those itself
+            if not m.get("tool_calls"):
+                cleaned = mask_tool_envelopes(cleaned, fam)
+            m["content"] = cleaned
     try:
         prompt = state.chat_template.render(
             messages,

@@ -403,3 +403,50 @@ def validate_tool_call(
         except jsonschema.ValidationError as e:
             return f"tool {call.name!r}: {e.message}"
     return None
+
+
+def strip_reasoning_blocks(text: str, family: Optional[ToolFamily] = None) -> str:
+    """Remove ``<think>…</think>`` blocks (and an unmatched trailing open)
+    from replayed assistant content so stale reasoning never re-enters the
+    prompt (reference: stream_parser.rs strip_reasoning_blocks tests —
+    basic/multiple/unmatched-open/empty/qwen markers)."""
+    fam = family or _FAMILIES["chatml"]
+    out: List[str] = []
+    rest = text
+    while True:
+        i = rest.find(fam.think_open)
+        if i == -1:
+            out.append(rest)
+            break
+        out.append(rest[:i])
+        j = rest.find(fam.think_close, i + len(fam.think_open))
+        if j == -1:
+            break  # unmatched open: drop the tail
+        rest = rest[j + len(fam.think_close):]
+    return "".join(out).strip()
+
+
+def mask_tool_envelopes(text: str, family: Optional[ToolFamily] = None) -> str:
+    """Replace tool-markup envelopes in replayed assistant content with
+    their bare JSON/pythonic payload removed — history shows THAT a call
+    happened without re-teaching the wire markup (reference:
+    stream_parser.rs mask_tool_envelopes_* tests).  Unclosed envelopes are
+    truncated at the start marker."""
+    fam = family or _FAMILIES["chatml"]
+    if not fam.start:
+        return text
+    out: List[str] = []
+    rest = text
+    while True:
+        i = rest.find(fam.start)
+        if i == -1:
+            out.append(rest)
+            break
+        out.append(rest[:i])
+        if not fam.end:
+            break  # endless family: everything after start is markup
+        j = rest.find(fam.end, i + len(fam.start))
+        if j == -1:
+            break  # unclosed envelope: truncate
+        rest = rest[j + len(fam.end):]
+    return "".join(out).strip()

@@ -35,6 +35,36 @@ def _partial_suffix(text: str, marker: str) -> int:
     return 0
 
 
+def _json_incomplete(payload: str) -> bool:
+    """True when a JSON-ish payload has unbalanced structure outside
+    string literals — the signature of an end marker appearing INSIDE an
+    argument string (reference: stream_parser.rs
+    test_false_end_marker_inside_arguments_requires_confirmation /
+    test_fake_end_marker_inside_parameter_keeps_buffering)."""
+    s = payload.lstrip()
+    if not s or s[0] not in "{[":
+        return False
+    depth = 0
+    in_str = False
+    esc = False
+    for ch in s:
+        if in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+        elif ch in "{[":
+            depth += 1
+        elif ch in "}]":
+            depth -= 1
+    return depth > 0 or in_str
+
+
 class StreamToolParser:
     """State machine over text deltas.
 
@@ -127,7 +157,14 @@ class StreamToolParser:
             self.buffer += text[: len(text) - hold] if hold else text
             self.pending = text[len(text) - hold:] if hold else ""
             return ""
-        self.buffer += text[:i]
+        candidate = self.buffer + text[:i]
+        if _json_incomplete(candidate):
+            # end marker sits INSIDE an argument string (unbalanced JSON):
+            # consume it into the buffer and wait for a confirmed end
+            # (reference: false_end_marker_inside_arguments)
+            self.buffer = candidate + end
+            return text[i + len(end):]
+        self.buffer = candidate
         rest = text[i + len(end):]
         self._emit_calls(self.buffer, events)
         self.buffer = ""

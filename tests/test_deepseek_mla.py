@@ -151,8 +151,9 @@ def test_deepseek_engine_e2e():
     sched = SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=128,
                             prefill_chunk_size=64, max_model_len=128)
     eng = LLMEngine(cfg, cache, sched, seed=0)
-    # cache allocated with the compressed latent shape
-    assert eng.kv_pages[0].shape[2] == 2  # one latent head (K,V interleave)
+    # cache allocated with the compressed latent shape: ONE shared plane
+    # (k == v == the latent row; kv_shared single-copy MLA cache)
+    assert eng.kv_pages[0].shape[2] == 1
     rng = np.random.default_rng(3)
     out = eng.generate(
         [rng.integers(0, 128, size=9).tolist()],

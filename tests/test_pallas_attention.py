@@ -176,3 +176,52 @@ def test_attention_sinks():
         q, kv_pages, kv_lens, page_tables, cu, spec=spec
     )
     assert not np.allclose(np.asarray(ref[:T]), np.asarray(base[:T]))
+
+
+def test_kv_shared_pallas_vs_oracle():
+    """MLA single-plane (k==v) pages: kernel vs oracle, bf16 and int8
+    (reference stores the latent once — cache_engine.rs:172-184)."""
+    from candle_vllm_tpu.ops.attention import (
+        AttentionSpec, ragged_paged_attention,
+    )
+    from candle_vllm_tpu.ops.kv_cache import (
+        allocate_kv_pages, allocate_kv_scales, write_kv,
+    )
+
+    rng = np.random.default_rng(11)
+    H, D, ps = 8, 128, 16
+    spec = AttentionSpec(num_q_heads=H, num_kv_heads=1, head_dim=D,
+                         sm_scale=D ** -0.5, kv_shared=True)
+    T = 10
+    pages = allocate_kv_pages(1, 8, ps, 1, D, dtype=jnp.float32,
+                              kv_shared=True)[0]
+    assert pages.shape[2] == 1
+    k = jnp.asarray(rng.standard_normal((T, 1, D)), jnp.float32)
+    slots = jnp.arange(T, dtype=jnp.int32) + ps  # page 1 onward
+    pages = write_kv(pages, k, k, slots, kv_shared=True)
+    q = jnp.asarray(rng.standard_normal((T, H, D)), jnp.float32)
+    kv_lens = jnp.asarray([T], jnp.int32)
+    pt = jnp.asarray([[1, 2, 0, 0]], jnp.int32)
+    cu = jnp.asarray([0, T], jnp.int32)
+    want = ragged_paged_attention(q, pages, kv_lens, pt, cu, spec=spec,
+                                  impl="jnp")
+    got = ragged_paged_attention(q, pages, kv_lens, pt, cu, spec=spec,
+                                 impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-2, rtol=2e-2)
+
+    # int8 shared cache: one scale plane per head
+    pages8 = allocate_kv_pages(1, 8, ps, 1, D, dtype=jnp.int8,
+                               kv_shared=True)[0]
+    scales = allocate_kv_scales(1, 8, ps, 1, kv_shared=True)[0]
+    assert scales.shape[1] == 1
+    pages8, scales = write_kv(pages8, k, k, slots, scales, kv_shared=True)
+    want8 = ragged_paged_attention(q, pages8, kv_lens, pt, cu, spec=spec,
+                                   kv_scales=scales, impl="jnp")
+    got8 = ragged_paged_attention(q, pages8, kv_lens, pt, cu, spec=spec,
+                                  kv_scales=scales, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(want8),
+                               atol=2e-2, rtol=2e-2)
+    # int8-vs-f32 sanity: quantization error bounded
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(want),
+                               atol=8e-2, rtol=8e-2)

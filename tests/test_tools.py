@@ -309,3 +309,142 @@ def test_invalid_call_feedback_message():
     fb = build_invalid_call_feedback([(bad, err)], TOOLS, "get_weather")
     assert "get_weather" in fb and "Required tool_choice" in fb
     assert "Allowed tools" in fb
+
+
+# ---------------------------------------------------------------------------
+# Ported reference scenarios (stream_parser.rs tests)
+# ---------------------------------------------------------------------------
+
+
+def test_false_end_marker_inside_arguments_keeps_buffering():
+    """An end marker INSIDE a JSON string argument must not terminate the
+    call (reference: test_false_end_marker_inside_arguments_requires_
+    confirmation / test_fake_end_marker_inside_parameter_keeps_buffering)."""
+    p = StreamToolParser(CHATML, TOOLS)
+    payload = (
+        '<tool_call>{"name": "get_weather", "arguments": '
+        '{"city": "see </tool_call> docs"}}</tool_call>'
+    )
+    events = collect(p, [payload])
+    calls = [e for e in events if e.kind == "tool_calls"]
+    assert len(calls) == 1
+    args = json.loads(calls[0].calls[0].arguments)
+    assert args["city"] == "see </tool_call> docs"
+
+
+def test_nested_start_marker_ignored_while_buffering():
+    """(reference: test_nested_start_marker_is_ignored_while_buffering)"""
+    p = StreamToolParser(CHATML, TOOLS)
+    events = collect(p, [
+        '<tool_call>{"name": "get_weather", "arguments": '
+        '{"city": "x <tool_call> y"}}</tool_call>'
+    ])
+    calls = [e for e in events if e.kind == "tool_calls"]
+    assert len(calls) == 1
+
+
+def test_code_fence_inside_args_keeps_buffering():
+    """(reference: test_parser_keeps_buffering_when_args_include_code_fence)"""
+    p = StreamToolParser(CHATML, TOOLS)
+    events = collect(p, [
+        '<tool_call>{"name": "get_weather", "arguments": {"city": ',
+        '"```\\nparis\\n```"}}',
+        "</tool_call>",
+    ])
+    calls = [e for e in events if e.kind == "tool_calls"]
+    assert len(calls) == 1
+
+
+def test_multiple_tool_calls_with_reasoning_between():
+    """(reference: test_multiple_tool_calls_with_reasoning_between)"""
+    p = StreamToolParser(CHATML, TOOLS)
+    events = collect(p, [
+        '<tool_call>{"name": "get_weather", "arguments": {"city": "a"}}'
+        "</tool_call><think>hmm</think>"
+        '<tool_call>{"name": "get_weather", "arguments": {"city": "b"}}'
+        "</tool_call>"
+    ])
+    kinds = [e.kind for e in events]
+    assert kinds.count("tool_calls") == 2
+    assert "reasoning" in kinds
+    assert len(p.tool_calls) == 2
+
+
+def test_tool_marker_inside_reasoning_stays_reasoning():
+    """A tool start marker inside an open <think> block routes to
+    reasoning (reference: test_tool_call_suppressed_during_active_
+    reasoning)."""
+    p = StreamToolParser(CHATML, TOOLS)
+    events = collect(p, [
+        "<think>should I call <tool_call>? no</think>fine"
+    ])
+    assert not [e for e in events if e.kind == "tool_calls"]
+    reasoning = "".join(e.text for e in events if e.kind == "reasoning")
+    assert "<tool_call>" in reasoning
+    content = "".join(e.text for e in events if e.kind == "content")
+    assert content == "fine"
+
+
+def test_finalize_recovers_missing_end_tag():
+    """(reference: test_finalize_buffered_tool_calls_recovers_calls_on_eos
+    / test_finalize_recovers_qwen3_json_missing_end_tag)"""
+    p = StreamToolParser(CHATML, TOOLS)
+    events = collect(p, [
+        '<tool_call>{"name": "get_weather", "arguments": {"city": "p"}}'
+    ])
+    calls = [e for e in events if e.kind == "tool_calls"]
+    assert len(calls) == 1
+    assert p.finish_reason == "tool_calls"
+
+
+def test_strip_reasoning_blocks():
+    """(reference: test_strip_reasoning_blocks_{basic,multiple,unmatched_
+    open,empty_think,no_markers})"""
+    from candle_vllm_tpu.tools.parser import strip_reasoning_blocks
+
+    assert strip_reasoning_blocks("<think>x</think>hello") == "hello"
+    assert (
+        strip_reasoning_blocks("a<think>1</think>b<think>2</think>c")
+        == "ab\nc".replace("\n", "")
+    )
+    assert strip_reasoning_blocks("keep<think>dangling") == "keep"
+    assert strip_reasoning_blocks("<think></think>done") == "done"
+    assert strip_reasoning_blocks("no markers") == "no markers"
+
+
+def test_mask_tool_envelopes():
+    """(reference: test_mask_tool_envelopes_{basic,multiple,no_tags,
+    unclosed,empty_tags})"""
+    from candle_vllm_tpu.tools.parser import mask_tool_envelopes
+
+    assert (
+        mask_tool_envelopes('a<tool_call>{"x":1}</tool_call>b', CHATML)
+        == "ab"
+    )
+    assert (
+        mask_tool_envelopes(
+            "x<tool_call>1</tool_call>y<tool_call>2</tool_call>z", CHATML
+        )
+        == "xyz"
+    )
+    assert mask_tool_envelopes("plain", CHATML) == "plain"
+    assert mask_tool_envelopes("pre<tool_call>dangling", CHATML) == "pre"
+    assert mask_tool_envelopes("a<tool_call></tool_call>b", CHATML) == "ab"
+
+
+def test_minimax_xml_array_value_and_multiple_invokes():
+    """(reference: test_parse_minimax_xml_with_array_value /
+    test_parse_minimax_xml_multiple_invokes)"""
+    from candle_vllm_tpu.tools.parser import parse_payload
+
+    fam = family_for_model("minimax")
+    payload = (
+        '<invoke name="get_weather"><parameter name="city">["a", "b"]'
+        "</parameter></invoke>"
+        '<invoke name="get_weather"><parameter name="city">paris'
+        "</parameter></invoke>"
+    )
+    calls = parse_payload(payload, fam)
+    assert len(calls) == 2
+    assert json.loads(calls[0].arguments)["city"] == ["a", "b"]
+    assert json.loads(calls[1].arguments)["city"] == "paris"
