@@ -11,7 +11,7 @@ default_conversation.rs:180-1298).
 from __future__ import annotations
 
 import json
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import jinja2
 
@@ -48,6 +48,34 @@ _FALLBACKS: Dict[str, str] = {
         "{% endfor %}"
         "{% if add_generation_prompt %}{{ '<start_of_turn>model\n' }}{% endif %}"
     ),
+    # phi3/phi4 (default_conversation.rs Phi arm)
+    "phi": (
+        "{% for message in messages %}"
+        "{{ '<|' + message['role'] + '|>\n' + message['content'] "
+        "+ '<|end|>\n' }}"
+        "{% endfor %}"
+        "{% if add_generation_prompt %}{{ '<|assistant|>\n' }}{% endif %}"
+    ),
+    # glm4 (default_conversation.rs GLM arm)
+    "glm": (
+        "{{ '[gMASK]<sop>' }}"
+        "{% for message in messages %}"
+        "{{ '<|' + message['role'] + '|>\n' + message['content'] }}"
+        "{% endfor %}"
+        "{% if add_generation_prompt %}{{ '<|assistant|>\n' }}{% endif %}"
+    ),
+    # deepseek v2/v3 (default_conversation.rs DeepSeek arm)
+    "deepseek": (
+        "{% for message in messages %}"
+        "{% if message['role'] == 'system' %}{{ message['content'] }}"
+        "{% elif message['role'] == 'user' %}"
+        "{{ '<｜User｜>' + message['content'] }}"
+        "{% else %}{{ '<｜Assistant｜>' + message['content'] "
+        "+ '<｜end▁of▁sentence｜>' }}{% endif %}"
+        "{% endfor %}"
+        "{% if add_generation_prompt %}{{ '<｜Assistant｜>' }}"
+        "{% endif %}"
+    ),
 }
 
 
@@ -58,7 +86,50 @@ def fallback_template(model_type: str) -> str:
         return _FALLBACKS["mistral"]
     if model_type.startswith("gemma"):
         return _FALLBACKS["gemma"]
+    if model_type.startswith("phi"):
+        return _FALLBACKS["phi"]
+    if model_type.startswith(("glm", "chatglm")):
+        return _FALLBACKS["glm"]
+    if model_type.startswith("deepseek"):
+        return _FALLBACKS["deepseek"]
     return _FALLBACKS["chatml"]
+
+
+def _should_escape_marker(token: str) -> bool:
+    """Special tokens worth neutralizing in user content (reference:
+    default_conversation.rs:87-94 should_escape_marker)."""
+    if not token or len(token) < 3:
+        return False
+    return token[0] in "<[{(" or "|" in token
+
+
+def escape_special_tokens(
+    content: str,
+    escape_tokens: List[str],
+    preserve_tokens: Tuple[str, ...] = (),
+) -> str:
+    """Neutralize tokenizer special/added tokens inside user-provided text
+    by inserting a zero-width non-joiner, so prompt-injection via literal
+    markers (e.g. a user typing ``<|im_end|>``) cannot terminate turns
+    (reference: escape_special_tokens_in_text,
+    default_conversation.rs:43-85).  ``preserve_tokens`` (e.g. image
+    placeholders) are protected via sentinels."""
+    if not escape_tokens or not content:
+        return content
+    sentinels = []
+    for i, tok in enumerate(preserve_tokens):
+        if tok and tok in content:
+            s = f"__CVT_PRESERVE_{i}__"
+            content = content.replace(tok, s)
+            sentinels.append((s, tok))
+    for tok in escape_tokens:
+        if not tok or tok not in content:
+            continue
+        esc = "<‌" + tok[1:] if tok.startswith("<") else tok + "‌"
+        content = content.replace(tok, esc)
+    for s, tok in sentinels:
+        content = content.replace(s, tok)
+    return content
 
 
 class ChatTemplate:
@@ -68,8 +139,12 @@ class ChatTemplate:
         model_type: str = "llama",
         bos_token: str = "",
         eos_token: str = "",
+        escape_tokens: Optional[List[str]] = None,
     ):
         self.source = template or fallback_template(model_type)
+        self.escape_tokens = [
+            t for t in (escape_tokens or []) if _should_escape_marker(t)
+        ]
         env = jinja2.Environment(
             loader=jinja2.BaseLoader(),
             trim_blocks=True,
@@ -97,11 +172,20 @@ class ChatTemplate:
         def _tok(v):
             return v["content"] if isinstance(v, dict) else (v or "")
 
+        # special/added tokens to neutralize in user content
+        esc = [
+            v.get("content", "")
+            for v in (cfg.get("added_tokens_decoder") or {}).values()
+            if isinstance(v, dict)
+        ]
+        esc += [_tok(cfg.get(k)) for k in ("bos_token", "eos_token",
+                                           "unk_token", "pad_token")]
         return cls(
             template=tmpl,
             model_type=model_type,
             bos_token=_tok(cfg.get("bos_token")),
             eos_token=_tok(cfg.get("eos_token")),
+            escape_tokens=sorted(set(filter(None, esc))),
         )
 
     def render(
@@ -113,6 +197,8 @@ class ChatTemplate:
     ) -> str:
         """Render messages to the prompt string
         (reference: get_gen_prompt, openai_server.rs:47-109)."""
+        from candle_vllm_tpu.multimodal.processor import IMAGE_PLACEHOLDER
+
         msgs = []
         for m in messages:
             m = dict(m)
@@ -123,6 +209,12 @@ class ChatTemplate:
                 )
             elif c is None:
                 m["content"] = ""
+            # user-supplied text must not smuggle special tokens
+            # (reference: escaped roles, default_conversation.rs:413)
+            if m.get("role") in ("user", "tool") and self.escape_tokens:
+                m["content"] = escape_special_tokens(
+                    m["content"], self.escape_tokens, (IMAGE_PLACEHOLDER,)
+                )
             msgs.append(m)
         return self._template.render(
             messages=msgs,
