@@ -61,11 +61,48 @@ def _has_linear(params: Params, prefix: str) -> bool:
     return f"{prefix}.weight" in params or f"{prefix}.qweight" in params
 
 
+def _try_fused_mlp(x: jnp.ndarray, params: Params,
+                   prefix: str) -> Optional[jnp.ndarray]:
+    """Decode-path W4A16 MLP megakernel: down(silu(gate)*up) in ONE
+    pallas_call with continuous weight streaming (no inter-kernel
+    bubble between the gate_up and down weight streams).  Requires the
+    fused tile-contiguous gate_up bank, silu, and a decode-sized batch."""
+    import os
+
+    if (
+        jax.default_backend() != "tpu"
+        or x.shape[0] > 8
+        or os.environ.get("CVT_DISABLE_FUSED_MLP") == "1"
+    ):
+        return None
+    gu_q = params.get(f"{prefix}.gate_up_proj.qweight")
+    dn_q = params.get(f"{prefix}.down_proj.qweight")
+    if gu_q is None or dn_q is None or gu_q.ndim != 3 or dn_q.ndim != 3:
+        return None
+    gu_s = params[f"{prefix}.gate_up_proj.scales"]
+    dn_s = params[f"{prefix}.down_proj.scales"]
+    from candle_vllm_tpu.ops.quant import _is_w4
+
+    if not (_is_w4(gu_q, gu_s) and _is_w4(dn_q, dn_s)):
+        return None
+    from candle_vllm_tpu.ops.pallas.fused_mlp import fused_mlp_w4
+
+    y = fused_mlp_w4(x.astype(jnp.bfloat16), gu_q,
+                     gu_s.astype(jnp.bfloat16), dn_q,
+                     dn_s.astype(jnp.bfloat16))
+    b = params.get(f"{prefix}.down_proj.bias")
+    return y if b is None else y + b.astype(y.dtype)
+
+
 def mlp(x: jnp.ndarray, params: Params, prefix: str, hidden_act: str) -> jnp.ndarray:
     """Gated MLP (reference: models/layers/mlp.rs gate/up/down; packed
     gate_up supported like the reference's MergedColumn layout)."""
     act = _act(hidden_act)
     if _has_linear(params, f"{prefix}.gate_up_proj"):
+        if hidden_act in ("silu", "swish"):
+            fused = _try_fused_mlp(x, params, prefix)
+            if fused is not None:
+                return fused
         gu = linear(x, params, f"{prefix}.gate_up_proj")
         inter = gu.shape[-1] // 2
         gate, up = gu[:, :inter], gu[:, inter:]
