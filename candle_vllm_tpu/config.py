@@ -717,3 +717,43 @@ class ParallelConfig:
     @property
     def world_size(self) -> int:
         return self.tp_size * self.dp_size
+
+
+def compute_max_num_parallel_reqs(
+    kv_cache_tokens: int,
+    prefill_chunk_size: int,
+    hbm_free_bytes: int,
+    config: "ModelConfig",
+    state_slots: Optional[int] = None,
+    hard_cap: int = 256,
+) -> int:
+    """Solve the concurrent-request capacity from KV tokens and the
+    activation-workspace budget (TPU re-design of the reference's
+    ``compute_max_num_parallel_reqs`` + ``compute_workspace_budget``,
+    lib.rs:356-471: CUDA library pools become XLA transient activations).
+
+    - ``kv_limit``: each admitted request needs at least one prefill
+      chunk of KV headroom to make progress.
+    - ``memory_limit``: the jitted step's peak transient activations are
+      ~(chunk x widest-layer width) plus the decode logits buffer; what
+      remains of free HBM after that bounds how many decode rows fit.
+    - hybrid models are further bounded by their recurrent state slots.
+    """
+    chunk = max(prefill_chunk_size, 1)
+    kv_limit = max(kv_cache_tokens // chunk, 1)
+
+    dsize = 2  # bf16 activations
+    widest = max(config.hidden_size * 6, 2 * config.intermediate_size)
+    transient = chunk * widest * dsize
+    logits = 256 * config.vocab_size * 4  # decode-bucket f32 logits
+    workspace = transient + logits
+    remaining = max(hbm_free_bytes - workspace, 0)
+    # per-request cost beyond KV: ~64 decode rows of the widest
+    # activation (scheduler bucket granularity)
+    per_req = widest * dsize * 64
+    memory_limit = max(remaining // max(per_req, 1), 1)
+
+    parallel = min(kv_limit, memory_limit, hard_cap)
+    if state_slots is not None:
+        parallel = min(parallel, max(state_slots, 1))
+    return max(parallel, 1)

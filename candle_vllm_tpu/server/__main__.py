@@ -162,8 +162,20 @@ def build_engine(args):
         num_cpu_blocks=0 if args.kvcache_dtype == "int8" else args.cpu_kv_blocks,
         kv_cache_dtype=args.kvcache_dtype,
     )
+    # solve the concurrency cap from KV + workspace capacity, bounded by
+    # the user's --max-num-seqs (reference: compute_max_num_parallel_reqs,
+    # lib.rs:425-471)
+    from candle_vllm_tpu.config import compute_max_num_parallel_reqs
+
+    solved = compute_max_num_parallel_reqs(
+        cache.num_gpu_blocks * cache.block_size,
+        args.prefill_chunk_size,
+        int((15e9 if on_tpu else 4e9) * (1 - args.kv_fraction)),
+        cfg,
+    )
+    max_num_seqs = min(args.max_num_seqs, solved)
     sched = SchedulerConfig(
-        max_num_seqs=args.max_num_seqs,
+        max_num_seqs=max_num_seqs,
         max_num_batched_tokens=args.max_num_batched_tokens,
         prefill_chunk_size=args.prefill_chunk_size,
         max_model_len=cfg.max_model_len,

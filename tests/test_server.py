@@ -298,3 +298,27 @@ def test_fallback_templates_phi_glm_deepseek():
     assert glm.startswith("[gMASK]<sop>") and "<|user|>" in glm
     ds = ChatTemplate(model_type="deepseek_v3").render(msgs)
     assert "<｜User｜>q" in ds and ds.rstrip().endswith("<｜Assistant｜>")
+
+
+def test_compute_max_num_parallel_reqs():
+    """Capacity solve (reference: lib.rs:425-471): bounded by KV chunks,
+    workspace memory, state slots, and the hard cap."""
+    from candle_vllm_tpu.config import ModelConfig, compute_max_num_parallel_reqs
+
+    cfg = ModelConfig(hidden_size=4096, intermediate_size=14336,
+                      vocab_size=128256)
+    # plenty of memory: KV-chunk-bound
+    n = compute_max_num_parallel_reqs(
+        kv_cache_tokens=8192 * 16, prefill_chunk_size=8192,
+        hbm_free_bytes=10 ** 12, config=cfg)
+    assert n == 16
+    # tight memory: workspace-bound below the KV limit
+    tight = compute_max_num_parallel_reqs(
+        kv_cache_tokens=8192 * 64, prefill_chunk_size=8192,
+        hbm_free_bytes=7 * 10 ** 8, config=cfg)
+    assert 1 <= tight < 64
+    # hybrid slot bound
+    assert compute_max_num_parallel_reqs(
+        8192 * 16, 8192, 10 ** 12, cfg, state_slots=3) == 3
+    # never zero
+    assert compute_max_num_parallel_reqs(1, 8192, 0, cfg) == 1
