@@ -34,6 +34,10 @@ class MCPManager:
         for s in cfg.get("servers", []):
             if "command" in s:
                 t = StdioTransport(s["command"], s.get("args"), s.get("env"))
+            elif s.get("transport") == "sse" or str(s.get("url", "")).endswith("/sse"):
+                from candle_vllm_tpu.mcp.transport import SSETransport
+
+                t = SSETransport(s["url"], s.get("headers"))
             else:
                 t = HTTPTransport(s["url"], s.get("headers"))
             mgr.clients[s["name"]] = MCPClient(t)

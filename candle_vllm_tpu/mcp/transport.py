@@ -100,6 +100,73 @@ class HTTPTransport(Transport):
             await self._session.close()
 
 
+class SSETransport(Transport):
+    """Legacy MCP HTTP+SSE transport (reference: mcp/transport.rs SSE
+    arm): a long-lived GET event stream delivers server->client JSON-RPC
+    messages; the first ``endpoint`` event names the POST url for
+    client->server messages."""
+
+    def __init__(self, url: str, headers: Optional[dict] = None):
+        self.url = url
+        self.headers = headers or {}
+        self._session = None
+        self._post_url: Optional[str] = None
+        self._responses: asyncio.Queue = asyncio.Queue()
+        self._reader: Optional[asyncio.Task] = None
+        self._endpoint_ready = asyncio.Event()
+
+    async def start(self) -> None:
+        import aiohttp
+
+        self._session = aiohttp.ClientSession(headers=self.headers)
+        self._reader = asyncio.create_task(self._read_events())
+        await asyncio.wait_for(self._endpoint_ready.wait(), timeout=30)
+
+    async def _read_events(self) -> None:
+        from urllib.parse import urljoin
+
+        assert self._session is not None
+        async with self._session.get(
+            self.url, headers={"Accept": "text/event-stream"}
+        ) as resp:
+            resp.raise_for_status()
+            event, data_lines = "message", []
+            async for raw in resp.content:
+                line = raw.decode().rstrip("\r\n")
+                if line.startswith("event:"):
+                    event = line[6:].strip()
+                elif line.startswith("data:"):
+                    data_lines.append(line[5:].strip())
+                elif line == "":
+                    data = "\n".join(data_lines)
+                    data_lines = []
+                    if not data:
+                        continue
+                    if event == "endpoint":
+                        self._post_url = urljoin(self.url, data)
+                        self._endpoint_ready.set()
+                    else:
+                        try:
+                            await self._responses.put(json.loads(data))
+                        except ValueError:
+                            pass
+                    event = "message"
+
+    async def send(self, message: Dict[str, Any]) -> None:
+        assert self._session is not None and self._post_url is not None
+        async with self._session.post(self._post_url, json=message) as resp:
+            resp.raise_for_status()
+
+    async def receive(self) -> Dict[str, Any]:
+        return await self._responses.get()
+
+    async def close(self) -> None:
+        if self._reader is not None:
+            self._reader.cancel()
+        if self._session is not None:
+            await self._session.close()
+
+
 class InMemoryTransport(Transport):
     """Paired queues for tests (reference tests use the same trick)."""
 

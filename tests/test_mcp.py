@@ -221,3 +221,54 @@ def test_engine_mcp_server_generate_tool():
         assert r["result"]["content"][0]["text"] == "hello world"
 
     asyncio.run(run())
+
+
+async def test_sse_transport_roundtrip(aiohttp_server):
+    """Legacy HTTP+SSE transport: endpoint event -> POST requests ->
+    responses arrive over the event stream (reference: transport.rs SSE)."""
+    import asyncio
+    import json as _json
+
+    from aiohttp import web
+
+    from candle_vllm_tpu.mcp.transport import SSETransport
+
+    queues = {}
+
+    async def sse(request):
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream"}
+        )
+        await resp.prepare(request)
+        q = asyncio.Queue()
+        queues["q"] = q
+        await resp.write(b"event: endpoint\ndata: /messages\n\n")
+        while True:
+            msg = await q.get()
+            if msg is None:
+                break
+            payload = _json.dumps(msg).encode()
+            await resp.write(b"data: " + payload + b"\n\n")
+        return resp
+
+    async def messages(request):
+        body = await request.json()
+        # echo a JSON-RPC result for each request id
+        await queues["q"].put(
+            {"jsonrpc": "2.0", "id": body.get("id"),
+             "result": {"echo": body.get("method")}}
+        )
+        return web.Response(status=202)
+
+    app = web.Application()
+    app.router.add_get("/sse", sse)
+    app.router.add_post("/messages", messages)
+    server = await aiohttp_server(app)
+
+    t = SSETransport(str(server.make_url("/sse")))
+    await t.start()
+    await t.send({"jsonrpc": "2.0", "id": 7, "method": "ping"})
+    got = await asyncio.wait_for(t.receive(), timeout=10)
+    assert got["id"] == 7 and got["result"]["echo"] == "ping"
+    await queues["q"].put(None)
+    await t.close()
