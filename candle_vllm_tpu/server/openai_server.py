@@ -275,7 +275,17 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
     fam = family_for_model(state.engine.model_config.model_type)
     for m in messages:
         if m.get("role") == "assistant" and isinstance(m.get("content"), str):
-            cleaned = strip_reasoning_blocks(m["content"], fam)
+            raw = m["content"]
+            cleaned = strip_reasoning_blocks(raw, fam)
+            # templates that re-render reasoning (e.g. MiniMax) consume
+            # message.reasoning_content — extract it rather than lose it
+            # (reference: reasoning_content_extracted_from_assistant_
+            # content, default_conversation.rs:893-940)
+            if cleaned != raw and not m.get("reasoning_content"):
+                o, c = fam.think_open, fam.think_close
+                i, j = raw.find(o), raw.find(c)
+                if 0 <= i < j:
+                    m["reasoning_content"] = raw[i + len(o): j].strip("\n")
             # keep markup when the turn carries structured tool_calls —
             # the template renders those itself
             if not m.get("tool_calls"):
