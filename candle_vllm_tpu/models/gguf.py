@@ -11,6 +11,7 @@ checkpoints stay ~4-bit end-to-end.
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Any, BinaryIO, Dict, Iterator, List, Optional, Tuple
 
@@ -379,10 +380,14 @@ def load_gguf(
     path: str,
     dtype=None,
     quantize: Optional[str] = "w4a16",
+    mmproj: Optional[str] = "auto",
 ):
     """Returns (ModelConfig, params dict).  Tensors stream one at a time:
     dequantized to f32 then (by default) re-quantized into the native
-    W4A16/int8 layout so Q4_K checkpoints stay ~4-bit in HBM."""
+    W4A16/int8 layout so Q4_K checkpoints stay ~4-bit in HBM.
+
+    ``mmproj="auto"`` discovers an ``mmproj*.gguf`` vision tower next to
+    the model file and merges it (reference: pipeline.rs:259-330)."""
     import jax.numpy as jnp
 
     from candle_vllm_tpu.ops.quant import quantize_tensor_np
@@ -391,6 +396,20 @@ def load_gguf(
         dtype = jnp.bfloat16
     g = GGUFFile(path)
     config = gguf_model_config(g)
+    mm_path = find_mmproj(path) if mmproj == "auto" else mmproj
+    mm_params: Dict[str, Any] = {}
+    if mm_path:
+        from candle_vllm_tpu.config import VisionConfig
+
+        vc, mm_params = load_gguf_mmproj(mm_path, dtype=dtype)
+        config.vision = VisionConfig(**vc)
+        if config.architecture.startswith(("Qwen", "Llama")):
+            config.architecture = "Qwen3VLForConditionalGeneration"
+        toks = g.metadata.get("tokenizer.ggml.tokens") or []
+        for marker in ("<|image_pad|>", "<image>"):
+            if marker in toks:
+                config.image_token_id = toks.index(marker)
+                break
     params: Dict[str, Any] = {}
     for gname in g.tensors:
         name = map_gguf_name(gname)
@@ -411,4 +430,147 @@ def load_gguf(
         k.startswith("lm_head.") for k in params
     ):
         config.tie_word_embeddings = True
+    params.update(mm_params)
     return config, params
+
+
+# ---------------------------------------------------------------------------
+# mmproj vision towers (reference: pipeline.rs:259-330 mmproj discovery,
+# utils.rs:245-470 build_vision_config_from_gguf / tensor mapping)
+# ---------------------------------------------------------------------------
+
+
+def find_mmproj(model_path: str) -> Optional[str]:
+    """Discover an ``mmproj*.gguf`` next to the model file; an exact
+    ``mmproj-<mainname>`` match outranks generic ones (reference:
+    pipeline.rs:264-330 mmproj_rank / find_local_mmproj_file)."""
+    d = os.path.dirname(os.path.abspath(model_path))
+    main = os.path.basename(model_path).lower()
+    cands = [
+        f for f in os.listdir(d)
+        if f.lower().startswith("mmproj") and f.lower().endswith(".gguf")
+    ]
+    if not cands:
+        return None
+    cands.sort(key=lambda f: (0 if f.lower() == f"mmproj-{main}" else 1, f))
+    return os.path.join(d, cands[0])
+
+
+_MMPROJ_SUFFIX = {
+    "attn_qkv.weight": "attn.qkv.weight",
+    "attn_qkv.bias": "attn.qkv.bias",
+    "attn_out.weight": "attn.proj.weight",
+    "attn_out.bias": "attn.proj.bias",
+    "ffn_up.weight": "mlp.linear_fc1.weight",
+    "ffn_up.bias": "mlp.linear_fc1.bias",
+    "ffn_down.weight": "mlp.linear_fc2.weight",
+    "ffn_down.bias": "mlp.linear_fc2.bias",
+    "ln1.weight": "norm1.weight",
+    "ln1.bias": "norm1.bias",
+    "ln2.weight": "norm2.weight",
+    "ln2.bias": "norm2.bias",
+}
+
+_MMPROJ_TOP = {
+    "v.post_ln.weight": "model.visual.merger.norm.weight",
+    "v.post_ln.bias": "model.visual.merger.norm.bias",
+    "mm.0.weight": "model.visual.merger.linear_fc1.weight",
+    "mm.0.bias": "model.visual.merger.linear_fc1.bias",
+    "mm.2.weight": "model.visual.merger.linear_fc2.weight",
+    "mm.2.bias": "model.visual.merger.linear_fc2.bias",
+    "v.position_embd.weight": "model.visual.pos_embed.weight",
+    "v.patch_embd.bias": "model.visual.patch_embed.proj.bias",
+}
+
+_MMPROJ_DS = {
+    "norm.weight": "norm.weight",
+    "norm.bias": "norm.bias",
+    "fc1.weight": "linear_fc1.weight",
+    "fc1.bias": "linear_fc1.bias",
+    "fc2.weight": "linear_fc2.weight",
+    "fc2.bias": "linear_fc2.bias",
+}
+
+
+def map_mmproj_name(gname: str) -> Optional[str]:
+    """clip/llama.cpp tensor names -> our Qwen3-VL tower names
+    (reference: utils.rs map_gguf_vision_tensor_name)."""
+    if gname.startswith("v.blk."):
+        idx, _, suffix = gname[len("v.blk."):].partition(".")
+        mapped = _MMPROJ_SUFFIX.get(suffix)
+        if mapped is None:
+            return None
+        return f"model.visual.blocks.{idx}.{mapped}"
+    if gname.startswith("v.ds_merger."):
+        idx, _, suffix = gname[len("v.ds_merger."):].partition(".")
+        mapped = _MMPROJ_DS.get(suffix)
+        if mapped is None:
+            return None
+        return f"model.visual.deepstack_merger_list.{idx}.{mapped}"
+    return _MMPROJ_TOP.get(gname)
+
+
+def gguf_vision_config(g: GGUFFile) -> Dict[str, Any]:
+    """clip.* metadata -> VisionConfig kwargs (reference:
+    utils.rs:245-274 build_vision_config_from_gguf)."""
+    md = g.metadata
+
+    def get(key, default=None):
+        v = md.get(f"clip.vision.{key}")
+        return default if v is None else v
+
+    patch = int(get("patch_size", 14))
+    image = int(get("image_size", 768))
+    ds = md.get("clip.vision.is_deepstack_layers") or []
+    return dict(
+        depth=int(get("block_count", 32)),
+        hidden_size=int(get("embedding_length", 1152)),
+        out_hidden_size=int(get("projection_dim", 2048)),
+        intermediate_size=int(get("feed_forward_length", 4304)),
+        num_heads=int(get("attention.head_count", 16)),
+        in_channels=3,
+        patch_size=patch,
+        spatial_merge_size=int(get("spatial_merge_size", 2)),
+        temporal_patch_size=2,
+        num_position_embeddings=(image // patch) ** 2,
+        deepstack_visual_indexes=[i for i, b in enumerate(ds) if b],
+        hidden_act="gelu" if md.get("clip.use_gelu", True) else "silu",
+        image_size=image,
+    )
+
+
+def load_gguf_mmproj(path: str, dtype=None) -> Tuple[Dict[str, Any], Dict]:
+    """Load an mmproj GGUF into (vision_config_kwargs, tower params in
+    our HF-style names).  The split temporal conv planes
+    ``v.patch_embd.weight``/``.1`` stack on the temporal axis and flatten
+    to the tower's matmul layout [C*tps*ps*ps, H]."""
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.bfloat16
+    g = GGUFFile(path)
+    vc = gguf_vision_config(g)
+    params: Dict[str, Any] = {}
+    w1 = w2 = None
+    for gname in g.tensors:
+        arr = g.read_tensor(gname)
+        if gname == "v.patch_embd.weight":
+            w1 = arr
+            continue
+        if gname == "v.patch_embd.weight.1":
+            w2 = arr
+            continue
+        name = map_mmproj_name(gname)
+        if name is None:
+            continue
+        if arr.ndim == 2 and "pos_embed" not in name:
+            arr = np.ascontiguousarray(arr.T)  # input-major (not tables)
+        params[name] = jnp.asarray(arr, dtype)
+    if w1 is not None:
+        planes = [w1] if w2 is None else [w1, w2]
+        vc["temporal_patch_size"] = len(planes)
+        conv = np.stack(planes, axis=2)  # [H, C, tps, ps, ps]
+        params["model.visual.patch_embed.proj.weight"] = jnp.asarray(
+            np.ascontiguousarray(conv.reshape(conv.shape[0], -1).T), dtype
+        )
+    return vc, params

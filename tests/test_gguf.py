@@ -487,3 +487,139 @@ def test_multi_shard_discovery(tmp_path):
     assert set(g.tensors) == {"t.a", "t.b"}
     np.testing.assert_array_equal(g.read_tensor("t.a"), a)
     np.testing.assert_array_equal(g.read_tensor("t.b"), b)
+
+
+def _meta_bool_arr(vals):
+    raw = struct.pack("<IQ", 7, len(vals)) + b"".join(
+        struct.pack("<?", v) for v in vals
+    )
+    return (9, raw)
+
+
+def test_gguf_mmproj_vision_tower(tmp_path):
+    """mmproj discovery + clip.* tensor mapping + split temporal conv
+    stacking (reference: pipeline.rs:259-330, utils.rs:245-470)."""
+    import jax.numpy as jnp
+
+    from candle_vllm_tpu.models.gguf import (
+        find_mmproj,
+        load_gguf,
+        map_mmproj_name,
+    )
+    from candle_vllm_tpu.models.registry import get_model
+
+    assert map_mmproj_name("v.blk.3.attn_qkv.weight") == \
+        "model.visual.blocks.3.attn.qkv.weight"
+    assert map_mmproj_name("mm.0.weight") == \
+        "model.visual.merger.linear_fc1.weight"
+    assert map_mmproj_name("v.ds_merger.0.fc1.bias") == \
+        "model.visual.deepstack_merger_list.0.linear_fc1.bias"
+    assert map_mmproj_name("v.unknown.thing") is None
+
+    rng = np.random.default_rng(5)
+    hidden, inter, vocab, heads, kv = 64, 128, 128, 4, 2
+    hd = hidden // heads
+
+    def t_f32(arr):
+        return (list(reversed(arr.shape)), gguf.GGML_F32,
+                arr.astype(np.float32).tobytes())
+
+    def lin(i, o):
+        return rng.standard_normal((o, i)).astype(np.float32) * 0.05
+
+    # -- main text GGUF (mirrors test_gguf_end_to_end's tiny llama) -------
+    tensors = [
+        ("token_embd.weight", *t_f32(rng.standard_normal((vocab, hidden)) * 0.05)),
+        ("output_norm.weight", *t_f32(np.ones(hidden))),
+        ("output.weight", *t_f32(lin(hidden, vocab))),
+    ]
+    for i in range(1):
+        tensors += [
+            (f"blk.{i}.attn_norm.weight", *t_f32(np.ones(hidden))),
+            (f"blk.{i}.ffn_norm.weight", *t_f32(np.ones(hidden))),
+            (f"blk.{i}.attn_q.weight", *t_f32(lin(hidden, heads * hd))),
+            (f"blk.{i}.attn_k.weight", *t_f32(lin(hidden, kv * hd))),
+            (f"blk.{i}.attn_v.weight", *t_f32(lin(hidden, kv * hd))),
+            (f"blk.{i}.attn_output.weight", *t_f32(lin(heads * hd, hidden))),
+            (f"blk.{i}.ffn_gate.weight", *t_f32(lin(hidden, inter))),
+            (f"blk.{i}.ffn_up.weight", *t_f32(lin(hidden, inter))),
+            (f"blk.{i}.ffn_down.weight", *t_f32(lin(inter, hidden))),
+        ]
+    toks = [f"t{j}" for j in range(vocab)]
+    toks[100] = "<|image_pad|>"
+    tok_raw = struct.pack("<IQ", 8, len(toks)) + b"".join(
+        _w_str(t) for t in toks
+    )
+    meta = {
+        "general.architecture": _meta_str("qwen2"),
+        "qwen2.embedding_length": _meta_u32(hidden),
+        "qwen2.feed_forward_length": _meta_u32(inter),
+        "qwen2.block_count": _meta_u32(1),
+        "qwen2.attention.head_count": _meta_u32(heads),
+        "qwen2.attention.head_count_kv": _meta_u32(kv),
+        "qwen2.attention.layer_norm_rms_epsilon": _meta_f32(1e-5),
+        "qwen2.context_length": _meta_u32(256),
+        "qwen2.vocab_size": _meta_u32(vocab),
+        "qwen2.rope.freq_base": _meta_f32(10000.0),
+        "tokenizer.ggml.tokens": (9, tok_raw),
+    }
+    main = tmp_path / "model.gguf"
+    write_gguf(str(main), meta, tensors)
+
+    # -- mmproj GGUF: depth-1 tower, patch 2, merge 2, image 8 ------------
+    vh, vi, vheads, ps = 32, 48, 2, 2
+    side = 8 // ps
+    vt = [
+        ("v.blk.0.attn_qkv.weight", *t_f32(lin(vh, 3 * vh))),
+        ("v.blk.0.attn_qkv.bias", *t_f32(np.zeros(3 * vh))),
+        ("v.blk.0.attn_out.weight", *t_f32(lin(vh, vh))),
+        ("v.blk.0.attn_out.bias", *t_f32(np.zeros(vh))),
+        ("v.blk.0.ffn_up.weight", *t_f32(lin(vh, vi))),
+        ("v.blk.0.ffn_up.bias", *t_f32(np.zeros(vi))),
+        ("v.blk.0.ffn_down.weight", *t_f32(lin(vi, vh))),
+        ("v.blk.0.ffn_down.bias", *t_f32(np.zeros(vh))),
+        ("v.blk.0.ln1.weight", *t_f32(np.ones(vh))),
+        ("v.blk.0.ln1.bias", *t_f32(np.zeros(vh))),
+        ("v.blk.0.ln2.weight", *t_f32(np.ones(vh))),
+        ("v.blk.0.ln2.bias", *t_f32(np.zeros(vh))),
+        ("v.post_ln.weight", *t_f32(np.ones(vh))),
+        ("v.post_ln.bias", *t_f32(np.zeros(vh))),
+        ("mm.0.weight", *t_f32(lin(vh * 4, vh * 4))),
+        ("mm.0.bias", *t_f32(np.zeros(vh * 4))),
+        ("mm.2.weight", *t_f32(lin(vh * 4, hidden))),
+        ("mm.2.bias", *t_f32(np.zeros(hidden))),
+        ("v.position_embd.weight",
+         *t_f32(rng.standard_normal((side * side, vh)) * 0.05)),
+        ("v.patch_embd.weight",
+         *t_f32(rng.standard_normal((vh, 3, ps, ps)) * 0.05)),
+        ("v.patch_embd.weight.1",
+         *t_f32(rng.standard_normal((vh, 3, ps, ps)) * 0.05)),
+        ("v.patch_embd.bias", *t_f32(np.zeros(vh))),
+    ]
+    vmeta = {
+        "clip.vision.block_count": _meta_u32(1),
+        "clip.vision.embedding_length": _meta_u32(vh),
+        "clip.vision.projection_dim": _meta_u32(hidden),
+        "clip.vision.feed_forward_length": _meta_u32(vi),
+        "clip.vision.attention.head_count": _meta_u32(vheads),
+        "clip.vision.patch_size": _meta_u32(ps),
+        "clip.vision.image_size": _meta_u32(8),
+        "clip.vision.spatial_merge_size": _meta_u32(2),
+        "clip.vision.is_deepstack_layers": _meta_bool_arr([False]),
+    }
+    write_gguf(str(tmp_path / "mmproj-model.gguf"), vmeta, vt)
+
+    assert find_mmproj(str(main)).endswith("mmproj-model.gguf")
+    cfg, params = load_gguf(str(main), quantize=None)
+    assert cfg.architecture == "Qwen3VLForConditionalGeneration"
+    assert cfg.vision is not None and cfg.vision.depth == 1
+    assert cfg.vision.temporal_patch_size == 2
+    assert cfg.image_token_id == 100
+    pw = params["model.visual.patch_embed.proj.weight"]
+    assert pw.shape == (3 * 2 * ps * ps, vh)
+    assert params["model.visual.pos_embed.weight"].shape == (side * side, vh)
+
+    # the tower + model consume the loaded params end-to-end
+    model = get_model(cfg)
+    missing = set(model.vision_tower.param_shapes()) - set(params)
+    assert not missing, missing
