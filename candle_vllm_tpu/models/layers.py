@@ -9,6 +9,8 @@ format in the params dict.
 
 from __future__ import annotations
 
+import functools
+import math
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, Optional, Tuple
@@ -145,6 +147,24 @@ class AttnLayerSpec:
     temp_tuning: Optional[Tuple[float, float]] = None
 
 
+@functools.lru_cache(maxsize=4)
+def _hadamard_np(dim: int):
+    """Normalized Sylvester-Hadamard matrix (symmetric, orthogonal).
+    Cached as numpy — each trace materializes its own constant (a cached
+    jnp array created under one jit would leak that trace's tracer)."""
+    import numpy as np
+
+    h = np.ones((1, 1), np.float32)
+    while h.shape[0] < dim:
+        h = np.block([[h, h], [h, -h]])
+    assert h.shape[0] == dim, f"head_dim {dim} is not a power of two"
+    return h / math.sqrt(dim)
+
+
+def _hadamard(dim: int):
+    return jnp.asarray(_hadamard_np(dim), jnp.float32)
+
+
 def paged_attention_with_write(
     q: jnp.ndarray,           # [T, H, D]
     k: jnp.ndarray,           # [T, K, D]
@@ -162,8 +182,22 @@ def paged_attention_with_write(
     TPU equivalent of the reference's per-rank PagedAttention
     (attention.rs:707-718), with zero collectives (heads are fully
     parallel; the psum happens later in o_proj's row-parallel matmul).
+
+    int4 caches quantize in a Hadamard-rotated basis (the TurboQuant
+    trick, reference README.md:267-291): k/v rows rotate before the
+    4-bit quantize, q rotates to match (scores are invariant under the
+    shared orthogonal rotation), and the output un-rotates.  Outliers
+    spread across lanes, so the per-row absmax/7 grid loses ~2x less.
     """
     quantized = isinstance(kv_pages, tuple)
+    unrotate = None
+    if quantized and spec.kv4 and (q.shape[-1] & (q.shape[-1] - 1)) == 0:
+        had = _hadamard(q.shape[-1])
+        dt = q.dtype
+        q = (q.astype(jnp.float32) @ had).astype(dt)
+        k = (k.astype(jnp.float32) @ had).astype(dt)
+        v = (v.astype(jnp.float32) @ had).astype(dt)
+        unrotate = had  # symmetric: H^T == H
     if mesh is None or mesh.shape.get(tp_axis, 1) == 1:
         if quantized:
             pages, scales = kv_pages
@@ -174,6 +208,8 @@ def paged_attention_with_write(
                 q, pages, step.kv_lens, step.page_tables, step.cu_q_lens,
                 spec=spec, kv_scales=scales,
             )
+            if unrotate is not None:
+                out = (out.astype(jnp.float32) @ unrotate).astype(out.dtype)
             return out, (pages, scales)
         kv_pages = write_kv(kv_pages, k, v, step.slot_mapping,
                             kv_shared=spec.kv_shared)
@@ -226,6 +262,8 @@ def paged_attention_with_write(
             check_vma=False,
         )(q, k, v, pages, scales, step.kv_lens, step.page_tables,
           step.cu_q_lens, step.slot_mapping)
+        if unrotate is not None:
+            out = (out.astype(jnp.float32) @ unrotate).astype(out.dtype)
         return out, (pages, scales)
 
     def local(q, k, v, kv_pages, kv_lens, pt, cu, slots):

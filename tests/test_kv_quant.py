@@ -1,6 +1,8 @@
 """Quantized (int8) KV cache: write/dequant roundtrip, attention accuracy
 through both implementations, engine E2E, TP."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -265,3 +267,76 @@ def test_engine_with_int4_kv_cache():
     assert eng.kv_pages[0][0].shape[2] == 2
     got = eng.generate(ps, sp)
     assert all(len(o.outputs[0].token_ids) == 6 for o in got)
+
+
+def test_hadamard_rotation_reduces_int4_error():
+    """TurboQuant Hadamard trick (reference README.md:267-291): rotating
+    k/v/q by a shared orthogonal Hadamard leaves exact attention invariant
+    but shrinks the int4 quantization error on outlier-heavy rows."""
+    from candle_vllm_tpu.models.layers import (
+        _hadamard,
+        paged_attention_with_write,
+    )
+    from candle_vllm_tpu.models.types import StepInput
+    from candle_vllm_tpu.ops.attention import AttentionSpec
+    from candle_vllm_tpu.ops.kv_cache import (
+        allocate_kv_pages,
+        allocate_kv_pages_int4,
+        allocate_kv_scales,
+    )
+
+    rng = np.random.default_rng(12)
+    T, H, K, D, ps = 8, 4, 2, 128, 8
+    # outlier-heavy rows: a few huge lanes (the case absmax grids hate)
+    k = rng.standard_normal((T, K, D)).astype(np.float32)
+    v = rng.standard_normal((T, K, D)).astype(np.float32)
+    k[:, :, :3] *= 24.0
+    v[:, :, :3] *= 24.0
+    q = rng.standard_normal((T, H, D)).astype(np.float32)
+
+    had = np.asarray(_hadamard(D))
+    assert np.allclose(had @ had.T, np.eye(D), atol=1e-5)  # orthogonal
+    assert np.allclose(had, had.T)                         # symmetric
+
+    spec = AttentionSpec(num_q_heads=H, num_kv_heads=K, head_dim=D,
+                         sm_scale=D ** -0.5, kv4=True)
+    step = StepInput(
+        token_ids=None, positions=None,
+        slot_mapping=jnp.arange(T, dtype=jnp.int32),
+        kv_lens=jnp.asarray([T], jnp.int32),
+        page_tables=jnp.asarray([[0, 1, 0, 0]], jnp.int32),
+        cu_q_lens=jnp.asarray([0, T], jnp.int32),
+        logits_idx=jnp.asarray([T - 1], jnp.int32),
+    )
+
+    # exact f32 reference through the same call (bf16-free dtype)
+    fpages = allocate_kv_pages(1, 4, ps, K, D, dtype=jnp.float32)[0]
+    sp_f = dataclasses.replace(spec, kv4=False)
+    ref, _ = paged_attention_with_write(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), fpages, step, sp_f
+    )
+
+    # int4 WITH rotation (production path: kv4 tuple triggers it)
+    qpages = allocate_kv_pages_int4(1, 4, ps, K, D)[0]
+    qscales = allocate_kv_scales(1, 4, ps, K)[0]
+    rot, _ = paged_attention_with_write(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        (qpages, qscales), step, spec,
+    )
+
+    # int4 WITHOUT rotation: write/read the raw basis directly
+    from candle_vllm_tpu.ops.attention import ragged_paged_attention
+    from candle_vllm_tpu.ops.kv_cache import write_kv
+
+    qp2 = allocate_kv_pages_int4(1, 4, ps, K, D)[0]
+    qs2 = allocate_kv_scales(1, 4, ps, K)[0]
+    qp2, qs2 = write_kv(qp2, jnp.asarray(k), jnp.asarray(v),
+                        step.slot_mapping, qs2, kv4=True)
+    plain = ragged_paged_attention(
+        jnp.asarray(q), qp2, step.kv_lens, step.page_tables,
+        step.cu_q_lens, spec=spec, kv_scales=qs2,
+    )
+
+    err_rot = float(np.abs(np.asarray(rot) - np.asarray(ref)).max())
+    err_plain = float(np.abs(np.asarray(plain) - np.asarray(ref)).max())
+    assert err_rot < err_plain * 0.7, (err_rot, err_plain)
