@@ -340,3 +340,34 @@ def test_hadamard_rotation_reduces_int4_error():
     err_rot = float(np.abs(np.asarray(rot) - np.asarray(ref)).max())
     err_plain = float(np.abs(np.asarray(plain) - np.asarray(ref)).max())
     assert err_rot < err_plain * 0.7, (err_rot, err_plain)
+
+
+def test_perplexity_harness_quant_kv_quality():
+    """The perplexity harness runs and quantized KV stays within a tight
+    quality band of the bf16 cache (tools/perplexity.py)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from perplexity import compute_perplexity
+
+    from candle_vllm_tpu.models.registry import get_model
+
+    cfg = ModelConfig(
+        architecture="LlamaForCausalLM", hidden_size=128,
+        intermediate_size=256, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=1, head_dim=64,
+        vocab_size=512, max_model_len=512, dtype=jnp.float32,
+    )
+    model = get_model(cfg)
+    params = model.init_params(seed=3)
+    rng = np.random.default_rng(4)
+    toks = rng.integers(0, 512, size=600)
+    base = compute_perplexity(model, params, toks, window=128,
+                              page_size=8)
+    i8 = compute_perplexity(model, params, toks, window=128,
+                            kv_cache_dtype="int8", page_size=8)
+    i4 = compute_perplexity(model, params, toks, window=128,
+                            kv_cache_dtype="int4", page_size=8)
+    assert base["tokens"] == i8["tokens"] == i4["tokens"] > 500
+    assert abs(i8["nll"] - base["nll"]) / base["nll"] < 0.02
+    assert abs(i4["nll"] - base["nll"]) / base["nll"] < 0.10
