@@ -247,10 +247,18 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
     except Exception as e:
         return _error(400, f"invalid request: {e}")
 
-    # request tools + cached MCP tools, then tool_choice resolution
-    # (reference: openai/mod.rs:187-247 resolve_tools_for_request)
+    # request tools + cached MCP tools (request wins on a name clash —
+    # reference: helpers.rs test_resolve_tools_prefers_request), then
+    # tool_choice resolution (openai/mod.rs:187-247)
     if state.mcp_manager is not None and state.mcp_manager.cached_tools:
-        req.tools = (req.tools or []) + state.mcp_manager.cached_tools
+        have = {
+            (t.get("function") or {}).get("name")
+            for t in (req.tools or [])
+        }
+        req.tools = (req.tools or []) + [
+            t for t in state.mcp_manager.cached_tools
+            if (t.get("function") or {}).get("name") not in have
+        ]
     from candle_vllm_tpu.tools.parser import resolve_tool_choice
 
     try:
