@@ -757,3 +757,14 @@ def compute_max_num_parallel_reqs(
     if state_slots is not None:
         parallel = min(parallel, max(state_slots, 1))
     return max(parallel, 1)
+
+
+def derive_yarn_parameters(factor: float) -> Tuple[float, float, float, float]:
+    """Manual --yarn-scaling-factor -> (beta_fast, beta_slow,
+    extrapolation_factor, attn_factor) (reference: models/mod.rs:600-617
+    derive_yarn_parameters)."""
+    factor = max(factor, 1.0)
+    beta_fast = 32.0 if factor <= 4.0 else 32.0 * math.sqrt(factor / 4.0)
+    beta_slow = 1.0
+    extrapolation = 1.0 + 0.05 * math.sqrt(factor - 8.0) if factor > 8.0 else 1.0
+    return beta_fast, beta_slow, extrapolation, 1.0

@@ -45,6 +45,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-num-batched-tokens", type=int, default=8192)
     p.add_argument("--prefill-chunk-size", type=int, default=8192)
     p.add_argument("--max-model-len", type=int, default=None)
+    p.add_argument("--yarn-scaling-factor", type=float, default=None,
+                   help="force YaRN rope scaling by this factor "
+                        "(stretches max context; reference: "
+                        "--yarn-scaling-factor, models/mod.rs:600-652)")
     p.add_argument("--disable-prefix-cache", action="store_true")
     p.add_argument("--preemption-mode", default="recompute", choices=["recompute", "swap"])
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
@@ -123,6 +127,18 @@ def build_engine(args):
     else:
         raise SystemExit("one of --model-dir / --dummy-model is required")
 
+    if args.yarn_scaling_factor:
+        from candle_vllm_tpu.config import RopeScaling, derive_yarn_parameters
+
+        f = max(args.yarn_scaling_factor, 1.0)
+        beta_fast, beta_slow, _, attn = derive_yarn_parameters(f)
+        cfg.rope_scaling = RopeScaling(
+            rope_type="yarn", factor=f,
+            original_max_position_embeddings=cfg.max_model_len,
+            beta_fast=beta_fast, beta_slow=beta_slow,
+            attention_factor=attn,
+        )
+        cfg.max_model_len = int(cfg.max_model_len * f)
     if args.max_model_len:
         cfg.max_model_len = args.max_model_len
 

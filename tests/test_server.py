@@ -322,3 +322,23 @@ def test_compute_max_num_parallel_reqs():
         8192 * 16, 8192, 10 ** 12, cfg, state_slots=3) == 3
     # never zero
     assert compute_max_num_parallel_reqs(1, 8192, 0, cfg) == 1
+
+
+def test_yarn_scaling_factor_flag():
+    """--yarn-scaling-factor forces YaRN scaling and stretches the max
+    context (reference: main.rs --yarn-scaling-factor +
+    models/mod.rs:600-652 derive_yarn_parameters)."""
+    from candle_vllm_tpu.config import derive_yarn_parameters
+    from candle_vllm_tpu.server.__main__ import build_engine, make_parser
+
+    bf, bs, ex, attn = derive_yarn_parameters(16.0)
+    assert bf == 32.0 * 2.0 and bs == 1.0 and ex > 1.0
+
+    args = make_parser().parse_args(
+        ["--dummy-model", "tiny", "--yarn-scaling-factor", "4",
+         "--kv-blocks", "32", "--max-num-seqs", "2"]
+    )
+    eng, _ = build_engine(args)
+    rs = eng.model_config.rope_scaling
+    assert rs is not None and rs.rope_type == "yarn" and rs.factor == 4.0
+    assert eng.model_config.max_model_len == 4096 * 4
