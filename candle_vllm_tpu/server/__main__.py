@@ -66,6 +66,11 @@ def make_parser() -> argparse.ArgumentParser:
                    help="KV cache dtype (int8 ~2x, int4 ~4x capacity)")
     p.add_argument("--holding-time-ms", type=float, default=2.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tool-parser", default=None,
+                   help="force the tool-parser family (llama/llama4/qwen3/"
+                        "gemma/gemma4/glm/minimax/mistral/phi); default "
+                        "infers from model_type (reference: "
+                        "--enforce-parser)")
     p.add_argument("--mcp-config", default=None,
                    help="JSON config of MCP servers whose tools are "
                         "injected into chat requests")
@@ -299,6 +304,7 @@ def main(argv=None) -> None:
         model_name,
         template,
         mcp_manager=mcp_manager,
+        tool_parser=args.tool_parser,
     )
     app = build_app(state)
     web.run_app(app, host=args.host, port=args.port)

@@ -64,6 +64,7 @@ class ServerState:
         model_name: str,
         chat_template: ChatTemplate,
         mcp_manager=None,
+        tool_parser: str = None,
     ):
         self.async_engine = async_engine
         self.engine = async_engine.engine
@@ -71,6 +72,11 @@ class ServerState:
         self.chat_template = chat_template
         self.tokenizer = self.engine.tokenizer
         self.mcp_manager = mcp_manager
+        # forced tool-parser family (reference: --enforce-parser,
+        # main.rs:176); None = infer from model_type
+        self.tool_family = family_for_model(
+            tool_parser or self.engine.model_config.model_type
+        )
         # reasoning-scaffold repair for replayed assistant turns
         # (reference: conversation/mod.rs RenderedPromptRepairer)
         from candle_vllm_tpu.server.prompt_repair import PromptRepairer
@@ -280,7 +286,7 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
         strip_reasoning_blocks,
     )
 
-    fam = family_for_model(state.engine.model_config.model_type)
+    fam = state.tool_family
     for m in messages:
         if m.get("role") == "assistant" and isinstance(m.get("content"), str):
             raw = m["content"]
@@ -345,7 +351,7 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
         request_id, prompt=None, prompt_token_ids=prompt_ids,
         sampling_params=sp, mm_inputs=mm,
     )
-    family = family_for_model(state.engine.model_config.model_type)
+    family = state.tool_family
     choices = []
     for i, o in enumerate(out.outputs):
         content, reasoning, calls = parse_complete(o.text, family)
@@ -443,7 +449,7 @@ async def _stream_chat(
         request_id, prompt_token_ids=prompt_ids, sampling_params=sp,
         mm_inputs=mm,
     )
-    family = family_for_model(state.engine.model_config.model_type)
+    family = state.tool_family
     parser = StreamToolParser(family, req.tools)
     final: Optional[RequestOutput] = None
 
