@@ -425,3 +425,54 @@ def test_quant_config_compressed_tensors_gating():
             "block_structure": [128, 128]}}},
     })
     assert blk is not None and blk.weight_block_size == [128, 128]
+
+
+def test_convert_checkpoint_roundtrip(tmp_path):
+    """examples/convert_checkpoint.py: HF dir -> native safetensors that
+    loads and generates identically (reference: convert_marlin.py)."""
+    import json
+    import subprocess
+    import sys
+
+    import jax.numpy as jnp
+
+    from candle_vllm_tpu.config import ModelConfig
+    from candle_vllm_tpu.models.registry import get_model
+    from candle_vllm_tpu.models.weights import save_safetensors
+
+    cfg = ModelConfig(
+        architecture="LlamaForCausalLM", hidden_size=128,
+        intermediate_size=256, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=2, head_dim=64,
+        vocab_size=256, max_model_len=128, dtype=jnp.float32,
+    )
+    model = get_model(cfg)
+    params = model.init_params(seed=7)
+    src = tmp_path / "src"
+    src.mkdir()
+    # write an HF-style dir: [out, in] tensors + config.json
+    hf = {}
+    for k, v in params.items():
+        a = np.asarray(v, np.float32)
+        hf[k] = a.T if (a.ndim == 2 and "embed_tokens" not in k) else a
+    save_safetensors({k: jnp.asarray(v) for k, v in hf.items()},
+                     str(src / "model.safetensors"))
+    (src / "config.json").write_text(json.dumps({
+        "architectures": ["LlamaForCausalLM"], "hidden_size": 128,
+        "intermediate_size": 256, "num_hidden_layers": 2,
+        "num_attention_heads": 2, "num_key_value_heads": 2,
+        "head_dim": 64, "vocab_size": 256,
+        "max_position_embeddings": 128, "torch_dtype": "float32",
+    }))
+    out = tmp_path / "native.safetensors"
+    r = subprocess.run(
+        [sys.executable, "examples/convert_checkpoint.py",
+         "--model-dir", str(src), "--out", str(out)],
+        capture_output=True, text=True,
+        env={"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+             "PATH": "/usr/bin:/bin:/usr/local/bin"},
+    )
+    assert r.returncode == 0, r.stderr
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["tensors"] == len(params)
+    assert out.exists()
