@@ -313,7 +313,8 @@ class LLMEngine:
         self._jit_step = jax.jit(
             self._device_step,
             donate_argnums=(1,),
-            static_argnames=("want_logprobs", "greedy_only", "penalties"),
+            static_argnames=("want_logprobs", "greedy_only", "penalties",
+                             "dsa_prefill"),
         )
 
     # -- the single-dispatch device step -----------------------------------
@@ -330,6 +331,7 @@ class LLMEngine:
         want_logprobs: bool = False,
         greedy_only: bool = False,
         penalties: bool = True,
+        dsa_prefill: bool = False,
     ):
         def _copy(p):
             if isinstance(p, dict):  # GDN state pool: no block COW
@@ -342,7 +344,19 @@ class LLMEngine:
             return copy_blocks(p, copy_src, copy_dst)
 
         kv_pages = [_copy(p) for p in kv_pages]
-        logits, kv_pages = self.model.forward(params, kv_pages, step)
+        # dsa_prefill is STATIC: flipping the model flag at trace time
+        # selects the sparse-prefill trace for this jit variant only (the
+        # engine computes eligibility per step; models without DSA never
+        # set it)
+        if dsa_prefill:
+            prev_dsa = self.model.use_dsa
+            self.model.use_dsa = True
+            try:
+                logits, kv_pages = self.model.forward(params, kv_pages, step)
+            finally:
+                self.model.use_dsa = prev_dsa
+        else:
+            logits, kv_pages = self.model.forward(params, kv_pages, step)
         tokens, logprobs = sample(
             logits, st, key, greedy_only=greedy_only, penalties=penalties
         )
@@ -588,11 +602,28 @@ class LLMEngine:
 
         self._key, sub = jax.random.split(self._key)
         want_logprobs = any(p.logprobs for p in rows_params)
+        # DSA sparse prefill (DeepSeek V3.2 / GLM5 class): eligible only
+        # when EVERY scheduled row is a whole-prompt prefill chunk (the
+        # in-batch indexer sees the full causal context; reference:
+        # mla_sparse_paged_prefill scope)
+        dsa_prefill = bool(
+            getattr(self.model, "has_dsa", False)
+            and sched_out.scheduled
+            and all(
+                seq.num_computed_tokens == 0
+                and sg.token_chunks[sid] == seq.get_prompt_len()
+                for sg in sched_out.scheduled
+                for sid, seq in (
+                    (s, sg.group.seqs[s]) for s in sg.token_chunks
+                )
+            )
+        )
         packed, top_vals, top_ids, self.kv_pages = self._jit_step(
             self.params, self.kv_pages, plan.step, copy_src, copy_dst, st, sub,
             want_logprobs=want_logprobs,
             greedy_only=all(p.is_greedy for p in rows_params),
             penalties=any(p.has_penalties for p in rows_params),
+            dsa_prefill=dsa_prefill,
         )
         packed = np.asarray(packed)
         tokens = packed[0].astype(np.int64)

@@ -191,6 +191,7 @@ class DeepseekForCausalLM(LlamaForCausalLM):
         L = c.kv_lora_rank
         qk_dim = nope + rope_d
 
+        cq = None
         if c.q_lora_rank:
             cq = linear(x, params, f"{a}.q_a_proj")
             cq = rms_norm(cq, params[f"{a}.q_a_layernorm.weight"], c.rms_norm_eps)
@@ -224,10 +225,41 @@ class DeepseekForCausalLM(LlamaForCausalLM):
             sm_scale=qk_dim ** -0.5 * self.mla_mscale_sq,
             kv_shared=True,
         )
-        # v := k_lat too; the latent output's first L lanes are attn@c_kv
-        out_lat, kv_pages = paged_attention_with_write(
-            q_lat, k_lat, k_lat, kv_pages, step, spec, mesh=self.mesh
-        )
+        if self.use_dsa:
+            # DSA sparse prefill (reference: indexer.rs:29-120 +
+            # mla_sparse_paged_prefill): the lightning indexer picks each
+            # query's index_topk context rows; attention runs only over
+            # those.  In-batch scope — the engine enables this path only
+            # for whole-prompt prefill steps; KV still writes to pages so
+            # decode continues dense.
+            from candle_vllm_tpu.ops.dsa import (
+                lightning_index,
+                sparse_latent_attention,
+            )
+            from candle_vllm_tpu.ops.kv_cache import write_kv
+
+            idx, valid = lightning_index(
+                x, cq, params, f"{a}.indexer",
+                step.cu_q_lens, step.kv_lens,
+                n_heads=self.dsa_heads, head_dim=self.dsa_head_dim,
+                rope_dim=rope_d, topk=self.dsa_topk,
+                cos=cos, sin=sin, rope_spec=self.rope,
+            )
+            out_lat = sparse_latent_attention(
+                q_lat, k_lat[:, 0, :], idx, valid, spec.sm_scale
+            )
+            if isinstance(kv_pages, tuple):  # quantized (pages, scales)
+                kv_pages = write_kv(kv_pages[0], k_lat, k_lat,
+                                    step.slot_mapping, kv_pages[1],
+                                    kv_shared=True)
+            else:
+                kv_pages = write_kv(kv_pages, k_lat, k_lat,
+                                    step.slot_mapping, kv_shared=True)
+        else:
+            # v := k_lat too; latent output's first L lanes are attn@c_kv
+            out_lat, kv_pages = paged_attention_with_write(
+                q_lat, k_lat, k_lat, kv_pages, step, spec, mesh=self.mesh
+            )
         latent = out_lat[..., :L]                     # [T, H, L]
         out = jnp.einsum("thl,lhv->thv", latent, w_uv)  # [T, H, v_dim]
         return linear(out.reshape(T, H * v_dim), params, f"{a}.o_proj"), kv_pages

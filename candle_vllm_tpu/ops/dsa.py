@@ -98,8 +98,12 @@ def lightning_index(
     allow = same & causal & real
     scores = jnp.where(allow, scores, NEG_INF)
 
-    top_scores, indices = jax.lax.top_k(scores, topk)        # [T, topk]
+    k = min(topk, T)  # batches shorter than index_topk: take all rows
+    top_scores, indices = jax.lax.top_k(scores, k)           # [T, k]
     valid = top_scores > NEG_INF / 2
+    if k < topk:
+        indices = jnp.pad(indices, ((0, 0), (0, topk - k)))
+        valid = jnp.pad(valid, ((0, 0), (0, topk - k)))
     return indices.astype(jnp.int32), valid
 
 

@@ -100,3 +100,71 @@ def test_sparse_prefill_small_topk_runs():
     params = model.init_params(seed=0)
     out = run_steps(model, params, prompt, [30])
     assert np.isfinite(out).all()
+
+
+def test_engine_dsa_prefill_matches_dense():
+    """Engine auto-enables DSA for whole-prompt prefill steps; with
+    topk >= prompt length generation must match a non-DSA model exactly
+    (decode stays dense over the written pages)."""
+    from candle_vllm_tpu.config import CacheConfig, SchedulerConfig
+    from candle_vllm_tpu.engine.llm_engine import LLMEngine
+    from candle_vllm_tpu.sampling_params import SamplingParams
+
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, 128, size=n).tolist() for n in (12, 9)]
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+    cache = CacheConfig(block_size=8, num_gpu_blocks=64, num_cpu_blocks=0)
+    sched = SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=256,
+                            prefill_chunk_size=128, max_model_len=128)
+
+    dense_eng = LLMEngine(v32_config(topk=64, use_dsa=False), cache, sched,
+                          seed=0)
+    assert not dense_eng.model.use_dsa
+    dense = dense_eng.generate(prompts, sp)
+
+    # fresh engine, same weights seed; has_dsa drives per-step enablement
+    sparse_eng = LLMEngine(v32_config(topk=64, use_dsa=False),
+                           CacheConfig(block_size=8, num_gpu_blocks=64,
+                                       num_cpu_blocks=0),
+                           sched, seed=0)
+    assert sparse_eng.model.has_dsa
+    flags = []
+    orig = sparse_eng._jit_step
+
+    def spy(*a, **k):
+        flags.append(k.get("dsa_prefill"))
+        return orig(*a, **k)
+
+    sparse_eng._jit_step = spy
+    sparse = sparse_eng.generate(prompts, sp)
+    assert flags[0] is True          # prefill step took the sparse path
+    assert not any(flags[1:])        # decode steps stayed dense
+    for a, b in zip(dense, sparse):
+        assert a.outputs[0].token_ids == b.outputs[0].token_ids
+
+
+def test_engine_dsa_disabled_for_chunked_prefill():
+    """Chunked prompts (context split across steps) must NOT take the
+    in-batch sparse path — outputs still correct vs one-shot prefill."""
+    from candle_vllm_tpu.config import CacheConfig, SchedulerConfig
+    from candle_vllm_tpu.engine.llm_engine import LLMEngine
+    from candle_vllm_tpu.sampling_params import SamplingParams
+
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(0, 128, size=40).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=5)
+    whole = LLMEngine(
+        v32_config(topk=64), CacheConfig(block_size=8, num_gpu_blocks=64,
+                                         num_cpu_blocks=0),
+        SchedulerConfig(max_num_batched_tokens=256, prefill_chunk_size=128,
+                        max_model_len=128),
+        seed=0,
+    ).generate([prompt], sp)
+    chunked = LLMEngine(
+        v32_config(topk=64), CacheConfig(block_size=8, num_gpu_blocks=64,
+                                         num_cpu_blocks=0),
+        SchedulerConfig(max_num_batched_tokens=256, prefill_chunk_size=16,
+                        max_model_len=128),
+        seed=0,
+    ).generate([prompt], sp)
+    assert whole[0].outputs[0].token_ids == chunked[0].outputs[0].token_ids
