@@ -400,11 +400,24 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
                 logprobs=logprobs,
             )
         )
+    usage = _usage(out)
+    # reasoning token accounting (reference: responses.rs
+    # completion_tokens_details.reasoning_tokens): re-encode the routed
+    # reasoning text — cheap relative to generation
+    r_toks = sum(
+        len(state.tokenizer.encode(c.message.reasoning_content))
+        for c in choices
+        if c.message.reasoning_content
+    )
+    if r_toks:
+        usage.completion_tokens_details = CompletionTokensDetails(
+            reasoning_tokens=r_toks
+        )
     resp = ChatCompletionResponse(
         id=request_id,
         model=req.model or state.model_name,
         choices=choices,
-        usage=_usage(out),
+        usage=usage,
     )
     return web.json_response(resp.model_dump())
 
@@ -452,12 +465,14 @@ async def _stream_chat(
     family = state.tool_family
     parser = StreamToolParser(family, req.tools)
     final: Optional[RequestOutput] = None
+    reasoning_chars = [0]
 
     async def send_events(events) -> None:
         for pe in events:
             if pe.kind == "content" and pe.text:
                 delta = DeltaMessage(content=pe.text)
             elif pe.kind == "reasoning" and pe.text:
+                reasoning_chars[0] += len(pe.text)
                 delta = DeltaMessage(reasoning_content=pe.text)
             elif pe.kind == "tool_calls":
                 kept = filter_forced_calls(list(pe.calls or []), forced_tool)
@@ -511,9 +526,19 @@ async def _stream_chat(
             elif ev.text_delta:
                 await send_events(parser.feed(ev.text_delta))
         if include_usage and final is not None:
+            usage = _usage(final)
+            if reasoning_chars[0] and final.outputs:
+                # chars routed to reasoning / chars total scales the
+                # completion token count (token-exact re-encode would
+                # double-tokenize the stream)
+                total_chars = max(len(final.outputs[0].text), 1)
+                frac = min(reasoning_chars[0] / total_chars, 1.0)
+                usage.completion_tokens_details = CompletionTokensDetails(
+                    reasoning_tokens=int(round(usage.completion_tokens * frac))
+                )
             await send(
                 ChatCompletionChunk(
-                    id=request_id, model=model, choices=[], usage=_usage(final)
+                    id=request_id, model=model, choices=[], usage=usage
                 )
             )
         await response.write(b"data: [DONE]\n\n")
