@@ -109,6 +109,13 @@ class LLMEngine:
         seed: int = 0,
         quantization: Optional[str] = None,
     ):
+        # "fp8" KV runs as int8-with-per-(token,head)-scales: equal
+        # bytes/token, strictly better accuracy than e4m3 on a chip with
+        # no fp8 ALU (the reference's FP8-KV capability at parity cost)
+        if cache_config.kv_cache_dtype == "fp8":
+            import dataclasses as _dc
+
+            cache_config = _dc.replace(cache_config, kv_cache_dtype="int8")
         self.model_config = model_config
         self.cache_config = cache_config
         self.scheduler_config = scheduler_config
