@@ -342,3 +342,25 @@ def test_yarn_scaling_factor_flag():
     rs = eng.model_config.rope_scaling
     assert rs is not None and rs.rope_type == "yarn" and rs.factor == 4.0
     assert eng.model_config.max_model_len == 4096 * 4
+
+
+async def test_benchmark_load_generator_against_server(client):
+    """examples/benchmark.py's request coroutine drives the live app:
+    TTFT + token accounting come back sane (reference harness:
+    examples/benchmark.py)."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    import benchmark as bench_mod
+
+    results = []
+    # aiohttp test client exposes the same .post interface the script's
+    # session uses; base_url is handled by the client itself
+    await bench_mod.one_request(
+        client, "", "Hello there, tell me something.", 8, results
+    )
+    assert len(results) == 1
+    r = results[0]
+    assert r["completion_tokens"] >= 1
+    assert r["prompt_tokens"] > 0
+    assert r["ttft"] > 0 and r["e2e"] >= r["ttft"]
