@@ -176,6 +176,10 @@ def build_step_input(
         mm_embeds=mm_embeds,
         mm_idx=mm_idx,
         snap_pos=snap_pos,
+        # static: all rows are single decode tokens -> q row i == seq i
+        # (rows sort decode-first, so this holds exactly when no chunk
+        # exceeds one token)
+        decode_only=bool(rows) and rows[-1][1] == 1,
     )
     return StepPlan(
         step=step,

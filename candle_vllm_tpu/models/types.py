@@ -9,7 +9,7 @@ StepInput from its replicated scheduler state (SPMD).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,11 @@ class StepInput:
     # store (-1 = none; reference: scheduler/mamba.rs:15-291).  None for
     # non-hybrid models.
     snap_pos: jnp.ndarray = None   # [S] i32
+    # STATIC (pytree aux): every scheduled chunk is a single decode row
+    # (q row i belongs to sequence i).  Lets attention pick the
+    # decode-specialized kernel; jit variants key on it, which matches
+    # the engine's existing decode-vs-prefill shape bucketing.
+    decode_only: bool = field(default=False, metadata=dict(static=True))
 
     @property
     def num_tokens(self) -> int:

@@ -73,9 +73,32 @@ def ragged_paged_attention(
     kv_scales: Optional[jnp.ndarray] = None,  # [P, 2K, ps] (int8 cache)
     sinks: Optional[jnp.ndarray] = None,      # [H] per-head sink logits
     impl: str = "auto",
+    decode_only: bool = False,
 ) -> jnp.ndarray:
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if impl == "pallas" and decode_only:
+        # decode-only batches (q row i == sequence i): auto-pipelined page
+        # kernel, gated off until TPU-verified (CVT_DECODE_V3=1)
+        import os
+
+        from candle_vllm_tpu.ops.pallas.decode_attention import (
+            decode_paged_attention_pallas,
+            decode_supported,
+        )
+
+        if decode_supported(spec) and os.environ.get("CVT_DECODE_V3") == "1":
+            # q rows beyond S are padding (token bucket > seq bucket);
+            # rows i < S map 1:1 to sequences (decode_only contract)
+            T = q.shape[0]
+            S = kv_lens.shape[0]
+            qs = q[:S] if T >= S else jnp.pad(q, ((0, S - T), (0, 0), (0, 0)))
+            out = decode_paged_attention_pallas(
+                qs, kv_pages, kv_lens, page_tables, kv_scales, spec=spec
+            )
+            if T > S:
+                out = jnp.pad(out, ((0, T - S), (0, 0), (0, 0)))
+            return out[:T]
     if impl == "pallas":
         from candle_vllm_tpu.ops.pallas.paged_attention import (
             ragged_paged_attention_pallas,
