@@ -175,6 +175,7 @@ def main() -> None:
                 page_tables=pt_j,
                 cu_q_lens=cu,
                 logits_idx=jnp.zeros(S, jnp.int32),
+                decode_only=True,
             )
             logits, kv = model.forward(params, kv, step)
             tok = jnp.argmax(logits[0]).astype(jnp.int32)
