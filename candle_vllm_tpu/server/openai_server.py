@@ -53,8 +53,14 @@ from candle_vllm_tpu.tools import (
     validate_tool_call,
 )
 
-KEEPALIVE_SECS = 10.0
-MIN_DECODE_RESERVE = 4096  # reference: openai_server.rs admission reserve
+import os as _os
+
+# env knobs (reference: KEEP_ALIVE_INTERVAL / CANDLE_VLLM_SSE_BUFFER_SIZE,
+# openai_server.rs:363-431)
+KEEPALIVE_SECS = float(_os.environ.get("CVT_KEEP_ALIVE_INTERVAL", "10"))
+MIN_DECODE_RESERVE = int(
+    _os.environ.get("CVT_MIN_DECODE_RESERVE", "4096")
+)  # reference: openai_server.rs admission reserve
 
 
 class ServerState:
