@@ -21,6 +21,8 @@ GGUF_MAGIC = 0x46554747  # "GGUF"
 
 # ggml tensor types
 GGML_F32, GGML_F16 = 0, 1
+GGML_Q4_0, GGML_Q4_1 = 2, 3
+GGML_Q5_0, GGML_Q5_1 = 6, 7
 GGML_Q8_0 = 8
 GGML_Q2_K = 10
 GGML_Q3_K = 11
@@ -117,6 +119,14 @@ class GGUFFile:
                 data = np.frombuffer(f.read(4 * n), np.float32)
             elif ttype == GGML_F16:
                 data = np.frombuffer(f.read(2 * n), np.float16).astype(np.float32)
+            elif ttype == GGML_Q4_0:
+                data = _dequant_q4_0(f.read(n // 32 * 18), n)
+            elif ttype == GGML_Q4_1:
+                data = _dequant_q4_1(f.read(n // 32 * 20), n)
+            elif ttype == GGML_Q5_0:
+                data = _dequant_q5_0(f.read(n // 32 * 22), n)
+            elif ttype == GGML_Q5_1:
+                data = _dequant_q5_1(f.read(n // 32 * 24), n)
             elif ttype == GGML_Q8_0:
                 data = _dequant_q8_0(f.read(n // 32 * 34), n)
             elif ttype == GGML_Q2_K:
@@ -145,6 +155,62 @@ def _dequant_q8_0(buf: bytes, n: int) -> np.ndarray:
     d = raw[:, :2].copy().view(np.float16).astype(np.float32)  # [nb, 1]
     qs = raw[:, 2:].copy().view(np.int8).astype(np.float32)
     return (qs * d).reshape(-1)
+
+
+def _split_nibbles(qs: np.ndarray) -> np.ndarray:
+    """[B, 16] bytes -> [B, 32] 4-bit values in llama.cpp block order
+    (low nibbles of all 16 bytes, then high nibbles)."""
+    lo = qs & 0xF
+    hi = qs >> 4
+    return np.concatenate([lo, hi], axis=1)
+
+
+def _dequant_q4_0(buf: bytes, n: int) -> np.ndarray:
+    """blocks of 32: f16 d + 16 nibble bytes; w = (q - 8) * d."""
+    nb = n // 32
+    raw = np.frombuffer(buf, np.uint8).reshape(nb, 18)
+    d = raw[:, :2].copy().view(np.float16).astype(np.float32)  # [nb, 1]
+    q = _split_nibbles(raw[:, 2:]).astype(np.float32)
+    return ((q - 8.0) * d).reshape(-1)
+
+
+def _dequant_q4_1(buf: bytes, n: int) -> np.ndarray:
+    """blocks of 32: f16 d, f16 m + 16 nibble bytes; w = q*d + m."""
+    nb = n // 32
+    raw = np.frombuffer(buf, np.uint8).reshape(nb, 20)
+    d = raw[:, :2].copy().view(np.float16).astype(np.float32)
+    m = raw[:, 2:4].copy().view(np.float16).astype(np.float32)
+    q = _split_nibbles(raw[:, 4:]).astype(np.float32)
+    return (q * d + m).reshape(-1)
+
+
+def _unpack_qh(raw: np.ndarray) -> np.ndarray:
+    """4 bytes of high bits -> [B, 32] in nibble order (bit i of the u32
+    is the 5th bit of value i)."""
+    qh = raw.copy().view(np.uint32).astype(np.uint32)  # [B, 1]
+    bits = (qh >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+    return bits.astype(np.float32)
+
+
+def _dequant_q5_0(buf: bytes, n: int) -> np.ndarray:
+    """blocks of 32: f16 d + u32 qh + 16 nibble bytes; w = (q - 16)*d."""
+    nb = n // 32
+    raw = np.frombuffer(buf, np.uint8).reshape(nb, 22)
+    d = raw[:, :2].copy().view(np.float16).astype(np.float32)
+    hi = _unpack_qh(raw[:, 2:6])
+    q = _split_nibbles(raw[:, 6:]).astype(np.float32) + 16.0 * hi
+    return ((q - 16.0) * d).reshape(-1)
+
+
+def _dequant_q5_1(buf: bytes, n: int) -> np.ndarray:
+    """blocks of 32: f16 d, f16 m, u32 qh + 16 nibble bytes; w = q*d+m."""
+    nb = n // 32
+    raw = np.frombuffer(buf, np.uint8).reshape(nb, 24)
+    d = raw[:, :2].copy().view(np.float16).astype(np.float32)
+    m = raw[:, 2:4].copy().view(np.float16).astype(np.float32)
+    hi = _unpack_qh(raw[:, 4:8])
+    q = _split_nibbles(raw[:, 8:]).astype(np.float32) + 16.0 * hi
+    return (q * d + m).reshape(-1)
 
 
 def _dequant_q2_k(buf: bytes, n: int) -> np.ndarray:

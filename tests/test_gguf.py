@@ -623,3 +623,46 @@ def test_gguf_mmproj_vision_tower(tmp_path):
     model = get_model(cfg)
     missing = set(model.vision_tower.param_shapes()) - set(params)
     assert not missing, missing
+
+
+def pack_q4_0(x):
+    """x: [n] float, n % 32 == 0 -> bytes (scalar reference packer)."""
+    out = b""
+    for blk in x.reshape(-1, 32):
+        d = np.abs(blk).max() / 8.0 or 1e-8
+        q = np.clip(np.round(blk / d) + 8, 0, 15).astype(np.uint8)
+        out += np.float16(d).tobytes()
+        out += bytes((q[i] | (q[i + 16] << 4)) for i in range(16))
+    return out
+
+
+def pack_q5_1(x):
+    out = b""
+    for blk in x.reshape(-1, 32):
+        mn = blk.min()
+        d = (blk.max() - mn) / 31.0 or 1e-8
+        q = np.clip(np.round((blk - mn) / d), 0, 31).astype(np.uint32)
+        out += np.float16(d).tobytes() + np.float16(mn).tobytes()
+        qh = 0
+        for i in range(32):
+            qh |= int(q[i] >> 4) << i
+        out += np.uint32(qh).tobytes()
+        out += bytes(int(q[i] & 0xF) | (int(q[i + 16] & 0xF) << 4)
+                     for i in range(16))
+    return out
+
+
+def test_q4_0_and_q5_1_roundtrip(tmp_path):
+    import candle_vllm_tpu.models.gguf as gg
+
+    rng = np.random.default_rng(9)
+    x = (rng.standard_normal(64) * 3).astype(np.float32)
+    got = gg._dequant_q4_0(pack_q4_0(x), 64)
+    # the toy packer clips +absmax to 15 (one full step); the dequant
+    # itself is exact for in-range codes
+    d = np.abs(x).max() / 8.0
+    np.testing.assert_allclose(got, x, atol=d * 1.01 + 1e-3)
+
+    got5 = gg._dequant_q5_1(pack_q5_1(x), 64)
+    dd = (x.max() - x.min()) / 31.0
+    np.testing.assert_allclose(got5, x, atol=dd * 0.51 + 1e-2)
