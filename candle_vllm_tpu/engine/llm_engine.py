@@ -352,12 +352,13 @@ class LLMEngine:
 
         kv_pages = [_copy(p) for p in kv_pages]
         # dsa_prefill is STATIC: flipping the model flag at trace time
-        # selects the sparse-prefill trace for this jit variant only (the
-        # engine computes eligibility per step; models without DSA never
-        # set it)
-        if dsa_prefill:
+        # selects the sparse- or dense-trace for this jit variant.  It is
+        # forced BOTH ways — a config with use_dsa_prefill=True must still
+        # run dense on decode/chunked steps (the in-batch indexer cannot
+        # see paged history).
+        if hasattr(self.model, "use_dsa"):
             prev_dsa = self.model.use_dsa
-            self.model.use_dsa = True
+            self.model.use_dsa = dsa_prefill
             try:
                 logits, kv_pages = self.model.forward(params, kv_pages, step)
             finally:

@@ -121,8 +121,22 @@ class SSETransport(Transport):
         self._session = aiohttp.ClientSession(headers=self.headers)
         self._reader = asyncio.create_task(self._read_events())
         await asyncio.wait_for(self._endpoint_ready.wait(), timeout=30)
+        if self._reader.done() and self._reader.exception() is not None:
+            raise self._reader.exception()
 
     async def _read_events(self) -> None:
+        try:
+            await self._read_events_inner()
+        except asyncio.CancelledError:
+            raise
+        except BaseException:
+            # poison the queue so pending receive() calls fail fast
+            # instead of hanging on a dead stream
+            await self._responses.put(None)
+            self._endpoint_ready.set()
+            raise
+
+    async def _read_events_inner(self) -> None:
         from urllib.parse import urljoin
 
         assert self._session is not None
@@ -158,7 +172,10 @@ class SSETransport(Transport):
             resp.raise_for_status()
 
     async def receive(self) -> Dict[str, Any]:
-        return await self._responses.get()
+        msg = await self._responses.get()
+        if msg is None:
+            raise ConnectionError("MCP SSE stream closed")
+        return msg
 
     async def close(self) -> None:
         if self._reader is not None:

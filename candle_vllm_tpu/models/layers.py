@@ -81,6 +81,8 @@ def _try_fused_mlp(x: jnp.ndarray, params: Params,
     dn_q = params.get(f"{prefix}.down_proj.qweight")
     if gu_q is None or dn_q is None or gu_q.ndim != 3 or dn_q.ndim != 3:
         return None
+    if params.get(f"{prefix}.gate_up_proj.bias") is not None:
+        return None  # kernel has no gate_up bias path; use the unfused MLP
     gu_s = params[f"{prefix}.gate_up_proj.scales"]
     dn_s = params[f"{prefix}.down_proj.scales"]
     from candle_vllm_tpu.ops.quant import _is_w4

@@ -438,17 +438,19 @@ class PixtralVisionTower:
         )
 
     @staticmethod
-    def _rope_interleaved(x: jnp.ndarray, cos: jnp.ndarray,
-                          sin: jnp.ndarray) -> jnp.ndarray:
-        """GPT-J pairing: pairs (x[2i], x[2i+1]) rotate by angle i
-        (reference FusedRope apply with is_gpt_neox=false)."""
-        shape = x.shape
-        x2 = x.reshape(shape[:-1] + (shape[-1] // 2, 2))
-        c = cos[:, None, :, None] if x.ndim == 3 else cos
-        s = sin[:, None, :, None] if x.ndim == 3 else sin
-        r0 = x2[..., 0:1] * c - x2[..., 1:2] * s
-        r1 = x2[..., 0:1] * s + x2[..., 1:2] * c
-        return jnp.concatenate([r0, r1], axis=-1).reshape(shape)
+    def _rope_half(x: jnp.ndarray, cos: jnp.ndarray,
+                   sin: jnp.ndarray) -> jnp.ndarray:
+        """HF rotate-half pairing: (x[i], x[i + hd/2]) rotate by angle i
+        (Pixtral checkpoints are trained with apply_rotary_pos_emb over
+        cat(freqs, freqs))."""
+        hd = x.shape[-1]
+        h = hd // 2
+        c = cos[:, None, :]
+        s = sin[:, None, :]
+        x1, x2 = x[..., :h], x[..., h:]
+        return jnp.concatenate(
+            [x1 * c - x2 * s, x2 * c + x1 * s], axis=-1
+        )
 
     def _attention(self, params: Params, prefix: str, x: jnp.ndarray,
                    seg_ids: jnp.ndarray, cos: jnp.ndarray,
@@ -461,8 +463,8 @@ class PixtralVisionTower:
         val = jnp.dot(x, params[f"{prefix}.v_proj.weight"]).reshape(
             Np, nh, hd
         ).astype(jnp.float32)
-        q = self._rope_interleaved(q.astype(jnp.float32), cos, sin)
-        k = self._rope_interleaved(k.astype(jnp.float32), cos, sin)
+        q = self._rope_half(q.astype(jnp.float32), cos, sin)
+        k = self._rope_half(k.astype(jnp.float32), cos, sin)
         scale = hd ** -0.5
 
         kT = k.transpose(1, 2, 0)

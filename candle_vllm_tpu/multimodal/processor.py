@@ -549,10 +549,21 @@ def pixtral_host_inputs(
         pos_ids[t0 : t0 + n] = np.tile(ids, t)
         t0 += n
 
-    theta = 1.0 / vision.rope_theta ** (
+    # true 2D rotary (HF PixtralRotaryEmbedding): row coords rotate the
+    # EVEN inv_freq entries, column coords the ODD ones, concatenated —
+    # NB the reference's vision.rs:19-35 instead multiplies the flat
+    # meshgrid id by the full theta table (1D rope over flat ids), which
+    # mismatches real HF checkpoints; we follow HF.
+    inv = 1.0 / vision.rope_theta ** (
         np.arange(0, head_dim, 2, dtype=np.float64) / head_dim
     )
-    ang = pos_ids[:, None].astype(np.float64) * theta[None, :]
+    rows = (pos_ids // max_side).astype(np.float64)
+    cols = (pos_ids % max_side).astype(np.float64)
+    ang = np.concatenate(
+        [rows[:, None] * inv[0::2][None, :],
+         cols[:, None] * inv[1::2][None, :]],
+        axis=-1,
+    )                                           # [Np, head_dim/2]
     return {
         "patches": patches,
         "seg_ids": seg_ids,

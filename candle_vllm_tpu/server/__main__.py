@@ -136,12 +136,13 @@ def build_engine(args):
         from candle_vllm_tpu.config import RopeScaling, derive_yarn_parameters
 
         f = max(args.yarn_scaling_factor, 1.0)
-        beta_fast, beta_slow, _, attn = derive_yarn_parameters(f)
+        beta_fast, beta_slow, _, _ = derive_yarn_parameters(f)
         cfg.rope_scaling = RopeScaling(
             rope_type="yarn", factor=f,
             original_max_position_embeddings=cfg.max_model_len,
             beta_fast=beta_fast, beta_slow=beta_slow,
-            attention_factor=attn,
+            # attention_factor stays None so ops/rope.py applies the
+            # standard YaRN mscale (0.1*ln(f)+1) at stretched context
         )
         cfg.max_model_len = int(cfg.max_model_len * f)
     if args.max_model_len:
@@ -149,25 +150,24 @@ def build_engine(args):
 
     on_tpu = jax.default_backend() == "tpu"
     block_size = args.block_size or (128 if on_tpu else 16)
+    # weight-footprint estimate (reference: lib.rs:128-281 get_cache_config)
+    linear_bytes = cfg.num_hidden_layers * (
+        cfg.hidden_size * (cfg.num_attention_heads + 2 * cfg.num_key_value_heads)
+        * cfg.head_dim + cfg.hidden_size * cfg.head_dim * cfg.num_attention_heads
+        + 3 * cfg.hidden_size * cfg.intermediate_size
+    ) * 2
+    head_bytes = 2 * cfg.vocab_size * cfg.hidden_size * 2
+    if args.isq == "w4a16":  # int4 linears + int8 lm_head + scales
+        linear_bytes = int(linear_bytes / 3.5)
+        head_bytes = int(head_bytes * 0.75)
+    elif args.isq == "int8":
+        linear_bytes = int(linear_bytes / 1.9)
+        head_bytes = int(head_bytes * 0.75)
+    param_bytes = linear_bytes + head_bytes
+    hbm = 15e9 if on_tpu else 4e9
     if args.kv_blocks:
         num_blocks = args.kv_blocks
     else:
-        # size from the HBM budget left after weights
-        # (reference: lib.rs:128-281 get_cache_config)
-        linear_bytes = cfg.num_hidden_layers * (
-            cfg.hidden_size * (cfg.num_attention_heads + 2 * cfg.num_key_value_heads)
-            * cfg.head_dim + cfg.hidden_size * cfg.head_dim * cfg.num_attention_heads
-            + 3 * cfg.hidden_size * cfg.intermediate_size
-        ) * 2
-        head_bytes = 2 * cfg.vocab_size * cfg.hidden_size * 2
-        if args.isq == "w4a16":  # int4 linears + int8 lm_head + scales
-            linear_bytes = int(linear_bytes / 3.5)
-            head_bytes = int(head_bytes * 0.75)
-        elif args.isq == "int8":
-            linear_bytes = int(linear_bytes / 1.9)
-            head_bytes = int(head_bytes * 0.75)
-        param_bytes = linear_bytes + head_bytes
-        hbm = 15e9 if on_tpu else 4e9
         budget = max(int((hbm - param_bytes) * args.kv_fraction), 0)
         kv_per_block = CacheConfig.kv_bytes_per_token(cfg, "auto") * block_size
         num_blocks = max(16, budget // max(kv_per_block, 1))
@@ -177,21 +177,23 @@ def build_engine(args):
             args.max_num_seqs * -(-cfg.max_model_len // block_size) + 1,
         )
 
+    # quantized caches pack more tokens into the same byte budget
+    kv_factor = {"int8": 2, "fp8": 2, "int4": 4}.get(args.kvcache_dtype, 1)
     cache = CacheConfig(
         block_size=block_size,
-        num_gpu_blocks=num_blocks * (2 if args.kvcache_dtype == "int8" else 1),
-        num_cpu_blocks=0 if args.kvcache_dtype == "int8" else args.cpu_kv_blocks,
+        num_gpu_blocks=num_blocks * kv_factor,
+        num_cpu_blocks=args.cpu_kv_blocks,
         kv_cache_dtype=args.kvcache_dtype,
     )
     # solve the concurrency cap from KV + workspace capacity, bounded by
     # the user's --max-num-seqs (reference: compute_max_num_parallel_reqs,
-    # lib.rs:425-471)
+    # lib.rs:425-471).  Free workspace = HBM after weights and KV.
     from candle_vllm_tpu.config import compute_max_num_parallel_reqs
 
     solved = compute_max_num_parallel_reqs(
         cache.num_gpu_blocks * cache.block_size,
         args.prefill_chunk_size,
-        int((15e9 if on_tpu else 4e9) * (1 - args.kv_fraction)),
+        max(int((hbm - param_bytes) * (1 - args.kv_fraction)), 0),
         cfg,
     )
     max_num_seqs = min(args.max_num_seqs, solved)

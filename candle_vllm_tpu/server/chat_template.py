@@ -125,7 +125,11 @@ def escape_special_tokens(
     for tok in escape_tokens:
         if not tok or tok not in content:
             continue
-        esc = "<‌" + tok[1:] if tok.startswith("<") else tok + "‌"
+        # ZWNJ inserted INSIDE the token (after the first char) so the
+        # tokenizer's added-token matcher can never see the contiguous
+        # span — appending after the token (the reference's non-'<' arm)
+        # leaves '[INST]'-style markers matchable
+        esc = tok[0] + "‌" + tok[1:]
         content = content.replace(tok, esc)
     for s, tok in sentinels:
         content = content.replace(s, tok)
