@@ -116,10 +116,6 @@ class Llama4ForConditionalGeneration(Llama4ForCausalLM):
         return np.asarray(out.astype(jnp.float32))
 
     def _embed(self, params, step):
-        import jax.numpy as jnp
+        from candle_vllm_tpu.models.vision import merge_mm_embeds
 
-        x = super()._embed(params, step)
-        if step.mm_embeds is None:
-            return x
-        sel = step.mm_embeds[0][jnp.clip(step.mm_idx, 0)].astype(x.dtype)
-        return jnp.where((step.mm_idx >= 0)[:, None], sel, x)
+        return merge_mm_embeds(super()._embed(params, step), step)

@@ -718,3 +718,13 @@ class Llama4VisionTower:
         out = jnp.dot(h, params["multi_modal_projector.linear_1.weight"])
         return out.reshape(1, B * self.tokens_per_tile,
                            self.config.hidden_size)
+
+
+def merge_mm_embeds(x: jnp.ndarray, step) -> jnp.ndarray:
+    """Replace image-token rows of the token embeddings with the encoded
+    image rows (shared by every VL family; reference: per-model
+    image_mask scatter, e.g. qwen3_vl/mod.rs:220-270)."""
+    if step.mm_embeds is None:
+        return x
+    sel = step.mm_embeds[0][jnp.clip(step.mm_idx, 0)].astype(x.dtype)
+    return jnp.where((step.mm_idx >= 0)[:, None], sel, x)

@@ -364,3 +364,13 @@ async def test_benchmark_load_generator_against_server(client):
     assert r["completion_tokens"] >= 1
     assert r["prompt_tokens"] > 0
     assert r["ttft"] > 0 and r["e2e"] >= r["ttft"]
+
+
+def test_escape_bracket_tokens_broken_inside():
+    """'[INST]'-style markers must be broken INSIDE the token — appending
+    a ZWNJ after leaves the contiguous span tokenizer-matchable."""
+    from candle_vllm_tpu.server.chat_template import escape_special_tokens
+
+    out = escape_special_tokens("do [INST] now", ["[INST]"])
+    assert "[INST]" not in out
+    assert out == "do [‌INST] now"
