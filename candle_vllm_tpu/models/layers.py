@@ -209,7 +209,7 @@ def paged_attention_with_write(
             out = ragged_paged_attention(
                 q, pages, step.kv_lens, step.page_tables, step.cu_q_lens,
                 spec=spec, kv_scales=scales,
-                decode_only=getattr(step, "decode_only", False),
+                decode_only=step.decode_only,
             )
             if unrotate is not None:
                 out = (out.astype(jnp.float32) @ unrotate).astype(out.dtype)
@@ -218,7 +218,7 @@ def paged_attention_with_write(
                             kv_shared=spec.kv_shared)
         out = ragged_paged_attention(
             q, kv_pages, step.kv_lens, step.page_tables, step.cu_q_lens,
-            spec=spec, decode_only=getattr(step, "decode_only", False),
+            spec=spec, decode_only=step.decode_only,
         )
         return out, kv_pages
 

@@ -19,8 +19,13 @@ TPU re-design of the reference's ``src/openai/models/llama4/mod.rs``:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from candle_vllm_tpu.config import ModelConfig
 from candle_vllm_tpu.models.qwen_moe import QwenMoeForCausalLM
 from candle_vllm_tpu.models.registry import register
 
@@ -57,16 +62,8 @@ class Llama4ForCausalLM(QwenMoeForCausalLM):
         return shapes
 
 
-# vision wiring appended below the text stack to keep one class per
-# architecture name (the registry resolves to the LAST registration)
-import jax
-import numpy as np
-from jax.sharding import Mesh
-from typing import Optional
-
-from candle_vllm_tpu.config import ModelConfig
-
-
+# vision wiring below the text stack: the registry resolves
+# "Llama4ForConditionalGeneration" to this LAST registration
 @register("Llama4ForConditionalGeneration")
 class Llama4ForConditionalGeneration(Llama4ForCausalLM):
     """Llama4 VL: vision tower + projector feeding image embeddings into

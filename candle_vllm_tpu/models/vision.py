@@ -54,6 +54,32 @@ def _gelu(x: jnp.ndarray, act: str) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=False)
 
 
+
+def _segment_attention(q, k, val, seg_ids, scale):
+    """Block-diagonal (per-image) attention via segment-id masking, in
+    query chunks so the [Np, Np] score matrix never materializes (shared
+    by the Qwen and Pixtral towers)."""
+    Np, nh, hd = q.shape
+    kT = k.transpose(1, 2, 0)            # [nh, hd, Np]
+    vT = val.transpose(1, 0, 2)          # [nh, Np, hd]
+    n_chunks = max(Np // _Q_CHUNK, 1)
+    cq = Np // n_chunks
+    q_blocks = q.reshape(n_chunks, cq, nh, hd).transpose(0, 2, 1, 3)
+    seg_q = seg_ids.reshape(n_chunks, cq)
+    valid_k = (seg_ids > 0)[None, :]
+
+    def block(args):
+        qb, sq = args                    # [nh, cq, hd], [cq]
+        logits = jnp.einsum("hqd,hdk->hqk", qb, kT) * scale
+        allow = (sq[:, None] == seg_ids[None, :]) & valid_k
+        logits = jnp.where(allow[None], logits, -1e30)
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("hqk,hkd->hqd", p, vT)
+
+    out = jax.lax.map(block, (q_blocks, seg_q))   # [nc, nh, cq, hd]
+    return out.transpose(0, 2, 1, 3).reshape(Np, nh * hd)
+
+
 class VisionTower:
     """Functional ViT encoder over host-precomputed inputs.
 
@@ -133,26 +159,9 @@ class VisionTower:
         sinf = sin[:, None, :].astype(jnp.float32)
         q = q * cosf + _rotate_half(q) * sinf
         k = k * cosf + _rotate_half(k) * sinf
-        scale = hd ** -0.5
-
-        kT = k.transpose(1, 2, 0)            # [nh, hd, Np]
-        vT = val.transpose(1, 0, 2)          # [nh, Np, hd]
-        n_chunks = max(Np // _Q_CHUNK, 1)
-        cq = Np // n_chunks
-        q_blocks = q.reshape(n_chunks, cq, nh, hd).transpose(0, 2, 1, 3)
-        seg_q = seg_ids.reshape(n_chunks, cq)
-        valid_k = (seg_ids > 0)[None, :]
-
-        def block(args):
-            qb, sq = args                    # [nh, cq, hd], [cq]
-            logits = jnp.einsum("hqd,hdk->hqk", qb, kT) * scale
-            allow = (sq[:, None] == seg_ids[None, :]) & valid_k
-            logits = jnp.where(allow[None], logits, -1e30)
-            p = jax.nn.softmax(logits, axis=-1)
-            return jnp.einsum("hqk,hkd->hqd", p, vT)  # [nh, cq, hd]
-
-        out = jax.lax.map(block, (q_blocks, seg_q))   # [nc, nh, cq, hd]
-        out = out.transpose(0, 2, 1, 3).reshape(Np, nh * hd).astype(x.dtype)
+        out = _segment_attention(q, k, val, seg_ids, hd ** -0.5).astype(
+            x.dtype
+        )
         return jnp.dot(out, params[f"{prefix}.proj.weight"]) + params[
             f"{prefix}.proj.bias"
         ]
@@ -431,11 +440,9 @@ class PixtralVisionTower:
 
     @staticmethod
     def _rms(x: jnp.ndarray, w: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-        xf = x.astype(jnp.float32)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        return (xf * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)).astype(
-            x.dtype
-        )
+        from candle_vllm_tpu.ops.norms import rms_norm
+
+        return rms_norm(x, w, eps)
 
     @staticmethod
     def _rope_half(x: jnp.ndarray, cos: jnp.ndarray,
@@ -465,26 +472,9 @@ class PixtralVisionTower:
         ).astype(jnp.float32)
         q = self._rope_half(q.astype(jnp.float32), cos, sin)
         k = self._rope_half(k.astype(jnp.float32), cos, sin)
-        scale = hd ** -0.5
-
-        kT = k.transpose(1, 2, 0)
-        vT = val.transpose(1, 0, 2)
-        n_chunks = max(Np // _Q_CHUNK, 1)
-        cq = Np // n_chunks
-        q_blocks = q.reshape(n_chunks, cq, nh, hd).transpose(0, 2, 1, 3)
-        seg_q = seg_ids.reshape(n_chunks, cq)
-        valid_k = (seg_ids > 0)[None, :]
-
-        def block(args):
-            qb, sq = args
-            logits = jnp.einsum("hqd,hdk->hqk", qb, kT) * scale
-            allow = (sq[:, None] == seg_ids[None, :]) & valid_k
-            logits = jnp.where(allow[None], logits, -1e30)
-            p = jax.nn.softmax(logits, axis=-1)
-            return jnp.einsum("hqk,hkd->hqd", p, vT)
-
-        out = jax.lax.map(block, (q_blocks, seg_q))
-        out = out.transpose(0, 2, 1, 3).reshape(Np, nh * hd).astype(x.dtype)
+        out = _segment_attention(q, k, val, seg_ids, hd ** -0.5).astype(
+            x.dtype
+        )
         return jnp.dot(out, params[f"{prefix}.o_proj.weight"])
 
     def encode(
