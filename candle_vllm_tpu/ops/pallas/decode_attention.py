@@ -17,6 +17,11 @@ range or the score math and are rare on decode-bound models).
 Dispatch: ``ragged_paged_attention(..., decode_only=True)`` — set from
 ``StepInput.decode_only`` (every scheduled chunk is one token, so q row
 ``i`` IS sequence ``i``).
+
+Grid steps beyond a sequence's page count clamp to the padded table's
+page 0 and skip compute; consecutive identical block indices elide the
+DMA (the Pallas pipeline's standard block-revisit optimization), so the
+padding tail of a short context costs grid-step overhead, not bandwidth.
 """
 
 from __future__ import annotations
