@@ -138,3 +138,32 @@ def test_engine_e2e_with_decode_v3():
         del os.environ["CVT_DECODE_V3"]
     for a, b in zip(ref, got):
         assert a.outputs[0].token_ids == b.outputs[0].token_ids
+
+
+def test_decode_only_flag_set_correctly():
+    """build_step_input marks decode_only iff every chunk is one token."""
+    from candle_vllm_tpu.engine.block_engine import BlockEngine
+    from candle_vllm_tpu.engine.input_builder import build_step_input
+    from candle_vllm_tpu.engine.scheduler import ScheduledGroup
+    from candle_vllm_tpu.engine.sequence import Sequence, SequenceGroup
+    from candle_vllm_tpu.sampling_params import SamplingParams
+
+    be = BlockEngine(8, 32, 0, enable_prefix_caching=False)
+    s1 = Sequence(0, list(range(10)))
+    g1 = SequenceGroup("a", [s1], SamplingParams())
+    be.allocate(s1)
+    # prefill chunk of 10 -> NOT decode_only
+    plan = build_step_input([ScheduledGroup(g1, {0: 10})], be, 8, 64)
+    assert plan.step.decode_only is False
+    # decode row (chunk of 1) -> decode_only
+    s1.num_computed_tokens = 9
+    plan = build_step_input([ScheduledGroup(g1, {0: 1})], be, 8, 64)
+    assert plan.step.decode_only is True
+    # mixed: decode row + prefill chunk -> NOT decode_only
+    s2 = Sequence(1, list(range(6)))
+    g2 = SequenceGroup("b", [s2], SamplingParams())
+    be.allocate(s2)
+    plan = build_step_input(
+        [ScheduledGroup(g1, {0: 1}), ScheduledGroup(g2, {1: 6})], be, 8, 64
+    )
+    assert plan.step.decode_only is False
