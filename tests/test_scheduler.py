@@ -1,5 +1,7 @@
 """Scheduler behavior: chunked prefill, mixed batches, preemption, caps."""
 
+import time
+
 from candle_vllm_tpu.config import SchedulerConfig
 from candle_vllm_tpu.engine.block_engine import BlockEngine
 from candle_vllm_tpu.engine.scheduler import Scheduler
@@ -221,7 +223,10 @@ def test_swap_in_cooldown_blocks_immediate_return():
     out = run_step(sched)
     assert not out.blocks_to_swap_in          # cooling period holds it out
     assert s2.status == SequenceStatus.SWAPPED
-    g2.swapped_at = 0.0                        # cooldown elapsed
+    # cooldown elapsed (relative to now — time.monotonic() counts from
+    # boot, so an absolute 0.0 only works on hosts up longer than the
+    # cooldown)
+    g2.swapped_at = time.monotonic() - 2 * 3600.0
     out = run_step(sched)
     assert out.blocks_to_swap_in
     assert s2.status == SequenceStatus.RUNNING
@@ -242,7 +247,7 @@ def test_swapped_mid_prefill_resumes_chunked():
     sched._preempt(g1, out_obj)
     assert s1.status == SequenceStatus.SWAPPED
     assert s1.num_computed_tokens == 8
-    g1.swapped_at = 0.0
+    g1.swapped_at = time.monotonic() - 2 * 3600.0
     out = run_step(sched)
     assert out.blocks_to_swap_in
     # resumed with a full prefill chunk, not a single decode slot
