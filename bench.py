@@ -53,6 +53,11 @@ def main() -> None:
     ap.add_argument("--decode-steps", type=int, default=256)
     ap.add_argument("--engine-steps", type=int, default=128)
     ap.add_argument("--skip-engine", action="store_true")
+    ap.add_argument("--skip-kernel", action="store_true",
+                    help="skip the device-loop kernel-path timing")
+    ap.add_argument("--block-size", type=int, default=128,
+                    help="engine KV block size (TPU page DMA wants >=128; "
+                         "16-token vLLM-style blocks cost ~30%% decode)")
     args = ap.parse_args()
 
     import jax
@@ -125,105 +130,109 @@ def main() -> None:
     fwd = jax.jit(model.forward, donate_argnums=(1,))
     logits, kv_pages = fwd(params, kv_pages, prefill_step)
     first_tok = int(np.asarray(jnp.argmax(logits[0])))
+    ttft = toks_per_s = None
+    kv_warm = logits2 = None
 
-    # TTFT via loop differencing (a single dispatch+fetch through the
-    # axon tunnel carries ~0.8 s of round-trip that a co-located host
-    # doesn't pay; see .claude/skills/verify/SKILL.md)
-    def prefill_loop(params, kv, n):
-        def body(i, carry):
-            kv, acc = carry
-            lg, kv = model.forward(params, kv, prefill_step)
-            return (kv, acc * (1.0 + lg[0, 0] * 1e-24).astype(acc.dtype))
-        return jax.lax.fori_loop(
-            0, n, body, (kv, jnp.ones((8, 8), jnp.bfloat16))
-        )[1]
+    if not args.skip_kernel:
+        # TTFT via loop differencing (a single dispatch+fetch through the
+        # axon tunnel carries ~0.8 s of round-trip that a co-located host
+        # doesn't pay; see .claude/skills/verify/SKILL.md)
+        def prefill_loop(params, kv, n):
+            def body(i, carry):
+                kv, acc = carry
+                lg, kv = model.forward(params, kv, prefill_step)
+                return (kv, acc * (1.0 + lg[0, 0] * 1e-24).astype(acc.dtype))
+            return jax.lax.fori_loop(
+                0, n, body, (kv, jnp.ones((8, 8), jnp.bfloat16))
+            )[1]
 
-    ploop = jax.jit(prefill_loop)
-    np.asarray(ploop(params, kv_pages, jnp.int32(2)))
-    t0 = time.time()
-    np.asarray(ploop(params, kv_pages, jnp.int32(2)))
-    d_lo = time.time() - t0
-    t0 = time.time()
-    np.asarray(ploop(params, kv_pages, jnp.int32(10)))
-    d_hi = time.time() - t0
-    ttft = (d_hi - d_lo) / 8
-    logits2, kv_pages = fwd(params, kv_pages, prefill_step)
-    _ = np.asarray(logits2[0, 0])
+        ploop = jax.jit(prefill_loop)
+        np.asarray(ploop(params, kv_pages, jnp.int32(2)))
+        t0 = time.time()
+        np.asarray(ploop(params, kv_pages, jnp.int32(2)))
+        d_lo = time.time() - t0
+        t0 = time.time()
+        np.asarray(ploop(params, kv_pages, jnp.int32(10)))
+        d_hi = time.time() - t0
+        ttft = (d_hi - d_lo) / 8
+        logits2, kv_pages = fwd(params, kv_pages, prefill_step)
+        _ = np.asarray(logits2[0, 0])
 
-    # ---- device-resident greedy decode loop -----------------------------
-    pt_j = jnp.asarray(pt)
+        # ---- device-resident greedy decode loop -----------------------------
+        pt_j = jnp.asarray(pt)
 
-    def decode_loop(params, kv_pages, tok0, start_pos, n):
-        T = 8
+        def decode_loop(params, kv_pages, tok0, start_pos, n):
+            T = 8
 
-        def body(i, carry):
-            tok, pos, kv = carry
-            token_ids = jnp.zeros(T, jnp.int32).at[0].set(tok)
-            positions = jnp.zeros(T, jnp.int32).at[0].set(pos)
-            slots = jnp.full(T, INVALID_SLOT, jnp.int32).at[0].set(
-                pt_j[0, pos // PAGE] * PAGE + pos % PAGE
-            )
-            kv_lens = jnp.zeros(S, jnp.int32).at[0].set(pos + 1)
-            cu = jnp.concatenate(
-                [jnp.zeros(1, jnp.int32), jnp.ones(S, jnp.int32)]
-            )
-            step = StepInput(
-                token_ids=token_ids,
-                positions=positions,
-                slot_mapping=slots,
-                kv_lens=kv_lens,
-                page_tables=pt_j,
-                cu_q_lens=cu,
-                logits_idx=jnp.zeros(S, jnp.int32),
-                decode_only=True,
-            )
-            logits, kv = model.forward(params, kv, step)
-            tok = jnp.argmax(logits[0]).astype(jnp.int32)
-            return (tok, pos + 1, kv)
+            def body(i, carry):
+                tok, pos, kv = carry
+                token_ids = jnp.zeros(T, jnp.int32).at[0].set(tok)
+                positions = jnp.zeros(T, jnp.int32).at[0].set(pos)
+                slots = jnp.full(T, INVALID_SLOT, jnp.int32).at[0].set(
+                    pt_j[0, pos // PAGE] * PAGE + pos % PAGE
+                )
+                kv_lens = jnp.zeros(S, jnp.int32).at[0].set(pos + 1)
+                cu = jnp.concatenate(
+                    [jnp.zeros(1, jnp.int32), jnp.ones(S, jnp.int32)]
+                )
+                step = StepInput(
+                    token_ids=token_ids,
+                    positions=positions,
+                    slot_mapping=slots,
+                    kv_lens=kv_lens,
+                    page_tables=pt_j,
+                    cu_q_lens=cu,
+                    logits_idx=jnp.zeros(S, jnp.int32),
+                    decode_only=True,
+                )
+                logits, kv = model.forward(params, kv, step)
+                tok = jnp.argmax(logits[0]).astype(jnp.int32)
+                return (tok, pos + 1, kv)
 
-        return jax.lax.fori_loop(0, n, body, (tok0, start_pos, kv_pages))
+            return jax.lax.fori_loop(0, n, body, (tok0, start_pos, kv_pages))
 
-    loop = jax.jit(decode_loop, donate_argnums=(1,))
+        loop = jax.jit(decode_loop, donate_argnums=(1,))
 
-    tok, pos, kv_warm = loop(params, kv_pages, jnp.int32(first_tok),
-                             jnp.int32(CTX), jnp.int32(8))
-    _ = int(np.asarray(tok))
-    t0 = time.time()
-    tok_a, pos_a, kv_warm = loop(params, kv_warm, jnp.int32(first_tok),
+        tok, pos, kv_warm = loop(params, kv_pages, jnp.int32(first_tok),
                                  jnp.int32(CTX), jnp.int32(8))
-    _ = int(np.asarray(tok_a))
-    d_short = time.time() - t0
-    t0 = time.time()
-    tok_b, pos_b, kv_warm = loop(params, kv_warm, jnp.int32(first_tok),
-                                 jnp.int32(CTX), jnp.int32(8 + DECODE_STEPS))
-    _ = int(np.asarray(tok_b))
-    d_long = time.time() - t0
+        _ = int(np.asarray(tok))
+        t0 = time.time()
+        tok_a, pos_a, kv_warm = loop(params, kv_warm, jnp.int32(first_tok),
+                                     jnp.int32(CTX), jnp.int32(8))
+        _ = int(np.asarray(tok_a))
+        d_short = time.time() - t0
+        t0 = time.time()
+        tok_b, pos_b, kv_warm = loop(params, kv_warm, jnp.int32(first_tok),
+                                     jnp.int32(CTX), jnp.int32(8 + DECODE_STEPS))
+        _ = int(np.asarray(tok_b))
+        d_long = time.time() - t0
 
-    dt = max(d_long - d_short, 1e-9) / DECODE_STEPS
-    toks_per_s = 1.0 / dt
+        dt = max(d_long - d_short, 1e-9) / DECODE_STEPS
+        toks_per_s = 1.0 / dt
 
     # ---- engine-path decode (what serving users actually get) -----------
     # Drives LLMEngine.step(): scheduler + input build + jitted step +
     # host token fetch per step (reference harness: examples/benchmark.py
     # measures the same serving path).
-    engine_tok_s = engine_ttft_ms = None
+    engine_tok_s = engine_ttft_ms = engine_ttft_cold_ms = None
     if not args.skip_engine:
         del kv_pages, kv_warm, logits, logits2  # free HBM for engine KV
         from candle_vllm_tpu.config import CacheConfig, SchedulerConfig
         from candle_vllm_tpu.engine.llm_engine import LLMEngine
         from candle_vllm_tpu.sampling_params import SamplingParams
 
-        n_blocks = (CTX + args.engine_steps + 64) // 16 + 8
+        bs = args.block_size
+        n_blocks = (CTX + args.engine_steps + 256) // bs + 8
         eng = LLMEngine(
             cfg,
-            CacheConfig(block_size=16, num_gpu_blocks=n_blocks,
+            CacheConfig(block_size=bs, num_gpu_blocks=n_blocks,
                         num_cpu_blocks=0),
             SchedulerConfig(max_model_len=cfg.max_model_len,
                             enable_prefix_caching=False),
             params=params,
         )
         sp = SamplingParams(temperature=0.0, ignore_eos=True,
-                            max_tokens=args.engine_steps + 32)
+                            max_tokens=args.engine_steps + 192)
         eng.add_request("bench", prompt_token_ids=list(prompt), sampling_params=sp)
         # measure the tunnel round-trip so the serving numbers can be
         # adjusted to what a co-located host would see (each engine step
@@ -236,33 +245,56 @@ def main() -> None:
             _ = np.asarray(probe(jnp.zeros(8)))
         rtt = (time.time() - t0) / 5
         t0 = time.time()
-        eng.step()  # prefill
-        engine_ttft_ms = (time.time() - t0 - rtt) * 1e3
-        for _ in range(8):  # warm decode shapes
+        eng.step()  # prefill (cold: includes jit compile of the bucket)
+        engine_ttft_cold_ms = (time.time() - t0 - rtt) * 1e3
+        seq = eng._groups["bench"].get_seqs()[0]
+        for _ in range(4):  # warm/compile decode dispatch shapes
             eng.step()
+        n0 = seq.get_output_len()
+        n_calls = 0
         t0 = time.time()
-        for _ in range(args.engine_steps):
+        while (
+            seq.get_output_len() - n0 < args.engine_steps
+            and eng.has_unfinished_requests()
+        ):
             eng.step()
+            n_calls += 1
         d_eng = time.time() - t0
-        engine_tok_s = args.engine_steps / max(
-            d_eng - args.engine_steps * rtt, 1e-9
-        )
+        produced = seq.get_output_len() - n0
+        # each step() fetches once -> subtract one tunnel RTT per call
+        engine_tok_s = produced / max(d_eng - n_calls * rtt, 1e-9)
+        eng.abort_request("bench")
+        while eng.has_unfinished_requests():
+            eng.step()
+        # warm TTFT: a second same-shape prompt hits compiled buckets —
+        # what a production request actually sees after --warmup
+        # (reference TTFT numbers are warm: examples/benchmark.py)
+        prompt2 = rng.integers(0, cfg.vocab_size, size=CTX).astype(np.int32)
+        eng.add_request("bench2", prompt_token_ids=list(prompt2),
+                        sampling_params=sp)
+        t0 = time.time()
+        eng.step()
+        engine_ttft_ms = (time.time() - t0 - rtt) * 1e3
+        eng.abort_request("bench2")
 
     hbm_bw = 819e9  # v5e
     sol_toks = hbm_bw / stream_bytes
+    headline = toks_per_s if toks_per_s is not None else (engine_tok_s or 0.0)
     result = {
         "metric": f"decode_tok_s_1req_{args.config}_{CTX//1024}k_ctx",
-        "value": round(toks_per_s, 2),
+        "value": round(headline, 2),
         "unit": "tok/s",
-        "vs_baseline": round(toks_per_s / baseline, 3),
+        "vs_baseline": round(headline / baseline, 3),
         "notes": {
             "sol_tok_s_v5e": round(sol_toks, 1),
-            "sol_fraction": round(toks_per_s / sol_toks, 3),
+            "sol_fraction": round(headline / sol_toks, 3),
             "stream_bytes": stream_bytes,
             "param_bytes": param_bytes,
-            "ttft_ms_1k_prompt": round(ttft * 1e3, 1),
+            "ttft_ms_1k_prompt": round(ttft * 1e3, 1) if ttft else None,
             "engine_decode_tok_s": round(engine_tok_s, 2) if engine_tok_s else None,
             "engine_ttft_ms": round(engine_ttft_ms, 1) if engine_ttft_ms else None,
+            "engine_ttft_cold_ms": round(engine_ttft_cold_ms, 1)
+            if engine_ttft_cold_ms else None,
             "tunnel_rtt_ms_adjusted": True,
             "backend": jax.default_backend(),
             "reference_baseline_tok_s": baseline,

@@ -331,6 +331,11 @@ class ModelConfig:
     vision_start_token_id: Optional[int] = None
     vision_end_token_id: Optional[int] = None
     extra: Dict[str, Any] = field(default_factory=dict)
+    # checkpoint generation_config.json sampling defaults — requests that
+    # leave temperature/top_p/top_k/repetition_penalty unset inherit the
+    # model's intended values (reference: openai_server.rs:329-359,
+    # pipeline.rs:1615-1700)
+    generation_defaults: Dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         if self.head_dim is None:
@@ -613,7 +618,29 @@ class ModelConfig:
     @classmethod
     def from_json(cls, path: str, **overrides: Any) -> "ModelConfig":
         with open(path) as f:
-            return cls.from_hf(json.load(f), **overrides)
+            mc = cls.from_hf(json.load(f), **overrides)
+        gc = os.path.join(os.path.dirname(path), "generation_config.json")
+        if os.path.exists(gc):
+            mc.generation_defaults = load_generation_config(gc)
+        return mc
+
+
+def load_generation_config(path: str) -> Dict[str, Any]:
+    """Sampling defaults from a checkpoint's generation_config.json
+    (reference: SamplingGenerationConfig, pipeline.rs:1615-1700).  Only
+    the sampling-relevant keys are kept; do_sample=False forces greedy
+    like the reference."""
+    with open(path) as f:
+        gc = json.load(f)
+    out: Dict[str, Any] = {}
+    for k in ("temperature", "top_p", "top_k", "min_p",
+              "repetition_penalty", "presence_penalty",
+              "frequency_penalty"):
+        if gc.get(k) is not None:
+            out[k] = gc[k]
+    if gc.get("do_sample") is False:
+        out["temperature"] = 0.0
+    return out
 
 
 def derive_yarn_max_len(config: ModelConfig) -> int:
@@ -696,9 +723,17 @@ class SchedulerConfig:
     # fraction of prefix-cache blocks evictable under pressure per schedule
     # (reference: scheduler/mod.rs:37 PREFIX_CACHE_EVICT_FRACTION = 10%)
     prefix_evict_fraction: float = 0.1
-    # seconds a swapped-out group must wait before swapping back in
-    # (reference: scheduler/mod.rs:39 SWAP_IN_COOLING_PERIOD = 300ms)
-    swap_in_cooldown: float = 0.3
+    # engine steps a swapped-out group must wait before swapping back in
+    # (reference: scheduler/mod.rs:39 SWAP_IN_COOLING_PERIOD = 300ms —
+    # ours counts scheduler passes, not wall-clock, so replicated
+    # multi-host schedulers decide identically regardless of replay
+    # timing; see parallel/multihost.py lockstep intake)
+    swap_in_cooldown_steps: int = 3
+    # decode micro-steps fused into one device dispatch (the CUDA-graph
+    # multi-token replay analogue): the sampled token feeds the next
+    # forward on-device, so per-step host work amortizes K-fold.  1
+    # disables.  Applied only to penalty-free all-decode steps.
+    decode_steps: int = 8
 
     def __post_init__(self) -> None:
         # the step token budget is authoritative; chunks can never exceed it

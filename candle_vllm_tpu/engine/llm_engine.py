@@ -321,7 +321,20 @@ class LLMEngine:
             self._device_step,
             donate_argnums=(1,),
             static_argnames=("want_logprobs", "greedy_only", "penalties",
-                             "dsa_prefill"),
+                             "dsa_prefill", "n_steps", "do_copy"),
+        )
+        # per-step sampling keys derive on device from this base key +
+        # the step counter (an eager jax.random.split on host costs
+        # ~0.7 ms/step of dispatch overhead)
+        self._base_key = jax.random.PRNGKey(seed)
+        # decode micro-steps per dispatch (CVT_MULTISTEP=1 disables); the
+        # host only sees every K-th token boundary, so stop detection and
+        # streaming run at K-token granularity
+        import os
+
+        self._multistep = max(
+            1, int(os.environ.get("CVT_MULTISTEP",
+                                  str(scheduler_config.decode_steps)))
         )
 
     # -- the single-dispatch device step -----------------------------------
@@ -333,12 +346,14 @@ class LLMEngine:
         copy_src: jnp.ndarray,     # [MAX_COPY_PAIRS] i32 (padded out-of-range)
         copy_dst: jnp.ndarray,
         st: SamplingTensors,
-        key: jax.Array,
+        key_idx: jnp.ndarray,      # [] i32 step counter -> fold_in(base, .)
         *,
         want_logprobs: bool = False,
         greedy_only: bool = False,
         penalties: bool = True,
         dsa_prefill: bool = False,
+        n_steps: int = 1,
+        do_copy: bool = True,
     ):
         def _copy(p):
             if isinstance(p, dict):  # GDN state pool: no block COW
@@ -350,36 +365,118 @@ class LLMEngine:
                 )
             return copy_blocks(p, copy_src, copy_dst)
 
-        kv_pages = [_copy(p) for p in kv_pages]
-        # dsa_prefill is STATIC: flipping the model flag at trace time
-        # selects the sparse- or dense-trace for this jit variant.  It is
-        # forced BOTH ways — a config with use_dsa_prefill=True must still
-        # run dense on decode/chunked steps (the in-batch indexer cannot
-        # see paged history).
-        if hasattr(self.model, "use_dsa"):
-            prev_dsa = self.model.use_dsa
-            self.model.use_dsa = dsa_prefill
-            try:
-                logits, kv_pages = self.model.forward(params, kv_pages, step)
-            finally:
-                self.model.use_dsa = prev_dsa
-        else:
-            logits, kv_pages = self.model.forward(params, kv_pages, step)
-        tokens, logprobs = sample(
-            logits, st, key, greedy_only=greedy_only, penalties=penalties
+        # do_copy is STATIC: steps with no COW pairs (the common case —
+        # forks are rare) must not pay a 128-wide page gather+scatter
+        # sweep across every layer
+        if do_copy:
+            kv_pages = [_copy(p) for p in kv_pages]
+        key = jax.random.fold_in(self._base_key, key_idx)
+
+        def _forward(kv_pages, s):
+            # dsa_prefill is STATIC: flipping the model flag at trace time
+            # selects the sparse- or dense-trace for this jit variant.  It
+            # is forced BOTH ways — a config with use_dsa_prefill=True must
+            # still run dense on decode/chunked steps (the in-batch indexer
+            # cannot see paged history).
+            if hasattr(self.model, "use_dsa"):
+                prev_dsa = self.model.use_dsa
+                self.model.use_dsa = dsa_prefill
+                try:
+                    return self.model.forward(params, kv_pages, s)
+                finally:
+                    self.model.use_dsa = prev_dsa
+            return self.model.forward(params, kv_pages, s)
+
+        if n_steps == 1:
+            logits, kv_pages = _forward(kv_pages, step)
+            tokens, logprobs = sample(
+                logits, st, key, greedy_only=greedy_only, penalties=penalties
+            )
+            # ONE packed device->host transfer per step: token ids are
+            # exact in f32 up to 2^24 (every real vocab); separate fetches
+            # each pay a full host round-trip
+            packed = jnp.stack([tokens.astype(jnp.float32), logprobs])[None]
+            # top-k alternatives for the API's logprobs field — only
+            # compiled in when some scheduled request asked for logprobs
+            # (a full-vocab log_softmax + top_k is pure wasted bandwidth
+            # otherwise)
+            top_vals = top_ids = None
+            if want_logprobs:
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                top_vals, top_ids = jax.lax.top_k(logp, 8)
+                top_vals, top_ids = top_vals[None], top_ids[None]
+            return packed, top_vals, top_ids, kv_pages
+
+        # ---- multi-token decode: n_steps micro-steps in one dispatch ----
+        # The TPU analogue of replaying a captured CUDA decode graph N
+        # times without host round-trips (reference: backend/graph.rs):
+        # each micro-step feeds its sampled tokens on-device into the next
+        # forward, recomputing positions/slots from the (constant) page
+        # tables.  Requires step.decode_only (q row i == sequence i),
+        # penalty-free sampling, and K-1 extra reserved KV slots per row
+        # (the engine guarantees all three before picking n_steps > 1).
+        assert step.decode_only and not penalties
+        from candle_vllm_tpu.ops.kv_cache import INVALID_SLOT
+
+        page = self.cache_config.block_size
+        T = step.token_ids.shape[0]
+        S = step.kv_lens.shape[0]
+        active = step.kv_lens > 0                                  # [S]
+        rows = jnp.arange(T, dtype=jnp.int32)
+        ridx = jnp.clip(rows, 0, S - 1)
+        row_active = active[ridx] & (rows < S)                     # [T]
+        pt_rows = step.page_tables[ridx]                           # [T, MAXP]
+
+        def micro(k, carry):
+            kv_pages, tok_ids, out_packed, out_tv, out_ti = carry
+            pos = step.positions + jnp.where(row_active, k, 0)
+            slot = pt_rows[rows, pos // page] * page + pos % page
+            slot = jnp.where(row_active, slot, INVALID_SLOT)
+            s_k = StepInput(
+                token_ids=tok_ids,
+                positions=pos,
+                slot_mapping=slot,
+                kv_lens=step.kv_lens + jnp.where(active, k, 0),
+                page_tables=step.page_tables,
+                cu_q_lens=step.cu_q_lens,
+                logits_idx=step.logits_idx,
+                state_slots=step.state_slots,
+                decode_only=True,
+            )
+            logits, kv_pages = _forward(kv_pages, s_k)
+            st_k = SamplingTensors(
+                temperature=st.temperature, top_k=st.top_k, top_p=st.top_p,
+                min_p=st.min_p, presence=st.presence, frequency=st.frequency,
+                repetition=st.repetition, last_tokens=st.last_tokens,
+                greedy=st.greedy, seeds=st.seeds,
+                seed_pos=st.seed_pos + k, seed_sub=st.seed_sub,
+            )
+            tokens, logprobs = sample(
+                logits, st_k, jax.random.fold_in(key, k),
+                greedy_only=greedy_only, penalties=False,
+            )
+            out_packed = out_packed.at[k].set(
+                jnp.stack([tokens.astype(jnp.float32), logprobs])
+            )
+            if want_logprobs:
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                tv, ti = jax.lax.top_k(logp, 8)
+                out_tv = out_tv.at[k].set(tv)
+                out_ti = out_ti.at[k].set(ti)
+            # sampled token of row i feeds q row i of the next micro-step
+            next_ids = jnp.zeros(T, jnp.int32).at[:S].set(tokens)
+            return kv_pages, next_ids, out_packed, out_tv, out_ti
+
+        out_packed = jnp.zeros((n_steps, 2, S), jnp.float32)
+        out_tv = jnp.zeros((n_steps, S, 8), jnp.float32)
+        out_ti = jnp.zeros((n_steps, S, 8), jnp.int32)
+        kv_pages, _, out_packed, out_tv, out_ti = jax.lax.fori_loop(
+            0, n_steps, micro,
+            (kv_pages, step.token_ids, out_packed, out_tv, out_ti),
         )
-        # ONE packed device->host transfer per step: token ids are exact
-        # in f32 up to 2^24 (every real vocab); separate fetches each pay
-        # a full host round-trip
-        packed = jnp.stack([tokens.astype(jnp.float32), logprobs])
-        # top-k alternatives for the API's logprobs field — only compiled
-        # in when some scheduled request asked for logprobs (a full-vocab
-        # log_softmax + top_k is pure wasted bandwidth otherwise)
-        top_vals = top_ids = None
-        if want_logprobs:
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            top_vals, top_ids = jax.lax.top_k(logp, 8)
-        return packed, top_vals, top_ids, kv_pages
+        if not want_logprobs:
+            out_tv = out_ti = None
+        return out_packed, out_tv, out_ti, kv_pages
 
     # -- request intake ----------------------------------------------------
     def add_request(
@@ -552,6 +649,38 @@ class LLMEngine:
                             == seq.num_cached_tokens
                         ):
                             self._restore_snapshot(seq, slot)
+        # multi-token decode: run K micro-steps in one dispatch when every
+        # row is a penalty-free decode-shaped row (q_len == 1) and K-1
+        # extra KV slots fit.  Decided BEFORE building the step input so
+        # the reserved blocks are in the page tables the device sees.
+        # (The reference replays its captured decode graph per token with
+        # the host in the loop; here the loop itself lives on device.)
+        n_steps = 1
+        K = self._multistep
+        sched_rows = [
+            (sg.group, sg.group.seqs[sid], q)
+            for sg in sched_out.scheduled
+            for sid, q in sg.token_chunks.items()
+        ]
+        if (
+            K > 1
+            and sched_rows
+            and all(q == 1 for _, _, q in sched_rows)
+            and not any(
+                g.sampling_params.has_penalties for g, _, _ in sched_rows
+            )
+            and all(
+                seq.get_len() + K - 1 <= self.scheduler_config.max_model_len
+                for _, seq, _ in sched_rows
+            )
+            and all(
+                self.block_engine.allocate_extend_for_chunk(
+                    seq, seq.get_len() + K - 1
+                )
+                for _, seq, _ in sched_rows
+            )
+        ):
+            n_steps = K
         plan = build_step_input(
             sched_out.scheduled,
             self.block_engine,
@@ -561,6 +690,8 @@ class LLMEngine:
             snap_boundaries=self._snap_store is not None,
         )
         S = plan.step.kv_lens.shape[0]
+        if not plan.step.decode_only or plan.step.token_ids.shape[0] < S:
+            n_steps = 1
 
         rows_params: List[SamplingParams] = []
         rows_hist: List[List[int]] = []
@@ -576,13 +707,20 @@ class LLMEngine:
             seq = group.seqs[sid]
             row_seqs.append(seq)
             rows_params.append(group.sampling_params)
-            # honor per-request repeat_last_n (bucketed in SamplingTensors;
-            # reference: arbitrary repeat_last_n windows)
-            rows_hist.append(
-                seq.get_token_ids()[-group.sampling_params.repeat_last_n:]
-            )
             rows_pos.append(seq.get_output_len())
             rows_sub.append(list(group.seqs).index(sid))
+        penalties = any(p.has_penalties for p in rows_params)
+        for i, sid in enumerate(plan.seq_ids):
+            # honor per-request repeat_last_n (bucketed in SamplingTensors;
+            # reference: arbitrary repeat_last_n windows).  History slices
+            # are only materialized when some row actually has penalties.
+            if penalties:
+                seq = row_seqs[i]
+                rows_hist.append(
+                    seq.get_token_ids()[-rows_params[i].repeat_last_n:]
+                )
+            else:
+                rows_hist.append([])
         st = SamplingTensors.build(
             rows_params, rows_hist, self.model_config.vocab_size, pad_to=S,
             positions=rows_pos, sub_indices=rows_sub,
@@ -608,7 +746,6 @@ class LLMEngine:
             copy_src[i] = s
             copy_dst[i] = d
 
-        self._key, sub = jax.random.split(self._key)
         want_logprobs = any(p.logprobs for p in rows_params)
         # DSA sparse prefill (DeepSeek V3.2 / GLM5 class): eligible only
         # when EVERY scheduled row is a whole-prompt prefill chunk (the
@@ -627,23 +764,27 @@ class LLMEngine:
             )
         )
         packed, top_vals, top_ids, self.kv_pages = self._jit_step(
-            self.params, self.kv_pages, plan.step, copy_src, copy_dst, st, sub,
+            self.params, self.kv_pages, plan.step, copy_src, copy_dst, st,
+            np.int32(self._step_counter),
             want_logprobs=want_logprobs,
             greedy_only=all(p.is_greedy for p in rows_params),
-            penalties=any(p.has_penalties for p in rows_params),
+            penalties=penalties,
             dsa_prefill=dsa_prefill,
+            n_steps=n_steps,
+            do_copy=bool(pairs),
         )
-        packed = np.asarray(packed)
-        tokens = packed[0].astype(np.int64)
-        logprobs = packed[1]
+        packed = np.asarray(packed)          # [n_steps, 2, S]
+        tokens = packed[:, 0].astype(np.int64)
+        logprobs = packed[:, 1]
         self._capture_snapshots(plan, row_seqs)
         if want_logprobs:
-            top_vals = np.asarray(top_vals)
+            top_vals = np.asarray(top_vals)  # [n_steps, S, 8]
             top_ids = np.asarray(top_ids)
         self._step_counter += 1
 
         # -- host post-processing ------------------------------------------
         now = time.monotonic()
+        n_accepted = 0
         for i, seq in enumerate(row_seqs):
             group = seq_to_group[seq.seq_id]
             q_len = None
@@ -658,21 +799,29 @@ class LLMEngine:
             if group.metrics.get("first_token_time") is None:
                 group.metrics["first_token_time"] = now
             row = plan.sample_rows[i]
-            tok = int(tokens[row])
-            seq.append_token(tok, float(logprobs[row]))
-            if group.sampling_params.logprobs:
-                k = min(group.sampling_params.logprobs, top_ids.shape[1])
-                seq.output_logprobs.append(
-                    {
-                        "token": tok,
-                        "logprob": float(logprobs[row]),
-                        "top": {
-                            int(top_ids[row, j]): float(top_vals[row, j])
-                            for j in range(k)
-                        },
-                    }
-                )
-            self._maybe_finish(seq, group)
+            for k in range(n_steps):
+                if k > 0:
+                    # micro-step k consumed (computed KV for) the token
+                    # sampled at micro-step k-1
+                    seq.num_computed_tokens += 1
+                tok = int(tokens[k, row])
+                seq.append_token(tok, float(logprobs[k, row]))
+                n_accepted += 1
+                if group.sampling_params.logprobs:
+                    kk = min(group.sampling_params.logprobs, top_ids.shape[2])
+                    seq.output_logprobs.append(
+                        {
+                            "token": tok,
+                            "logprob": float(logprobs[k, row]),
+                            "top": {
+                                int(top_ids[k, row, j]): float(top_vals[k, row, j])
+                                for j in range(kk)
+                            },
+                        }
+                    )
+                self._maybe_finish(seq, group)
+                if seq.is_finished:
+                    break  # discard speculatively decoded tails
 
         finished_groups = self.scheduler.free_finished()
         if self._state_slots:
@@ -690,7 +839,7 @@ class LLMEngine:
         self.stats.requests_finished += len(finished_groups)
         self.stats.record_step(
             prefill_tokens=sched_out.num_scheduled_tokens - n_decode,
-            decode_tokens=n_decode,
+            decode_tokens=n_accepted if n_steps > 1 else n_decode,
             step_time=time.monotonic() - step_start,
             preempted=len(sched_out.preempted),
         )

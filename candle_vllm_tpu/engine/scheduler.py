@@ -16,7 +16,6 @@ and the MXU saturated.
 
 from __future__ import annotations
 
-import time
 from collections import deque
 from dataclasses import dataclass, field
 from typing import Deque, Dict, List, Optional, Tuple
@@ -64,6 +63,10 @@ class Scheduler:
         self.waiting: Deque[SequenceGroup] = deque()
         self.running: List[SequenceGroup] = []
         self.swapped: Deque[SequenceGroup] = deque()
+        # logical clock: one tick per schedule() pass.  Swap cooldowns are
+        # measured in ticks (not wall-clock) so replicated multi-host
+        # schedulers replaying the same intake stream decide identically.
+        self._tick = 0
 
     # -- intake -------------------------------------------------------------
     def add_seq_group(self, group: SequenceGroup) -> None:
@@ -97,6 +100,7 @@ class Scheduler:
 
     # -- the scheduling pass ---------------------------------------------------
     def schedule(self) -> SchedulerOutput:
+        self._tick += 1
         out = SchedulerOutput()
         budget = self.config.max_num_batched_tokens
         chunk_cap = self.config.prefill_chunk_size
@@ -164,10 +168,11 @@ class Scheduler:
                 break
             # swap-in cooling period (reference: mod.rs:39 SWAP_IN_COOLING_
             # PERIOD 300ms): a freshly swapped-out group must not bounce
-            # straight back in while the pressure that evicted it persists
+            # straight back in while the pressure that evicted it persists.
+            # Counted in scheduler ticks for cross-host determinism.
             if (
-                time.monotonic() - getattr(group, "swapped_at", 0.0)
-                < self.config.swap_in_cooldown
+                self._tick - getattr(group, "swapped_at_tick", -(1 << 30))
+                < self.config.swap_in_cooldown_steps
             ):
                 break
             if not self.block_engine.can_swap_in(group):
@@ -279,7 +284,7 @@ class Scheduler:
             out.blocks_to_swap_out.update(mapping)
             for seq in group.get_unfinished():
                 seq.status = SequenceStatus.SWAPPED
-            group.swapped_at = time.monotonic()
+            group.swapped_at_tick = self._tick
             self.swapped.append(group)
         else:
             # recompute: drop all KV, back to the head of the waiting queue

@@ -95,19 +95,22 @@ class SamplingTensors:
             hist = token_histories[i][-window:] if window > 0 else []
             if hist:
                 last_tokens[i, -len(hist):] = hist
+        # numpy leaves on purpose: jit transfers them at dispatch in one
+        # batch; eager jnp.asarray here costs ~12 device_puts per engine
+        # step (measured ~2.5 ms/step of pure host overhead)
         return cls(
-            temperature=jnp.asarray(temperature),
-            top_k=jnp.asarray(top_k),
-            top_p=jnp.asarray(top_p),
-            min_p=jnp.asarray(min_p),
-            presence=jnp.asarray(presence),
-            frequency=jnp.asarray(frequency),
-            repetition=jnp.asarray(repetition),
-            last_tokens=jnp.asarray(last_tokens),
-            greedy=jnp.asarray(greedy),
-            seeds=jnp.asarray(seeds),
-            seed_pos=jnp.asarray(seed_pos),
-            seed_sub=jnp.asarray(seed_sub),
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            min_p=min_p,
+            presence=presence,
+            frequency=frequency,
+            repetition=repetition,
+            last_tokens=last_tokens,
+            greedy=greedy,
+            seeds=seeds,
+            seed_pos=seed_pos,
+            seed_sub=seed_sub,
         )
 
 

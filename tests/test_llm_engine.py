@@ -46,7 +46,7 @@ def make_engine(**kw):
         max_model_len=cfg.max_model_len,
         enable_prefix_caching=kw.pop("enable_prefix_caching", True),
         preemption_mode=kw.pop("preemption_mode", "recompute"),
-        swap_in_cooldown=kw.pop("swap_in_cooldown", 0.0),
+        swap_in_cooldown_steps=kw.pop("swap_in_cooldown_steps", 0),
     )
     return LLMEngine(cfg, cache, sched, tokenizer=FakeTokenizer(), seed=0, **kw)
 

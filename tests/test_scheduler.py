@@ -17,7 +17,7 @@ def make_scheduler(
     chunk=16,
     max_model_len=128,
     preemption="recompute",
-    cooldown=0.0,
+    cooldown=0,
 ):
     cfg = SchedulerConfig(
         max_num_seqs=max_num_seqs,
@@ -25,7 +25,7 @@ def make_scheduler(
         prefill_chunk_size=chunk,
         max_model_len=max_model_len,
         preemption_mode=preemption,
-        swap_in_cooldown=cooldown,
+        swap_in_cooldown_steps=cooldown,
     )
     be = BlockEngine(block_size, num_gpu_blocks, num_cpu_blocks=64)
     return Scheduler(cfg, be)
@@ -207,7 +207,7 @@ def test_swap_in_cooldown_blocks_immediate_return():
     swapping back in (reference: mod.rs:39 SWAP_IN_COOLING_PERIOD)."""
     sched = make_scheduler(
         num_gpu_blocks=8, max_num_seqs=4, max_batched=64,
-        preemption="swap", cooldown=3600.0,
+        preemption="swap", cooldown=1000,
     )
     g1, s1 = add_request(sched, prompt_len=12, arrival=1.0)
     g2, s2 = add_request(sched, prompt_len=12, arrival=2.0)
@@ -223,10 +223,9 @@ def test_swap_in_cooldown_blocks_immediate_return():
     out = run_step(sched)
     assert not out.blocks_to_swap_in          # cooling period holds it out
     assert s2.status == SequenceStatus.SWAPPED
-    # cooldown elapsed (relative to now — time.monotonic() counts from
-    # boot, so an absolute 0.0 only works on hosts up longer than the
-    # cooldown)
-    g2.swapped_at = time.monotonic() - 2 * 3600.0
+    # cooldown elapsed (logical scheduler ticks, not wall-clock — the
+    # tick clock keeps replicated multi-host schedulers deterministic)
+    g2.swapped_at_tick = sched._tick - 2000
     out = run_step(sched)
     assert out.blocks_to_swap_in
     assert s2.status == SequenceStatus.RUNNING
@@ -247,7 +246,7 @@ def test_swapped_mid_prefill_resumes_chunked():
     sched._preempt(g1, out_obj)
     assert s1.status == SequenceStatus.SWAPPED
     assert s1.num_computed_tokens == 8
-    g1.swapped_at = time.monotonic() - 2 * 3600.0
+    g1.swapped_at_tick = sched._tick - 2000
     out = run_step(sched)
     assert out.blocks_to_swap_in
     # resumed with a full prefill chunk, not a single decode slot
