@@ -120,6 +120,70 @@ def mlp(x: jnp.ndarray, params: Params, prefix: str, hidden_act: str) -> jnp.nda
     return linear(act(gate) * up, params, f"{prefix}.down_proj")
 
 
+def can_fuse_layer_tail(x: jnp.ndarray, params: Params, p: str,
+                        hidden_act: str) -> bool:
+    """True when the decode-path layer megakernel (fused_layer.py —
+    o_proj + residual + norm + MLP in one weight stream) applies to
+    layer prefix ``p``: W4A16 tile banks with one shared tile width, no
+    biases or extra output norms, silu MLP, decode-sized batch."""
+    import os
+
+    if (
+        jax.default_backend() != "tpu"
+        or x.shape[0] > 8
+        or x.dtype != jnp.bfloat16
+        or hidden_act not in ("silu", "swish")
+        or os.environ.get("CVT_DISABLE_FUSED_LAYER") == "1"
+    ):
+        return False
+    names = [f"{p}.self_attn.o_proj", f"{p}.mlp.gate_up_proj",
+             f"{p}.mlp.down_proj"]
+    qs = [params.get(n + ".qweight") for n in names]
+    if any(q is None or q.ndim != 3 for q in qs):
+        return False
+    ss = [params[n + ".scales"] for n in names]
+    from candle_vllm_tpu.ops.quant import _is_w4
+
+    if not all(_is_w4(q, s) for q, s in zip(qs, ss)):
+        return False
+    if any(params.get(n + ".bias") is not None for n in names):
+        return False
+    if f"{p}.post_self_attn_layernorm.weight" in params:
+        return False
+    if f"{p}.post_attention_layernorm.weight" not in params:
+        return False
+    H = ss[0].shape[1]
+    to = H // qs[0].shape[0]
+    # Mosaic rejects the kernel's scale-half broadcasts below TO=512
+    # (lane-offset vector.broadcast layout limitation, v5e 2026-08)
+    return (
+        to >= 512
+        and qs[1].shape[2] * 2 == to
+        and qs[2].shape[2] * 2 == to
+        and qs[2].shape[0] * to == H
+    )
+
+
+def fused_layer_tail(x: jnp.ndarray, attn_raw: jnp.ndarray, params: Params,
+                     p: str, eps: float) -> jnp.ndarray:
+    """x + o_proj(attn_raw), post-norm, MLP, residual — one pallas_call
+    (fused_layer.fused_o_mlp_w4)."""
+    from candle_vllm_tpu.ops.pallas.fused_layer import fused_o_mlp_w4
+
+    return fused_o_mlp_w4(
+        x.astype(jnp.bfloat16),
+        attn_raw,
+        params[f"{p}.self_attn.o_proj.qweight"],
+        params[f"{p}.self_attn.o_proj.scales"],
+        params[f"{p}.mlp.gate_up_proj.qweight"],
+        params[f"{p}.mlp.gate_up_proj.scales"],
+        params[f"{p}.mlp.down_proj.qweight"],
+        params[f"{p}.mlp.down_proj.scales"],
+        params[f"{p}.post_attention_layernorm.weight"],
+        eps=eps,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Attention block
 # ---------------------------------------------------------------------------
@@ -251,7 +315,8 @@ def paged_attention_with_write(
                                      kv4=spec.kv4,
                                      kv_shared=spec.kv_shared)
             out = ragged_paged_attention(
-                q, pages, kv_lens, pt, cu, spec=local_spec, kv_scales=scales
+                q, pages, kv_lens, pt, cu, spec=local_spec, kv_scales=scales,
+                decode_only=step.decode_only,
             )
             return out, pages, scales
 
@@ -272,7 +337,8 @@ def paged_attention_with_write(
     def local(q, k, v, kv_pages, kv_lens, pt, cu, slots):
         kv_pages = write_kv(kv_pages, k, v, slots, kv_shared=spec.kv_shared)
         out = ragged_paged_attention(
-            q, kv_pages, kv_lens, pt, cu, spec=local_spec
+            q, kv_pages, kv_lens, pt, cu, spec=local_spec,
+            decode_only=step.decode_only,
         )
         return out, kv_pages
 
@@ -297,10 +363,12 @@ def attention_block(
     kv_pages: jnp.ndarray,
     step: StepInput,
     mesh: Optional[Mesh] = None,
+    skip_o: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full attention sublayer (reference: layers/attention.rs:28-754):
     qkv projections, optional per-head QK-norm, rope, paged attention,
-    output projection."""
+    output projection (skipped with ``skip_o`` when the caller fuses it
+    into the layer megakernel)."""
     T = x.shape[0]
     spec = layer.attn
     H, K, D = spec.num_q_heads, spec.num_kv_heads, spec.head_dim
@@ -364,7 +432,11 @@ def attention_block(
     )
     if gate is not None:
         out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
-    out = linear(out.reshape(T, H * D), params, f"{prefix}.o_proj")
+    out = out.reshape(T, H * D)
+    if skip_o:
+        # caller fuses o_proj into the layer megakernel (fused_layer.py)
+        return out, kv_pages
+    out = linear(out, params, f"{prefix}.o_proj")
     return out, kv_pages
 
 

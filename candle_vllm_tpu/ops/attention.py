@@ -77,28 +77,13 @@ def ragged_paged_attention(
 ) -> jnp.ndarray:
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if impl == "pallas" and decode_only:
-        # decode-only batches (q row i == sequence i): auto-pipelined page
-        # kernel, gated off until TPU-verified (CVT_DECODE_V3=1)
-        import os
-
-        from candle_vllm_tpu.ops.pallas.decode_attention import (
-            decode_paged_attention_pallas,
-            decode_supported,
-        )
-
-        if decode_supported(spec) and os.environ.get("CVT_DECODE_V3") == "1":
-            # q rows beyond S are padding (token bucket > seq bucket);
-            # rows i < S map 1:1 to sequences (decode_only contract)
-            T = q.shape[0]
-            S = kv_lens.shape[0]
-            qs = q[:S] if T >= S else jnp.pad(q, ((0, S - T), (0, 0), (0, 0)))
-            out = decode_paged_attention_pallas(
-                qs, kv_pages, kv_lens, page_tables, kv_scales, spec=spec
-            )
-            if T > S:
-                out = jnp.pad(out, ((0, T - S), (0, 0), (0, 0)))
-            return out[:T]
+    # NOTE: a decode-specialized kernel with Mosaic-auto-pipelined page
+    # blocks (grid = (seq, page), index_map scalar prefetch) was built and
+    # measured 12% SLOWER than the unified kernel on realistic decode
+    # shapes (34.5 vs 30.6 us/op, 1k ctx; tools/abl_r3.py 2026-08-19) —
+    # per-grid-step overhead beats the manual-DMA savings.  decode_only
+    # remains in the call contract for the engine's multi-token decode
+    # dispatch (llm_engine._device_step) and future specializations.
     if impl == "pallas":
         from candle_vllm_tpu.ops.pallas.paged_attention import (
             ragged_paged_attention_pallas,

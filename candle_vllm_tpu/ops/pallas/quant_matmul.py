@@ -45,6 +45,21 @@ from jax.experimental.pallas import tpu as pltpu
 PREFILL_T_THRESHOLD = 64
 
 
+def _nacc(ng: int) -> int:
+    """Independent accumulator count for the per-group dot loop.
+
+    The group loop's single running accumulator builds a serial
+    VPU-add/MXU-dot dependency chain that caps the weight stream well
+    below the HBM ceiling (measured 646 GB/s at ng=32 / 536 at ng=56);
+    rotating over k independent accumulators breaks the chain (1093 /
+    873 GB/s — tools/abl_r3.py, 2026-08-19).  The sweet spot keeps the
+    per-accumulator chain ~7-8 deep."""
+    import os
+
+    forced = int(os.environ.get("CVT_QM_NACC", "0"))
+    return min(forced or (8 if ng > 32 else 4), ng)
+
+
 def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
             has_zoff: bool, TI: int):
     if has_zoff:
@@ -62,6 +77,10 @@ def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
     p = qw_ref[0]                  # [TI, TO/2] (w4) | [TI, TO] (int8)
     s = s_ref[...]                 # [TI/group, TO] bf16
     x = x_ref[:, pl.ds(i * TI, TI)]   # resident activations, aligned slice
+    T = x.shape[0]
+    ng = TI // group
+    NACC = _nacc(ng)
+    s32 = s.astype(jnp.float32)
     acc = acc_ref[...]
     if w4:
         # f32 unpack: hi = floor(b/16) == b >> 4 exactly for int8.
@@ -71,33 +90,45 @@ def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
         hi = jnp.floor(pf32 * 0.0625).astype(jnp.bfloat16)
         pf = pf32.astype(jnp.bfloat16)
         TOH = pf.shape[1]
-        acc_lo = acc[:, :TOH]
-        acc_hi = acc[:, TOH:]
-        for gi in range(TI // group):
+        # group row-sums vectorized once; the -8*rs*s bias correction
+        # (and the zoff term) collapse into one tiny [T, ng] @ [ng, TO]
+        # dot instead of ng serial FMAs
+        rs_all = jnp.sum(x.astype(jnp.float32).reshape(T, ng, group), axis=2)
+        corr = 8.0 * jnp.dot(rs_all, s32[:, :TOH],
+                             preferred_element_type=jnp.float32)
+        los = [jnp.zeros((T, TOH), jnp.float32) for _ in range(NACC)]
+        his = [jnp.zeros((T, TOH), jnp.float32) for _ in range(NACC)]
+        for gi in range(ng):
             sl = slice(gi * group, (gi + 1) * group)
             xb = x[:, sl]
             ppf = jnp.dot(xb, pf[sl], preferred_element_type=jnp.float32)
             phi = jnp.dot(xb, hi[sl], preferred_element_type=jnp.float32)
-            plo = ppf - 16.0 * phi
-            rs = jnp.sum(xb.astype(jnp.float32), axis=1, keepdims=True)
-            s32 = s[gi, :][None, :].astype(jnp.float32)
-            acc_lo = acc_lo + (plo - 8.0 * rs) * s32[:, :TOH]
-            acc_hi = acc_hi + phi * s32[:, TOH:]
-            if z_ref is not None:
-                # asymmetric (GPTQ/AWQ): w = (n-8)*s - zoff
-                z32 = z_ref[gi, :][None, :].astype(jnp.float32)
-                acc_lo = acc_lo - rs * z32[:, :TOH]
-                acc_hi = acc_hi - rs * z32[:, TOH:]
-        acc_ref[:, :TOH] = acc_lo
-        acc_ref[:, TOH:] = acc_hi
+            sg = s32[gi][None, :]
+            k = gi % NACC
+            los[k] = los[k] + (ppf - 16.0 * phi) * sg[:, :TOH]
+            his[k] = his[k] + phi * sg[:, TOH:]
+        tot_lo = sum(los) - corr
+        tot_hi = sum(his)
+        if z_ref is not None:
+            # asymmetric (GPTQ/AWQ): w = (n-8)*s - zoff; the -rs*z term is
+            # again a single small matmul over the group dim
+            cz = jnp.dot(rs_all, z_ref[...].astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+            tot_lo = tot_lo - cz[:, :TOH]
+            tot_hi = tot_hi - cz[:, TOH:]
+        acc_ref[:, :TOH] = acc[:, :TOH] + tot_lo
+        acc_ref[:, TOH:] = acc[:, TOH:] + tot_hi
     else:
         n = p.astype(jnp.float32).astype(jnp.bfloat16)   # signed, no bias
-        for gi in range(TI // group):
+        TO = n.shape[1]
+        accs = [jnp.zeros((T, TO), jnp.float32) for _ in range(NACC)]
+        for gi in range(ng):
             sl = slice(gi * group, (gi + 1) * group)
             partial = jnp.dot(x[:, sl], n[sl],
                               preferred_element_type=jnp.float32)
-            acc = acc + partial * s[gi, :][None, :].astype(jnp.float32)
-        acc_ref[...] = acc
+            k = gi % NACC
+            accs[k] = accs[k] + partial * s32[gi][None, :]
+        acc_ref[...] = acc + sum(accs)
 
     @pl.when(i == ni - 1)
     def _flush():
