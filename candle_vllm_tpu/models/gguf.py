@@ -395,23 +395,134 @@ _BLK_MAP = {
     "ffn_down.weight": "mlp.down_proj.weight",
     "attn_q_norm.weight": "self_attn.q_norm.weight",
     "attn_k_norm.weight": "self_attn.k_norm.weight",
+    # --- MLA (deepseek2/glm4 MoE-lite; ref quantized_deepseek.rs) -------
+    "attn_q_a.weight": "self_attn.q_a_proj.weight",
+    "attn_q_b.weight": "self_attn.q_b_proj.weight",
+    "attn_kv_a_mqa.weight": "self_attn.kv_a_proj_with_mqa.weight",
+    "attn_kv_b.weight": "self_attn.kv_b_proj.weight",
+    "attn_q_a_norm.weight": "self_attn.q_a_layernorm.weight",
+    "attn_kv_a_norm.weight": "self_attn.kv_a_layernorm.weight",
+    # --- MoE expert banks + router (ref quantized_qwen3_moe.rs) ---------
+    # 3D banks keep bare names (models/moe.py param convention)
+    "ffn_gate_exps.weight": "mlp.experts.gate_proj",
+    "ffn_up_exps.weight": "mlp.experts.up_proj",
+    "ffn_down_exps.weight": "mlp.experts.down_proj",
+    "ffn_gate_inp.weight": "mlp.gate.weight",
+    "exp_probs_b.bias": "mlp.gate.e_score_correction_bias",
+    "ffn_gate_inp.e_score_correction_bias":
+        "mlp.gate.e_score_correction_bias",
+    # shared experts (qwen2moe shexp gate; deepseek shared expert)
+    "ffn_gate_shexp.weight": "mlp.shared_expert.gate_proj.weight",
+    "ffn_up_shexp.weight": "mlp.shared_expert.up_proj.weight",
+    "ffn_down_shexp.weight": "mlp.shared_expert.down_proj.weight",
+    "ffn_gate_inp_shexp.weight": "mlp.shared_expert_gate.weight",
+}
+
+# llama.cpp reuses generic suffixes with different meanings per arch:
+# gemma2/3 'ffn_norm' is the PRE-feedforward norm of the sandwich, glm4
+# carries extra output norms (ref: glm4.rs:103-140).
+_SANDWICH_OVERRIDES = {
+    "ffn_norm.weight": "pre_feedforward_layernorm.weight",
+    "post_attention_norm.weight": "post_attention_layernorm.weight",
+    "post_ffw_norm.weight": "post_feedforward_layernorm.weight",
+}
+_ARCH_BLK_OVERRIDES = {
+    "gemma2": _SANDWICH_OVERRIDES,
+    "gemma3": _SANDWICH_OVERRIDES,
+    "glm4": {
+        "post_attention_norm.weight": "post_self_attn_layernorm.weight",
+        "post_ffw_norm.weight": "post_mlp_layernorm.weight",
+    },
+}
+
+# GDN (linear-attention) layers of qwen3next/qwen3.5 hybrids — llama.cpp
+# stores the split projections under ssm_*/attn_* names in the SAME blk.N
+# namespace the full-attention layers use, so mapping needs the layer kind
+# (ref: quantized_qwen3_5.rs:140-330).
+_GDN_BLK_MAP = {
+    "attn_qkv.weight": "linear_attn.in_proj_qkv.weight",
+    "attn_gate.weight": "linear_attn.in_proj_z.weight",
+    "ssm_beta.weight": "linear_attn.in_proj_b.weight",
+    "ssm_alpha.weight": "linear_attn.in_proj_a.weight",
+    "ssm_out.weight": "linear_attn.out_proj.weight",
+    "ssm_conv1d.weight": "linear_attn.conv1d.weight",
+    "ssm_conv1d.bias": "linear_attn.conv1d.bias",
+    "ssm_a": "linear_attn.A_log",
+    "ssm_dt.bias": "linear_attn.dt_bias",
+    "ssm_norm.weight": "linear_attn.norm.weight",
+    "attn_norm.weight": "input_layernorm.weight",
+    "ffn_norm.weight": "post_attention_layernorm.weight",
+    # GDN replaces only the attention sublayer; the MLP (dense or MoE)
+    # keeps its standard names
+    "ffn_gate.weight": "mlp.gate_proj.weight",
+    "ffn_up.weight": "mlp.up_proj.weight",
+    "ffn_down.weight": "mlp.down_proj.weight",
+    "ffn_gate_exps.weight": "mlp.experts.gate_proj",
+    "ffn_up_exps.weight": "mlp.experts.up_proj",
+    "ffn_down_exps.weight": "mlp.experts.down_proj",
+    "ffn_gate_inp.weight": "mlp.gate.weight",
+    "ffn_gate_shexp.weight": "mlp.shared_expert.gate_proj.weight",
+    "ffn_up_shexp.weight": "mlp.shared_expert.up_proj.weight",
+    "ffn_down_shexp.weight": "mlp.shared_expert.down_proj.weight",
+    "ffn_gate_inp_shexp.weight": "mlp.shared_expert_gate.weight",
+}
+
+# tensors that carry no model weight (safe to skip silently)
+_IGNORABLE = {
+    "rope_freqs.weight",
+    "attn_rot_embd.weight",
 }
 
 
-def map_gguf_name(name: str) -> Optional[str]:
+def map_gguf_name(
+    name: str,
+    arch: str = "llama",
+    gdn_layers: Optional[set] = None,
+) -> Optional[str]:
     if name in _NAME_MAP:
         return _NAME_MAP[name]
     if name.startswith("blk."):
         _, idx, rest = name.split(".", 2)
-        mapped = _BLK_MAP.get(rest)
+        if gdn_layers and int(idx) in gdn_layers:
+            mapped = _GDN_BLK_MAP.get(rest)
+        else:
+            mapped = _ARCH_BLK_OVERRIDES.get(arch, {}).get(rest) or \
+                _BLK_MAP.get(rest)
         if mapped:
             return f"model.layers.{idx}.{mapped}"
     return None
 
 
+_ARCHMAP = {
+    "llama": "LlamaForCausalLM", "qwen2": "Qwen2ForCausalLM",
+    "qwen3": "Qwen3ForCausalLM", "gemma2": "Gemma2ForCausalLM",
+    "gemma3": "Gemma3ForCausalLM", "glm4": "Glm4ForCausalLM",
+    "qwen2moe": "Qwen2MoeForCausalLM", "qwen3moe": "Qwen3MoeForCausalLM",
+    "glm4moe": "Glm4MoeForCausalLM", "deepseek2": "DeepseekV2ForCausalLM",
+    # qwen3next GGUFs ship the SPLIT GDN projections (attn_qkv/attn_gate/
+    # ssm_beta/ssm_alpha) — the Qwen3_5 model class consumes exactly that
+    # layout (same decoder; ref quantized_qwen3_5.rs)
+    "qwen3next": "Qwen3_5ForCausalLM", "qwen3_5": "Qwen3_5ForCausalLM",
+    "qwen3_5moe": "Qwen3_5MoeForCausalLM",
+}
+
+
+def gguf_gdn_layers(md: Dict[str, Any], arch: str, n_layers: int) -> set:
+    """Indices of linear-attention (GDN) layers from GGUF metadata
+    (reference: quantized_qwen3_5.rs:555-600 parse_gguf_hybrid_config)."""
+    lt = md.get(f"{arch}.layer_types")
+    if lt:
+        return {i for i, t in enumerate(lt) if t == "linear_attention"}
+    interval = int(md.get(f"{arch}.full_attention_interval", 0) or 0)
+    if interval > 0:
+        return {i for i in range(n_layers) if (i + 1) % interval != 0}
+    return set()
+
+
 def gguf_model_config(g: GGUFFile):
     """Build a ModelConfig from GGUF metadata (reference: gguf.rs header →
-    config, pipeline.rs GGUF arch dispatch)."""
+    config, pipeline.rs GGUF arch dispatch, quantized_deepseek.rs /
+    quantized_qwen3_moe.rs / quantized_qwen3_5.rs metadata keys)."""
     from candle_vllm_tpu.config import ModelConfig
 
     md = g.metadata
@@ -420,15 +531,14 @@ def gguf_model_config(g: GGUFFile):
     def get(key, default=None):
         return md.get(f"{arch}.{key}", default)
 
-    archmap = {"llama": "LlamaForCausalLM", "qwen2": "Qwen2ForCausalLM",
-               "qwen3": "Qwen3ForCausalLM", "gemma2": "Gemma2ForCausalLM"}
     heads = int(get("attention.head_count", 32))
+    n_layers = int(get("block_count", 32))
     cfg = dict(
-        architectures=[archmap.get(arch, "LlamaForCausalLM")],
+        architectures=[_ARCHMAP.get(arch, "LlamaForCausalLM")],
         model_type=arch,
         hidden_size=int(get("embedding_length", 4096)),
         intermediate_size=int(get("feed_forward_length", 11008)),
-        num_hidden_layers=int(get("block_count", 32)),
+        num_hidden_layers=n_layers,
         num_attention_heads=heads,
         num_key_value_heads=int(get("attention.head_count_kv", heads)),
         rope_theta=float(get("rope.freq_base", 10000.0)),
@@ -439,6 +549,69 @@ def gguf_model_config(g: GGUFFile):
         eos_token_id=md.get("tokenizer.ggml.eos_token_id"),
         bos_token_id=md.get("tokenizer.ggml.bos_token_id"),
     )
+    if get("attention.key_length"):
+        # explicit head dim (MLA arches: qk_nope + qk_rope)
+        cfg["head_dim"] = int(get("attention.key_length"))
+    # --- MoE (expert_count etc.; ref quantized_qwen3_moe.rs) -------------
+    if get("expert_count"):
+        cfg["num_experts"] = int(get("expert_count"))
+        cfg["num_experts_per_tok"] = int(get("expert_used_count", 2))
+        cfg["moe_intermediate_size"] = int(
+            get("expert_feed_forward_length", cfg["intermediate_size"])
+        )
+        if get("expert_shared_feed_forward_length"):
+            cfg["shared_expert_intermediate_size"] = int(
+                get("expert_shared_feed_forward_length")
+            )
+        if get("expert_weights_scale"):
+            cfg["routed_scaling_factor"] = float(get("expert_weights_scale"))
+        if get("expert_weights_norm") is not None:
+            cfg["norm_topk_prob"] = bool(get("expert_weights_norm"))
+        elif arch in ("qwen3moe", "qwen3_5moe", "glm4moe"):
+            cfg["norm_topk_prob"] = True   # HF config default per family
+        elif arch == "qwen2moe":
+            cfg["norm_topk_prob"] = False
+        if int(get("expert_gating_func", 1) or 1) == 2:
+            cfg["scoring_func"] = "sigmoid"
+        if get("leading_dense_block_count"):
+            cfg["first_k_dense_replace"] = int(get("leading_dense_block_count"))
+        if get("expert_shared_count"):
+            cfg["n_shared_experts"] = int(get("expert_shared_count"))
+    # --- MLA (deepseek2-class; ref quantized_deepseek.rs) ----------------
+    if get("attention.kv_lora_rank"):
+        rope_dim = int(get("rope.dimension_count", 64))
+        key_len = int(get("attention.key_length", 192))
+        cfg["kv_lora_rank"] = int(get("attention.kv_lora_rank"))
+        if get("attention.q_lora_rank"):
+            cfg["q_lora_rank"] = int(get("attention.q_lora_rank"))
+        key_mla = get("attention.key_length_mla")
+        cfg["qk_rope_head_dim"] = rope_dim
+        cfg["qk_nope_head_dim"] = (int(key_mla) if key_mla else key_len) - rope_dim
+        cfg["v_head_dim"] = int(
+            get("attention.value_length_mla")
+            or get("attention.value_length", 128)
+        )
+        cfg.pop("head_dim", None)
+    # --- GDN hybrids (qwen3next/qwen3.5; ref parse_gguf_hybrid_config) ---
+    if get("ssm.group_count"):
+        n_k = int(get("ssm.group_count"))
+        n_v = int(get("ssm.time_step_rank", n_k))
+        dk = int(get("ssm.state_size", 128))
+        inner = int(get("ssm.inner_size", 0) or 0)
+        cfg["linear_num_key_heads"] = n_k
+        cfg["linear_num_value_heads"] = n_v
+        cfg["linear_key_head_dim"] = dk
+        cfg["linear_value_head_dim"] = (
+            inner // n_v if n_v and inner and inner % n_v == 0 else dk
+        )
+        cfg["linear_conv_kernel_dim"] = int(get("ssm.conv_kernel", 4))
+        if get("full_attention_interval"):
+            cfg["full_attention_interval"] = int(get("full_attention_interval"))
+        lt = get("layer_types")
+        if lt:
+            cfg["layer_types"] = [
+                "full_attention" if t == "attention" else t for t in lt
+            ]
     return ModelConfig.from_hf(cfg)
 
 
@@ -476,15 +649,28 @@ def load_gguf(
             if marker in toks:
                 config.image_token_id = toks.index(marker)
                 break
+    arch = g.metadata.get("general.architecture", "llama")
+    gdn_layers = gguf_gdn_layers(
+        g.metadata, arch, config.num_hidden_layers
+    )
     params: Dict[str, Any] = {}
+    unmapped: List[str] = []
     for gname in g.tensors:
-        name = map_gguf_name(gname)
+        name = map_gguf_name(gname, arch, gdn_layers)
         if name is None:
+            base = gname.split(".", 2)[-1] if gname.startswith("blk.") else gname
+            if base not in _IGNORABLE and gname not in _IGNORABLE:
+                unmapped.append(gname)
             continue
         arr = g.read_tensor(gname)  # [out, in] f32
-        if arr.ndim == 2 and "embed_tokens" not in name:
+        arr = _gguf_tensor_fixup(name, arr, config)
+        if arr.ndim == 2 and "embed_tokens" not in name \
+                and ".conv1d." not in name:
             arr = np.ascontiguousarray(arr.T)  # input-major
-        if quantize:
+        if arr.ndim == 3 and ".experts." in name:
+            # expert banks: [E, out, in] -> [E, in, out] (models/moe.py)
+            arr = np.ascontiguousarray(arr.transpose(0, 2, 1))
+        if quantize and name.endswith(".weight"):
             q = quantize_tensor_np(name, arr, quantize)
             if q:
                 prefix = name[: -len(".weight")]
@@ -492,12 +678,74 @@ def load_gguf(
                 params[f"{prefix}.scales"] = jnp.asarray(q["scales"], jnp.bfloat16)
                 continue
         params[name] = jnp.asarray(arr, dtype)
+    if unmapped:
+        # silent drops turn a MoE/MLA checkpoint into a broken dense model
+        # (reference errors the same way: unknown GGUF arch/tensor)
+        raise ValueError(
+            f"GGUF arch {arch!r}: {len(unmapped)} unmapped tensors "
+            f"(first 8: {sorted(unmapped)[:8]}); refusing to load a "
+            "partial model"
+        )
     if "lm_head.weight" not in params and not any(
         k.startswith("lm_head.") for k in params
     ):
         config.tie_word_embeddings = True
     params.update(mm_params)
     return config, params
+
+
+def _untile_rows(a: np.ndarray, n_k: int, n_v: int, hd: int) -> np.ndarray:
+    """Undo llama.cpp's per-k-group v-head tiling along the leading dim:
+    rows [n_v_per_k, n_k, hd, ...] -> canonical [n_k, n_v_per_k, hd, ...]
+    (reference: quantized_qwen3_5.rs:25-49 undo_tiled_v_heads_first_dim)."""
+    if n_k == n_v:
+        return a
+    per = n_v // n_k
+    shape = a.shape
+    return np.ascontiguousarray(
+        a.reshape(per, n_k, hd, *shape[1:]).swapaxes(0, 1).reshape(shape)
+    )
+
+
+def _gguf_tensor_fixup(name: str, arr: np.ndarray, config) -> np.ndarray:
+    """GDN tensor normalization: v-head untiling, conv squeeze, A -> log
+    (reference: quantized_qwen3_5.rs:140-330)."""
+    if ".linear_attn." not in name:
+        return arr
+    e = config.extra or {}
+    n_k = int(e.get("linear_num_key_heads", 0) or 0)
+    n_v = int(e.get("linear_num_value_heads", n_k) or n_k)
+    dk = int(e.get("linear_key_head_dim", 128) or 128)
+    dv = int(e.get("linear_value_head_dim", dk) or dk)
+    key_dim, value_dim = n_k * dk, n_v * dv
+    suffix = name.rsplit(".linear_attn.", 1)[1]
+    if suffix in ("in_proj_qkv.weight", "conv1d.weight", "conv1d.bias"):
+        if suffix == "conv1d.weight" and arr.ndim == 3:
+            arr = arr.reshape(arr.shape[0], -1)  # [conv_dim, 1, W]
+        qk = arr[: 2 * key_dim]
+        v = _untile_rows(arr[2 * key_dim :], n_k, n_v, dv)
+        return np.ascontiguousarray(np.concatenate([qk, v], axis=0))
+    if suffix == "in_proj_z.weight":
+        return _untile_rows(arr, n_k, n_v, dv)
+    if suffix in ("in_proj_b.weight", "in_proj_a.weight"):
+        return _untile_rows(arr, n_k, n_v, 1)
+    if suffix == "A_log":
+        # GGUF stores a = -exp(A_log); recover A_log = log(-a)
+        return _untile_rows(
+            np.log(-arr.astype(np.float32)), n_k, n_v, 1
+        )
+    if suffix == "dt_bias":
+        return _untile_rows(arr, n_k, n_v, 1)
+    if suffix == "out_proj.weight":
+        # untile along the INPUT dim ([out, in] here; transposed later)
+        per = n_v // n_k if n_k and n_v > n_k else 1
+        if per == 1:
+            return arr
+        o = arr.shape[0]
+        return np.ascontiguousarray(
+            arr.reshape(o, per, n_k, dv).swapaxes(1, 2).reshape(o, -1)
+        )
+    return arr
 
 
 # ---------------------------------------------------------------------------

@@ -101,6 +101,10 @@ class LlamaForCausalLM:
             if c.sandwich_norms:
                 shapes[f"{p}.pre_feedforward_layernorm.weight"] = (c.hidden_size,)
                 shapes[f"{p}.post_feedforward_layernorm.weight"] = (c.hidden_size,)
+            if c.model_type == "glm4":
+                # GLM4-dense output norms (glm4.rs:103-140)
+                shapes[f"{p}.post_self_attn_layernorm.weight"] = (c.hidden_size,)
+                shapes[f"{p}.post_mlp_layernorm.weight"] = (c.hidden_size,)
             qw = H * D * (2 if c.attn_output_gate else 1)
             shapes[f"{p}.self_attn.q_proj.weight"] = (c.hidden_size, qw)
             shapes[f"{p}.self_attn.k_proj.weight"] = (c.hidden_size, K * D)
@@ -265,6 +269,30 @@ class LlamaForCausalLM:
             cs = cos_sin_local if (is_sliding and cos_sin_local) else cos_sin
 
             uo = c.norm_unit_offset
+            # decode-path layer megakernel: o_proj + residual + norm +
+            # MLP stream as ONE pallas_call (fused_layer.py) — kills the
+            # weight-stream bubble at every kernel boundary
+            from candle_vllm_tpu.models.layers import (
+                can_fuse_layer_tail, fused_layer_tail,
+            )
+
+            if (
+                not c.parallel_block
+                and not c.sandwich_norms
+                and not uo
+                and self.mesh is None
+                and step.decode_only
+                and can_fuse_layer_tail(x, params, p, c.hidden_act)
+            ):
+                h = self._norm(params, x, f"{p}.input_layernorm")
+                raw, pages = attention_block(
+                    h, params, f"{p}.self_attn", spec, rope, cs,
+                    kv_pages[i], step, mesh=self.mesh, skip_o=True,
+                )
+                new_pages.append(pages)
+                x = fused_layer_tail(x, raw, params, p, c.rms_norm_eps)
+                x = self._layer_inject(x, i, step)
+                continue
             h = self._norm(params, x, f"{p}.input_layernorm")
             attn_out, pages = attention_block(
                 h, params, f"{p}.self_attn", spec, rope, cs,
@@ -293,9 +321,20 @@ class LlamaForCausalLM:
                 )
                 x = x + m
             else:
+                # GLM4-dense ships extra norms on the sublayer OUTPUTS
+                # (reference: glm4.rs:103,182 post_self_attn_layernorm /
+                # post_mlp_layernorm) — presence-driven like qk-norm
+                pa = params.get(f"{p}.post_self_attn_layernorm.weight")
+                if pa is not None:
+                    attn_out = rms_norm(attn_out, pa, c.rms_norm_eps,
+                                        add_unit_offset=uo)
                 x = x + attn_out
                 h = self._norm(params, x, f"{p}.post_attention_layernorm")
-                x = x + self._mlp_block(params, f"{p}.mlp", h, i)
+                m = self._mlp_block(params, f"{p}.mlp", h, i)
+                pm = params.get(f"{p}.post_mlp_layernorm.weight")
+                if pm is not None:
+                    m = rms_norm(m, pm, c.rms_norm_eps, add_unit_offset=uo)
+                x = x + m
             x = self._layer_inject(x, i, step)
 
         x = self._norm(params, x, "model.norm")
