@@ -45,8 +45,8 @@ class ChatCompletionRequest(BaseModel):
     stop: Optional[Union[str, List[str]]] = None
     stream: bool = False
     stream_options: Optional[StreamOptions] = None
-    presence_penalty: float = 0.0
-    frequency_penalty: float = 0.0
+    presence_penalty: Optional[float] = None
+    frequency_penalty: Optional[float] = None
     repetition_penalty: Optional[float] = None
     logprobs: bool = False
     top_logprobs: Optional[int] = None
@@ -68,8 +68,8 @@ class CompletionRequest(BaseModel):
     max_tokens: Optional[int] = 256
     stop: Optional[Union[str, List[str]]] = None
     stream: bool = False
-    presence_penalty: float = 0.0
-    frequency_penalty: float = 0.0
+    presence_penalty: Optional[float] = None
+    frequency_penalty: Optional[float] = None
     seed: Optional[int] = None
     ignore_eos: bool = False
     echo: bool = False

@@ -101,20 +101,31 @@ def _error(status: int, message: str, type_: str = "invalid_request_error"):
 
 
 def _sampling_from_chat(
-    req: ChatCompletionRequest, max_model_len: int, prompt_len: int
+    req: ChatCompletionRequest, max_model_len: int, prompt_len: int,
+    gen_defaults: Optional[dict] = None,
 ) -> SamplingParams:
     max_tokens = req.max_tokens or req.max_completion_tokens
     if max_tokens is None:
         max_tokens = max(max_model_len - prompt_len, 1)
+    # unset request fields inherit the checkpoint's generation_config.json
+    # (reference: openai_server.rs:329-359), then the API defaults
+    gd = gen_defaults or {}
+
+    def pick(value, key, fallback):
+        if value is not None:
+            return value
+        return gd.get(key, fallback)
+
     return SamplingParams(
         n=req.n,
-        presence_penalty=req.presence_penalty,
-        frequency_penalty=req.frequency_penalty,
-        repetition_penalty=req.repetition_penalty or 1.0,
-        temperature=req.temperature if req.temperature is not None else 0.7,
-        top_p=req.top_p if req.top_p is not None else 1.0,
-        top_k=req.top_k if req.top_k is not None else -1,
-        min_p=req.min_p or 0.0,
+        presence_penalty=pick(req.presence_penalty, "presence_penalty", 0.0),
+        frequency_penalty=pick(req.frequency_penalty, "frequency_penalty", 0.0),
+        repetition_penalty=pick(req.repetition_penalty,
+                                "repetition_penalty", 1.0),
+        temperature=pick(req.temperature, "temperature", 0.7),
+        top_p=pick(req.top_p, "top_p", 1.0),
+        top_k=pick(req.top_k, "top_k", -1),
+        min_p=pick(req.min_p, "min_p", 0.0),
         seed=req.seed,
         stop=req.stop,
         ignore_eos=req.ignore_eos,
@@ -336,7 +347,10 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
             return _error(400, f"image input error: {e}")
     prompt_ids = state.tokenizer.encode(prompt)
     max_model_len = state.engine.scheduler_config.max_model_len
-    sp = _sampling_from_chat(req, max_model_len, len(prompt_ids))
+    sp = _sampling_from_chat(
+        req, max_model_len, len(prompt_ids),
+        gen_defaults=state.engine.model_config.generation_defaults,
+    )
     err = _check_length(prompt_ids, sp.max_tokens, max_model_len)
     if err is not None:
         return _error(400, err)
@@ -576,12 +590,18 @@ async def completions(request: web.Request) -> web.StreamResponse:
         prompts = [list(p) for p in raw]  # type: ignore[union-attr]
 
     max_model_len = state.engine.scheduler_config.max_model_len
+    gd = state.engine.model_config.generation_defaults or {}
     sp = SamplingParams(
-        temperature=req.temperature if req.temperature is not None else 0.7,
-        top_p=req.top_p if req.top_p is not None else 1.0,
-        top_k=req.top_k if req.top_k is not None else -1,
-        presence_penalty=req.presence_penalty,
-        frequency_penalty=req.frequency_penalty,
+        temperature=req.temperature if req.temperature is not None
+        else gd.get("temperature", 0.7),
+        top_p=req.top_p if req.top_p is not None else gd.get("top_p", 1.0),
+        top_k=req.top_k if req.top_k is not None else gd.get("top_k", -1),
+        presence_penalty=req.presence_penalty
+        if req.presence_penalty is not None
+        else gd.get("presence_penalty", 0.0),
+        frequency_penalty=req.frequency_penalty
+        if req.frequency_penalty is not None
+        else gd.get("frequency_penalty", 0.0),
         stop=req.stop,
         seed=req.seed,
         ignore_eos=req.ignore_eos,

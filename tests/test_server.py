@@ -374,3 +374,54 @@ def test_escape_bracket_tokens_broken_inside():
     out = escape_special_tokens("do [INST] now", ["[INST]"])
     assert "[INST]" not in out
     assert out == "do [‌INST] now"
+
+
+def test_generation_config_defaults(tmp_path):
+    """Unset request fields inherit the checkpoint's
+    generation_config.json (reference: openai_server.rs:329-359)."""
+    import json as _json
+
+    from candle_vllm_tpu.config import ModelConfig, load_generation_config
+    from candle_vllm_tpu.server.api_types import ChatCompletionRequest
+    from candle_vllm_tpu.server.openai_server import _sampling_from_chat
+
+    gc = {"temperature": 0.55, "top_p": 0.9, "top_k": 40,
+          "repetition_penalty": 1.1, "do_sample": True}
+    (tmp_path / "generation_config.json").write_text(_json.dumps(gc))
+    (tmp_path / "config.json").write_text(_json.dumps({
+        "architectures": ["LlamaForCausalLM"], "hidden_size": 64,
+        "intermediate_size": 128, "num_hidden_layers": 1,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "vocab_size": 128,
+    }))
+    mc = ModelConfig.from_json(str(tmp_path / "config.json"))
+    assert mc.generation_defaults["temperature"] == 0.55
+    assert mc.generation_defaults["top_k"] == 40
+
+    req = ChatCompletionRequest(
+        messages=[{"role": "user", "content": "hi"}], max_tokens=4
+    )
+    sp = _sampling_from_chat(req, 128, 8, gen_defaults=mc.generation_defaults)
+    assert sp.temperature == 0.55
+    assert sp.top_p == 0.9
+    assert sp.top_k == 40
+    assert sp.repetition_penalty == 1.1
+
+    # explicit request fields win over the checkpoint defaults
+    req2 = ChatCompletionRequest(
+        messages=[{"role": "user", "content": "hi"}], max_tokens=4,
+        temperature=0.0, top_k=7,
+    )
+    sp2 = _sampling_from_chat(req2, 128, 8,
+                              gen_defaults=mc.generation_defaults)
+    assert sp2.temperature == 0.0
+    assert sp2.top_k == 7
+
+    # do_sample=False forces greedy
+    d = load_generation_config(str(tmp_path / "generation_config.json"))
+    assert d["temperature"] == 0.55
+    (tmp_path / "generation_config.json").write_text(
+        _json.dumps({"do_sample": False, "temperature": 0.8})
+    )
+    d2 = load_generation_config(str(tmp_path / "generation_config.json"))
+    assert d2["temperature"] == 0.0
