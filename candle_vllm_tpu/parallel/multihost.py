@@ -188,9 +188,27 @@ class RequestBridge:
                 return
 
     def publish(self, ev: IntakeEvent) -> None:
+        """Fan out one event.  A dead follower is dropped, not fatal —
+        the leader keeps serving the surviving hosts (reference:
+        heartbeat.rs marks peers dead and continues)."""
         with self._lock:
+            dead = []
             for conn in self._conns:
-                _send_msg(conn, ev.to_wire())
+                try:
+                    _send_msg(conn, ev.to_wire())
+                except OSError:
+                    dead.append(conn)
+            for conn in dead:
+                self._conns.remove(conn)
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+
+    @property
+    def num_live_followers(self) -> int:
+        with self._lock:
+            return len(self._conns)
 
     def close(self) -> None:
         self._hb_stop.set()
@@ -212,7 +230,8 @@ class FollowerLink:
     """
 
     def __init__(self, leader_host: str, port: int,
-                 connect_timeout: float = 120.0):
+                 connect_timeout: float = 120.0,
+                 hb_timeout: Optional[float] = None):
         deadline = time.monotonic() + connect_timeout
         while True:
             try:
@@ -224,12 +243,22 @@ class FollowerLink:
                 if time.monotonic() > deadline:
                     raise
                 time.sleep(0.2)
-        self._sock.settimeout(HEARTBEAT_SECS * 3)
+        # a leader that stops heartbeating for 3 intervals is dead
+        # (reference: heartbeat.rs:4-50 exit-on-missed-heartbeats)
+        self._sock.settimeout(hb_timeout or HEARTBEAT_SECS * 3)
+        self.leader_dead = False
 
     def events(self):
         while True:
-            msg = _recv_msg(self._sock)
+            try:
+                msg = _recv_msg(self._sock)
+            except (socket.timeout, OSError):
+                # missed heartbeats: the leader is gone; terminate the
+                # follower loop cleanly so the host can exit
+                self.leader_dead = True
+                return
             if msg is None:
+                self.leader_dead = True
                 return
             ev = IntakeEvent.from_wire(msg)
             if ev.kind == "stop":
