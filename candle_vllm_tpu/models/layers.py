@@ -164,12 +164,43 @@ def can_fuse_layer_tail(x: jnp.ndarray, params: Params, p: str,
     )
 
 
+def can_fuse_next_qkv(params: Params, p: str, p_next: str) -> bool:
+    """True when the NEXT layer's input-norm + fused-qkv matmul can ride
+    the same weight stream (phase 4 of fused_layer.py): a bias-free W4
+    qkv bank with the same tile width."""
+    q = params.get(f"{p_next}.self_attn.qkv_proj.qweight")
+    if q is None or q.ndim != 3:
+        return False
+    if params.get(f"{p_next}.self_attn.qkv_proj.bias") is not None:
+        return False
+    if f"{p_next}.input_layernorm.weight" not in params:
+        return False
+    s = params[f"{p_next}.self_attn.qkv_proj.scales"]
+    from candle_vllm_tpu.ops.quant import _is_w4
+
+    if not _is_w4(q, s):
+        return False
+    o_q = params[f"{p}.self_attn.o_proj.qweight"]
+    H = params[f"{p}.self_attn.o_proj.scales"].shape[1]
+    to = H // o_q.shape[0]
+    return q.shape[1] == H and q.shape[2] * 2 == to
+
+
 def fused_layer_tail(x: jnp.ndarray, attn_raw: jnp.ndarray, params: Params,
-                     p: str, eps: float) -> jnp.ndarray:
+                     p: str, eps: float, next_qkv_prefix: Optional[str] = None):
     """x + o_proj(attn_raw), post-norm, MLP, residual — one pallas_call
-    (fused_layer.fused_o_mlp_w4)."""
+    (fused_layer.fused_o_mlp_w4).  With ``next_qkv_prefix``, the next
+    layer's input-norm + qkv projection join the stream and the call
+    returns (residual, qkv)."""
     from candle_vllm_tpu.ops.pallas.fused_layer import fused_o_mlp_w4
 
+    extra = {}
+    if next_qkv_prefix is not None:
+        extra = dict(
+            qkv_q=params[f"{next_qkv_prefix}.self_attn.qkv_proj.qweight"],
+            qkv_s=params[f"{next_qkv_prefix}.self_attn.qkv_proj.scales"],
+            norm2_w=params[f"{next_qkv_prefix}.input_layernorm.weight"],
+        )
     return fused_o_mlp_w4(
         x.astype(jnp.bfloat16),
         attn_raw,
@@ -181,6 +212,7 @@ def fused_layer_tail(x: jnp.ndarray, attn_raw: jnp.ndarray, params: Params,
         params[f"{p}.mlp.down_proj.scales"],
         params[f"{p}.post_attention_layernorm.weight"],
         eps=eps,
+        **extra,
     )
 
 
@@ -364,18 +396,21 @@ def attention_block(
     step: StepInput,
     mesh: Optional[Mesh] = None,
     skip_o: bool = False,
+    qkv: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full attention sublayer (reference: layers/attention.rs:28-754):
     qkv projections, optional per-head QK-norm, rope, paged attention,
     output projection (skipped with ``skip_o`` when the caller fuses it
-    into the layer megakernel)."""
+    into the layer megakernel; a precomputed ``qkv`` comes from the
+    previous layer's megakernel phase 4)."""
     T = x.shape[0]
     spec = layer.attn
     H, K, D = spec.num_q_heads, spec.num_kv_heads, spec.head_dim
 
     q_width = H * D * (2 if layer.attn_output_gate else 1)
-    if _has_linear(params, f"{prefix}.qkv_proj"):
-        qkv = linear(x, params, f"{prefix}.qkv_proj")
+    if qkv is not None or _has_linear(params, f"{prefix}.qkv_proj"):
+        if qkv is None:
+            qkv = linear(x, params, f"{prefix}.qkv_proj")
         q = qkv[:, :q_width]
         k = qkv[:, q_width : q_width + K * D].reshape(T, K, D)
         v = qkv[:, q_width + K * D :].reshape(T, K, D)

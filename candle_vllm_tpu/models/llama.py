@@ -261,6 +261,7 @@ class LlamaForCausalLM:
         )
 
         new_pages: List[jnp.ndarray] = []
+        fused_qkv = None  # next layer's qkv from the megakernel chain
         for i in range(c.num_hidden_layers):
             p = f"model.layers.{i}"
             spec = self.layer_specs[i]
@@ -270,10 +271,11 @@ class LlamaForCausalLM:
 
             uo = c.norm_unit_offset
             # decode-path layer megakernel: o_proj + residual + norm +
-            # MLP stream as ONE pallas_call (fused_layer.py) — kills the
-            # weight-stream bubble at every kernel boundary
+            # MLP (+ next layer's input-norm + qkv) stream as ONE
+            # pallas_call (fused_layer.py) — kills the weight-stream
+            # bubble at every kernel boundary
             from candle_vllm_tpu.models.layers import (
-                can_fuse_layer_tail, fused_layer_tail,
+                can_fuse_layer_tail, can_fuse_next_qkv, fused_layer_tail,
             )
 
             if (
@@ -284,15 +286,35 @@ class LlamaForCausalLM:
                 and step.decode_only
                 and can_fuse_layer_tail(x, params, p, c.hidden_act)
             ):
-                h = self._norm(params, x, f"{p}.input_layernorm")
+                if fused_qkv is None:
+                    h = self._norm(params, x, f"{p}.input_layernorm")
+                else:
+                    h = x  # unused: qkv precomputed by the previous layer
                 raw, pages = attention_block(
                     h, params, f"{p}.self_attn", spec, rope, cs,
                     kv_pages[i], step, mesh=self.mesh, skip_o=True,
+                    qkv=fused_qkv,
                 )
                 new_pages.append(pages)
-                x = fused_layer_tail(x, raw, params, p, c.rms_norm_eps)
+                p_next = f"model.layers.{i + 1}"
+                chain = (
+                    i + 1 < c.num_hidden_layers
+                    # deepstack injection would edit x AFTER qkv was taken
+                    and step.mm_idx is None
+                    and can_fuse_layer_tail(x, params, p_next, c.hidden_act)
+                    and can_fuse_next_qkv(params, p, p_next)
+                )
+                if chain:
+                    x, fused_qkv = fused_layer_tail(
+                        x, raw, params, p, c.rms_norm_eps,
+                        next_qkv_prefix=p_next,
+                    )
+                else:
+                    x = fused_layer_tail(x, raw, params, p, c.rms_norm_eps)
+                    fused_qkv = None
                 x = self._layer_inject(x, i, step)
                 continue
+            fused_qkv = None
             h = self._norm(params, x, f"{p}.input_layernorm")
             attn_out, pages = attention_block(
                 h, params, f"{p}.self_attn", spec, rope, cs,

@@ -369,8 +369,14 @@ def ragged_paged_attention_pallas(
         q = jnp.pad(q, ((0, T_pad - T), (0, 0), (0, 0)))
     NB = T_pad // bq
 
-    # pages per grouped compute step (fewer, bigger MXU issues)
-    pg = 4 if MAXP >= 4 else (2 if MAXP >= 2 else 1)
+    # pages per grouped compute step (fewer, bigger MXU issues);
+    # CVT_ATTN_PG overrides for tuning sweeps
+    import os
+
+    pg_want = int(os.environ.get("CVT_ATTN_PG", "4"))
+    pg = pg_want
+    while pg > 1 and MAXP < pg:
+        pg //= 2
     cu = cu_q_lens.astype(jnp.int32)
     t_used = cu[S]
     starts = jnp.arange(NB, dtype=jnp.int32) * bq

@@ -184,15 +184,18 @@ def quantize_params(
     method: str = "w4a16",
     group_size: int = DEFAULT_GROUP,
     keep_regex: str = r"(embed_tokens|norm|\.bias$|\.visual\.)",
-    lm_head_method: Optional[str] = "int8",
+    lm_head_method: Optional[str] = None,
     merge_fused: bool = False,
 ) -> Params:
     """In-situ quantization of a loaded bf16 param dict (reference ISQ,
     linear.rs:from_linear_x).  Embeddings / norms stay bf16; the lm_head
     (streamed every decode step) defaults to int8 — the reference's GGUF
     models similarly keep output.weight at a higher bit width (q6k)."""
+    import os
     import re
 
+    if lm_head_method is None:
+        lm_head_method = os.environ.get("CVT_LM_HEAD", "int8")
     if merge_fused:
         params = merge_fused_projections(params)
     keep = re.compile(keep_regex)
@@ -232,14 +235,17 @@ def quantize_tensor_np(
     method: str = "w4a16",
     group_size: int = DEFAULT_GROUP,
     keep_regex: str = r"(embed_tokens|norm|\.bias$|\.visual\.)",
-    lm_head_method: Optional[str] = "int8",
+    lm_head_method: Optional[str] = None,
 ) -> Dict[str, np.ndarray]:
     """Streaming per-tensor quantization (host-side numpy) — lets an 8B+
     model quantize at load without ever materializing the bf16 weights on
     device.  Returns {suffix: array} to merge under the tensor's prefix,
     or {} when the tensor should stay unquantized."""
+    import os
     import re
 
+    if lm_head_method is None:
+        lm_head_method = os.environ.get("CVT_LM_HEAD", "int8")
     tensor_method = method
     if "lm_head" in name:
         if lm_head_method is None:
@@ -301,7 +307,14 @@ def random_quantized_params(model, method: str, key) -> Params:
                 and shape[1] % QTILE_OUT == 0
             ):
                 prefix = name[: -len(".weight")]
-                is_lm_head = "lm_head" in name
+                # lm_head defaults to int8 (streamed every step; higher
+                # bit width like the reference's q6k output.weight) —
+                # CVT_LM_HEAD=w4a16 halves its stream at a quality cost
+                # (gate with tools/quant_quality.py)
+                import os
+
+                lm_w4 = os.environ.get("CVT_LM_HEAD", "int8") == "w4a16"
+                is_lm_head = "lm_head" in name and not lm_w4
                 to = pick_tile_out(shape[1])
                 cols = to if is_lm_head else to // 2  # int8 | w4 packed
                 params[f"{prefix}.qweight"] = jax.random.randint(
