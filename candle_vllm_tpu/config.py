@@ -26,8 +26,10 @@ KV_DTYPE_AUTO = "auto"      # follow model compute dtype (bf16)
 KV_DTYPE_FP8 = "fp8"        # fp8_e4m3 with per-block scales
 KV_DTYPE_INT8 = "int8"      # turboquant-style 8-bit
 KV_DTYPE_INT4 = "int4"      # turboquant-style 4-bit (turbo4)
+KV_DTYPE_TURBO3 = "turbo3"  # 3-bit K + 4-bit V (reference turbo3, ~4.7x)
 
-_VALID_KV_DTYPES = (KV_DTYPE_AUTO, KV_DTYPE_FP8, KV_DTYPE_INT8, KV_DTYPE_INT4)
+_VALID_KV_DTYPES = (KV_DTYPE_AUTO, KV_DTYPE_FP8, KV_DTYPE_INT8,
+                    KV_DTYPE_INT4, KV_DTYPE_TURBO3)
 
 
 @dataclass
@@ -685,6 +687,10 @@ class CacheConfig:
             lat = config.kv_lora_rank + (config.qk_rope_head_dim or 0)
             e = elem if elem is not None else 1
             return config.num_hidden_layers * lat * e
+        if kv_cache_dtype == KV_DTYPE_TURBO3:
+            # 3-bit K + 4-bit V + two f32 scales per (token, head)
+            per = (3 * config.head_dim) // 8 + config.head_dim // 2 + 8
+            return config.num_hidden_layers * config.num_key_value_heads * per
         if elem is None:  # int4 — half a byte plus scale overhead
             per = config.head_dim // 2 + 4
             return 2 * config.num_hidden_layers * config.num_key_value_heads * per

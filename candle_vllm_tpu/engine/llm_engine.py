@@ -116,6 +116,20 @@ class LLMEngine:
             import dataclasses as _dc
 
             cache_config = _dc.replace(cache_config, kv_cache_dtype="int8")
+        if cache_config.kv_cache_dtype == "turbo3":
+            # turbo3 needs 128-lane-aligned bitplane segments and a plain
+            # paged layout; MLA latent caches and odd head shapes fall back
+            # (the reference auto-falls back for MLA too, README.md note)
+            import dataclasses as _dc
+
+            D = model_config.head_dim or (
+                model_config.hidden_size // model_config.num_attention_heads
+            )
+            K = model_config.num_key_value_heads
+            if getattr(model_config, "kv_lora_rank", None):
+                cache_config = _dc.replace(cache_config, kv_cache_dtype="int8")
+            elif model_config.has_hetero_kv or K * D % 1024 or D % 128:
+                cache_config = _dc.replace(cache_config, kv_cache_dtype="int4")
         self.model_config = model_config
         self.cache_config = cache_config
         self.scheduler_config = scheduler_config
@@ -179,8 +193,11 @@ class LLMEngine:
         # int8 pages need multiples of 4, f32 scale planes multiples of 8
         plane_pad = 4 if jax.default_backend() == "tpu" else 1
         scale_pad = 8 if jax.default_backend() == "tpu" else 1
-        self.kv_quantized = cache_config.kv_cache_dtype in ("int8", "int4")
+        self.kv_quantized = cache_config.kv_cache_dtype in (
+            "int8", "int4", "turbo3"
+        )
         self.kv_int4 = cache_config.kv_cache_dtype == "int4"
+        self.kv_turbo3 = cache_config.kv_cache_dtype == "turbo3"
         kv_dtype = jnp.int8 if self.kv_quantized else model_config.dtype
         kv_heads, kv_head_dim = self.model.kv_cache_spec()
         # MLA latent caches store k == v once (model sets kv_shared;
@@ -231,7 +248,20 @@ class LLMEngine:
                 )
             self.kv_pages = pages
         else:
-            if self.kv_int4:
+            if self.kv_turbo3:
+                from candle_vllm_tpu.ops.kv_cache import (
+                    allocate_kv_pages_turbo3,
+                )
+
+                pages = allocate_kv_pages_turbo3(
+                    model_config.num_hidden_layers,
+                    cache_config.num_gpu_blocks,
+                    cache_config.block_size,
+                    kv_heads,
+                    kv_head_dim,
+                    sharding=self.plan.kv_pages_sharding() if self.plan else None,
+                )
+            elif self.kv_int4:
                 from candle_vllm_tpu.ops.kv_cache import (
                     allocate_kv_pages_int4,
                 )

@@ -289,7 +289,8 @@ def paged_attention_with_write(
     """
     quantized = isinstance(kv_pages, tuple)
     unrotate = None
-    if quantized and spec.kv4 and (q.shape[-1] & (q.shape[-1] - 1)) == 0:
+    if quantized and (spec.kv4 or spec.kv3) \
+            and (q.shape[-1] & (q.shape[-1] - 1)) == 0:
         had = _hadamard(q.shape[-1])
         dt = q.dtype
         q = (q.astype(jnp.float32) @ had).astype(dt)
@@ -300,7 +301,7 @@ def paged_attention_with_write(
         if quantized:
             pages, scales = kv_pages
             pages, scales = write_kv(pages, k, v, step.slot_mapping, scales,
-                                     kv4=spec.kv4,
+                                     kv4=spec.kv4, kv3=spec.kv3,
                                      kv_shared=spec.kv_shared)
             out = ragged_paged_attention(
                 q, pages, step.kv_lens, step.page_tables, step.cu_q_lens,
@@ -344,7 +345,7 @@ def paged_attention_with_write(
     if quantized:
         def local_q(q, k, v, pages, scales, kv_lens, pt, cu, slots):
             pages, scales = write_kv(pages, k, v, slots, scales,
-                                     kv4=spec.kv4,
+                                     kv4=spec.kv4, kv3=spec.kv3,
                                      kv_shared=spec.kv_shared)
             out = ragged_paged_attention(
                 q, pages, kv_lens, pt, cu, spec=local_spec, kv_scales=scales,
@@ -504,6 +505,7 @@ def make_attn_specs(config: ModelConfig) -> "list[AttnLayerSpec]":
                     chunk_size=chunk,
                     logit_soft_cap=config.attn_logit_softcapping,
                     kv4=config.kv_cache_dtype == "int4",
+                    kv3=config.kv_cache_dtype == "turbo3",
                 ),
                 use_qk_norm=config.use_qk_norm,
                 qk_norm_eps=config.rms_norm_eps,

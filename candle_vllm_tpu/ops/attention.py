@@ -47,6 +47,10 @@ class AttentionSpec:
     # int4 KV cache: pages pack K (lo nibble) and V (hi nibble) per head
     # into one byte plane (kv_cache.allocate_kv_pages_int4)
     kv4: bool = False
+    # turbo3 KV cache: 3-bit K bitplanes + 4-bit V nibbles in one byte
+    # row per token (kv_cache.allocate_kv_pages_turbo3; the reference's
+    # maximum-compression TurboQuant tier, README.md turbo3 ~4.7x)
+    kv3: bool = False
     # per-q-head attention sinks (gpt-oss style): a learned logit that
     # joins the softmax denominator (reference: PagedAttention sinks)
     has_sinks: bool = False
@@ -112,6 +116,9 @@ def _ragged_paged_attention_jnp(
 ) -> jnp.ndarray:
     T, H, D = q.shape
     P, ps, planes, Dp = kv_pages.shape
+    if spec.kv3:
+        # plane-major turbo3 pages: [P, planes, ps, 128]
+        ps, planes = planes, ps
     kv4 = spec.kv4
     K = spec.num_kv_heads
     # plane dims may be padded up to Mosaic tiling minimums
@@ -131,7 +138,20 @@ def _ragged_paged_attention_jnp(
 
     # gather each token's full KV context: [T, MAXP, ps, 2K, D] -> [T, L, ...]
     pages = page_tables[seq_idx]
-    if kv4:
+    if spec.kv3:
+        # turbo3: bitplane-packed 3-bit K + nibble V, plane-major pages
+        # [P, planes, ps, 128] -> per-token byte rows
+        from candle_vllm_tpu.ops.kv_cache import unpack_turbo3_rows
+
+        g = kv_pages[pages]               # [T, MAXP, planes, ps, 128]
+        b = jnp.swapaxes(g, 2, 3).reshape(T, L, -1)
+        kq, vq = unpack_turbo3_rows(b, K, D)
+        sc = jnp.swapaxes(kv_scales[pages], 2, 3).reshape(
+            T, L, kv_scales.shape[1]
+        )[:, :, : 2 * K]
+        k = kq.reshape(T, L, K, D) * sc[:, :, 0::2, None].astype(jnp.float32)
+        v = vq.reshape(T, L, K, D) * sc[:, :, 1::2, None].astype(jnp.float32)
+    elif kv4:
         # packed int4: K lo-nibble / V hi-nibble share one byte plane
         # (kv_cache.allocate_kv_pages_int4); planes may be pad-extended
         b = kv_pages[pages].reshape(T, L, planes, Dp)[:, :, :K, :D].astype(

@@ -91,6 +91,128 @@ def allocate_kv_pages_int4(
     return out
 
 
+def turbo3_bytes(num_kv_heads: int, head_dim: int) -> int:
+    """Packed bytes per (token, layer) for the turbo3 tier: 3-bit K
+    (a 2-bit plane + a 1-bit plane) + 4-bit V nibbles."""
+    kd = num_kv_heads * head_dim
+    return kd // 4 + kd // 8 + kd // 2
+
+
+def allocate_kv_pages_turbo3(
+    num_layers: int,
+    num_pages: int,
+    page_size: int,
+    num_kv_heads: int,
+    head_dim: int,
+    sharding=None,
+) -> List[jnp.ndarray]:
+    """3-bit K + 4-bit V pages (the reference's maximum-compression
+    TurboQuant tier, README.md:274 turbo3 ~4.7x; cache_engine.rs:401-518).
+
+    TPU-native layout: ONE byte row per (token, layer) holding three
+    128-lane-aligned segments —
+      [0,        KD/4):   K low-2-bit plane, 4 strided codes per byte
+                          (byte j bitfield t = code of value t*KD/4 + j)
+      [KD/4,     3KD/8):  K bit-2 plane, 8 strided bits per byte
+      [3KD/8, 3KD/8+KD/2): V nibbles in the w4 convention (lo biased +8,
+                          hi signed; value v < KD/2 in lo of byte v)
+    packed PLANE-MAJOR as pages [P, BYTES/128, ps, 128]: the page DMA's
+    copy shape is then [planes, ps, 128] whose tiled (sublane, lane) dims
+    are (ps, 128) — Mosaic's int8 tiling rejects a 7-wide second-minor
+    dim, but a third-minor plane count is unconstrained.  ``write_kv``
+    stores one token as ``planes`` disjoint 128-lane rows (no shared
+    bytes, hence no read-modify-write).  Scales reuse the int8/int4
+    per-(token, head) planes.  Requires K*D % 1024 == 0 and D % 128 == 0
+    (the engine falls back to int4 otherwise; K*D % 1024 == 0 keeps
+    every segment a whole number of planes).  Measured capacity:
+    ~4.3x bf16 including f32 scales (vs int4's ~3.76x)."""
+    kd = num_kv_heads * head_dim
+    # the 1-bit plane is KD/8 bytes and must itself be a 128-lane multiple
+    assert kd % 1024 == 0 and head_dim % 128 == 0, (
+        "turbo3 needs K*D % 1024 == 0 and head_dim % 128 == 0"
+    )
+    nbytes = turbo3_bytes(num_kv_heads, head_dim)
+    shape = (num_pages, nbytes // 128, page_size, 128)
+    out = []
+    for _ in range(num_layers):
+        arr = jnp.zeros(shape, dtype=jnp.int8)
+        if sharding is not None:
+            arr = jax.device_put(arr, sharding)
+        out.append(arr)
+    return out
+
+
+def pack_turbo3_rows(
+    k: jnp.ndarray, v: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantize + pack K (3-bit) / V (4-bit) token rows.
+
+    k, v: [T, K, D] -> (packed [T, BYTES] int8, scales [T, 2K] f32).
+    K grid: code = clip(round(k/s), -4, 3) + 4 with s = absmax/3.5;
+    V grid: the int4 absmax/7 grid."""
+    T, K, D = k.shape
+    kd = K * D
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    sk = jnp.maximum(jnp.max(jnp.abs(kf), -1) / 3.5, 1e-8)   # [T, K]
+    sv = jnp.maximum(jnp.max(jnp.abs(vf), -1) / 7.0, 1e-8)
+    code = (
+        jnp.clip(jnp.round(kf / sk[..., None]), -4, 3) + 4
+    ).astype(jnp.int32).reshape(T, kd)                        # [0, 7]
+    qv = jnp.clip(jnp.round(vf / sv[..., None]), -8, 7).astype(
+        jnp.int32
+    ).reshape(T, kd)
+    low2 = code % 4
+    bit = code // 4
+    q4 = kd // 4
+    b2 = (
+        low2[:, :q4] + 4 * low2[:, q4: 2 * q4]
+        + 16 * low2[:, 2 * q4: 3 * q4] + 64 * low2[:, 3 * q4:]
+    )
+    e8 = kd // 8
+    b1 = sum(
+        bit[:, t * e8: (t + 1) * e8] * (1 << t) for t in range(8)
+    )
+    half = kd // 2
+    bv = qv[:, half:] * 16 + (qv[:, :half] + 8)
+    packed = jnp.concatenate([b2, b1, bv], axis=1)
+    # full-byte values in [0, 255] -> int8 bit pattern
+    packed = jnp.where(packed > 127, packed - 256, packed).astype(jnp.int8)
+    scales = jnp.stack([sk, sv], axis=2).reshape(T, 2 * K)
+    return packed, scales
+
+
+def unpack_turbo3_rows(
+    packed: jnp.ndarray, num_kv_heads: int, head_dim: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of pack_turbo3_rows on the INTEGER grids (scales applied
+    by the caller): packed [..., BYTES] int8 -> (k_codes-4 [..., K*D],
+    v_codes [..., K*D]) as f32 — shared by the jnp oracle and tests;
+    the Pallas kernel inlines the same float math."""
+    kd = num_kv_heads * head_dim
+    q4, e8, half = kd // 4, kd // 8, kd // 2
+    bf = packed.astype(jnp.float32)
+    bf = jnp.where(bf < 0, bf + 256.0, bf)       # unsigned byte value
+    b2 = bf[..., :q4]
+    b1 = bf[..., q4: q4 + e8]
+    bv = packed.astype(jnp.float32)[..., q4 + e8:]  # signed-hi nibble math
+    e0 = b2 - 4.0 * jnp.floor(b2 / 4.0)
+    e1 = jnp.floor(b2 / 4.0) - 4.0 * jnp.floor(b2 / 16.0)
+    e2 = jnp.floor(b2 / 16.0) - 4.0 * jnp.floor(b2 / 64.0)
+    e3 = jnp.floor(b2 / 64.0)
+    low2 = jnp.concatenate([e0, e1, e2, e3], axis=-1)
+    bits = [
+        jnp.floor(b1 / (1 << t)) - 2.0 * jnp.floor(b1 / (1 << (t + 1)))
+        for t in range(8)
+    ]
+    bit = jnp.concatenate(bits, axis=-1)
+    kq = low2 + 4.0 * bit - 4.0
+    v_hi = jnp.floor(bv / 16.0)
+    v_lo = bv - 16.0 * v_hi - 8.0
+    vq = jnp.concatenate([v_lo, v_hi], axis=-1)
+    return kq, vq
+
+
 def allocate_kv_scales(
     num_layers: int,
     num_pages: int,
@@ -122,6 +244,7 @@ def write_kv(
     slot_mapping: jnp.ndarray,
     kv_scales: Optional[jnp.ndarray] = None,
     kv4: bool = False,
+    kv3: bool = False,
     kv_shared: bool = False,
 ) -> jnp.ndarray:
     """Scatter new K/V rows into their pages.
@@ -159,6 +282,25 @@ def write_kv(
         if Dp != D:
             kc = jnp.pad(kc, ((0, 0), (0, 0), (0, Dp - D)))
         return kv_pages.at[page_idx, offset, :K].set(kc, mode="drop")
+    if kv3:
+        # turbo3: 3-bit K bitplanes + 4-bit V nibbles packed into
+        # plane-major byte rows (allocate_kv_pages_turbo3 layout:
+        # [P, planes, ps, 128] — page_size lives at dim 2)
+        assert kv_scales is not None, "turbo3 cache requires scale planes"
+        page_size = kv_pages.shape[2]
+        page_idx = slot_mapping // page_size
+        offset = slot_mapping % page_size
+        packed, scale = pack_turbo3_rows(k, v)
+        planes, lanes = kv_pages.shape[1], kv_pages.shape[3]
+        rows = packed.reshape(T, planes, lanes)
+        planes_idx = jnp.arange(planes, dtype=jnp.int32)[None, :]
+        pages = kv_pages.at[
+            page_idx[:, None], planes_idx, offset[:, None]
+        ].set(rows, mode="drop")
+        scales = kv_scales.at[page_idx, : 2 * K, offset].set(
+            scale.astype(kv_scales.dtype), mode="drop"
+        )
+        return pages, scales
     if kv4:
         # int4 cache: K lo-nibble / V hi-nibble share one byte plane
         # (see allocate_kv_pages_int4); scales per (token, head) absmax/7

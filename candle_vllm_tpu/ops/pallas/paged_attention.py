@@ -73,7 +73,7 @@ def _kernel(
     K = spec.num_kv_heads
     G = spec.group_size
     D = spec.head_dim
-    ps = kv_buf.shape[2]
+    ps = kv_buf.shape[3] if spec.kv3 else kv_buf.shape[2]
     BQG = bq * G
     PW = pg * ps  # kv positions per grouped step
 
@@ -225,9 +225,48 @@ def _kernel(
                     mask[:, None, :], (bq, G, PW)
                 ).reshape(BQG, PW)
 
+                def _kv3_head(h):
+                    # turbo3 plane-major pages: head h's 3-bit K codes
+                    # live in ONE (plane, bitfield) pair of the 2-bit and
+                    # 1-bit planes, its V nibbles in one nibble plane —
+                    # all indices static in the unrolled head loop
+                    # (kv_cache.allocate_kv_pages_turbo3 layout)
+                    kd = K * D
+                    nb2, nb1 = kd // 512, kd // 1024
+                    off = h * D
+
+                    def plane(p):
+                        return kv_buf[slot][:, p].reshape(PW, D)
+
+                    def unsigned(b):
+                        bf = b.astype(jnp.float32)
+                        return jnp.where(bf < 0.0, bf + 256.0, bf)
+
+                    t2, p2 = off // (kd // 4), (off % (kd // 4)) // D
+                    b2 = unsigned(plane(p2))
+                    x2 = jnp.floor(b2 / float(4 ** t2))
+                    low2 = x2 - 4.0 * jnp.floor(x2 / 4.0)
+                    t1 = off // (kd // 8)
+                    p1 = nb2 + (off % (kd // 8)) // D
+                    b1 = unsigned(plane(p1))
+                    x1 = jnp.floor(b1 / float(2 ** t1))
+                    bit = x1 - 2.0 * jnp.floor(x1 / 2.0)
+                    k_h = low2 + 4.0 * bit - 4.0
+                    if off < kd // 2:
+                        bv = plane(nb2 + nb1 + off // D).astype(jnp.float32)
+                        v_h = bv - 16.0 * jnp.floor(bv / 16.0) - 8.0
+                    else:
+                        bv = plane(
+                            nb2 + nb1 + (off - kd // 2) // D
+                        ).astype(jnp.float32)
+                        v_h = jnp.floor(bv / 16.0)
+                    return k_h, v_h
+
                 for h in range(K):
                     q_h = q_ref[:, h * G : (h + 1) * G, :].reshape(BQG, D)
-                    if kv4:
+                    if spec.kv3:
+                        k_h, v_h = _kv3_head(h)
+                    elif kv4:
                         # packed nibbles: K lo / V hi share one byte plane
                         # (kv_cache.allocate_kv_pages_int4); exact f32
                         # unpack — floor(b/16) == b >> 4 for int8
@@ -342,6 +381,9 @@ def ragged_paged_attention_pallas(
         spec = dataclasses.replace(spec, has_sinks=sinks is not None)
     T, H, D = q.shape
     _, ps, twoK, Dp = kv_pages.shape  # twoK = plane dim (may be padded)
+    if spec.kv3:
+        # plane-major turbo3 pages [P, planes, ps, 128]
+        ps, twoK = twoK, ps
     K = spec.num_kv_heads
     assert H == spec.num_q_heads
     if Dp != D:
@@ -404,7 +446,10 @@ def ragged_paged_attention_pallas(
             (bq, H, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, pg, ps, twoK, D), kv_pages.dtype),
+            pltpu.VMEM(
+                (2, pg, twoK, ps, D) if spec.kv3 else (2, pg, ps, twoK, D),
+                kv_pages.dtype,
+            ),
             pltpu.VMEM((K, bq * G, D), jnp.float32),
             pltpu.VMEM((K, bq * G, 128), jnp.float32),
             pltpu.VMEM((K, bq * G, 128), jnp.float32),

@@ -62,7 +62,7 @@ def make_parser() -> argparse.ArgumentParser:
                    help="request-replication TCP port on rank 0")
     p.add_argument("--isq", choices=["w4a16", "int8"], default=None,
                    help="in-situ weight quantization at load")
-    p.add_argument("--kvcache-dtype", choices=["auto", "fp8", "int8", "int4"], default="auto",
+    p.add_argument("--kvcache-dtype", choices=["auto", "fp8", "int8", "int4", "turbo3"], default="auto",
                    help="KV cache dtype (int8 ~2x, int4 ~4x capacity)")
     p.add_argument("--holding-time-ms", type=float, default=2.0)
     p.add_argument("--seed", type=int, default=0)

@@ -371,3 +371,179 @@ def test_perplexity_harness_quant_kv_quality():
     assert base["tokens"] == i8["tokens"] == i4["tokens"] > 500
     assert abs(i8["nll"] - base["nll"]) / base["nll"] < 0.02
     assert abs(i4["nll"] - base["nll"]) / base["nll"] < 0.10
+
+
+# ---------------------------------------------------------------------------
+# turbo3 (3-bit K + 4-bit V; reference README.md turbo3 ~4.7x,
+# cache_engine.rs:401-518) — TPU-native bitplane layout
+# ---------------------------------------------------------------------------
+
+
+def test_turbo3_pack_unpack_roundtrip():
+    from candle_vllm_tpu.ops.kv_cache import (
+        pack_turbo3_rows,
+        unpack_turbo3_rows,
+    )
+
+    K, D = 4, 128
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.standard_normal((5, K, D)) * 2.0, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((5, K, D)) * 0.5, jnp.float32)
+    packed, scales = pack_turbo3_rows(k, v)
+    assert packed.shape == (5, K * D // 4 + K * D // 8 + K * D // 2)
+    kq, vq = unpack_turbo3_rows(packed, K, D)
+    sk = np.asarray(scales, np.float32)[:, 0::2]
+    sv = np.asarray(scales, np.float32)[:, 1::2]
+    k_deq = np.asarray(kq).reshape(5, K, D) * sk[:, :, None]
+    v_deq = np.asarray(vq).reshape(5, K, D) * sv[:, :, None]
+    # the integer grids must roundtrip EXACTLY; float error is grid error
+    k_ref = np.asarray(k)
+    v_ref = np.asarray(v)
+    assert np.abs(k_deq - k_ref).max() <= (np.abs(k_ref).max() / 3.5) * 1.01
+    assert np.abs(v_deq - v_ref).max() <= (np.abs(v_ref).max() / 7.0) * 0.51 + 1e-6
+    # exact code recovery: requantize and compare codes
+    code = np.clip(np.round(k_ref / (np.abs(k_ref).max(-1, keepdims=True) / 3.5)), -4, 3)
+    np.testing.assert_array_equal(
+        np.asarray(kq).reshape(5, K, D),
+        np.clip(np.round(k_ref / sk[:, :, None]), -4, 3),
+    )
+
+
+def test_turbo3_attention_jnp_close_to_fp():
+    from candle_vllm_tpu.ops.kv_cache import (
+        allocate_kv_pages_turbo3,
+        allocate_kv_scales,
+    )
+
+    S, K, D, ps, P = 2, 8, 128, 8, 6
+    H = 8
+    spec = AttentionSpec(num_q_heads=H, num_kv_heads=K, head_dim=D,
+                         sm_scale=D ** -0.5, kv3=True)
+    rng = np.random.default_rng(1)
+    T = 10
+    q = jnp.asarray(rng.standard_normal((T, H, D)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((T, K, D)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((T, K, D)) * 0.5, jnp.float32)
+    pages3 = allocate_kv_pages_turbo3(1, P, ps, K, D)[0]
+    scales = allocate_kv_scales(1, P, ps, K)[0]
+    # seq 0: 6 tokens in page 1; seq 1: 4 tokens in page 2
+    slots = jnp.asarray([8, 9, 10, 11, 12, 13, 16, 17, 18, 19], jnp.int32)
+    pages3, scales = write_kv(pages3, k, v, slots, scales, kv3=True)
+    pt = jnp.asarray([[1, 0], [2, 0]], jnp.int32)
+    kv_lens = jnp.asarray([6, 4], jnp.int32)
+    cu = jnp.asarray([0, 6, 10], jnp.int32)
+    out3 = _ragged_paged_attention_jnp(
+        q, pages3, kv_lens, pt, cu, spec=spec, kv_scales=scales
+    )
+    # fp reference
+    pages_f = allocate_kv_pages(1, P, ps, K, D, dtype=jnp.float32)[0]
+    pages_f = write_kv(pages_f, k, v, slots)
+    spec_f = dataclasses.replace(spec, kv3=False)
+    out_f = _ragged_paged_attention_jnp(
+        q, pages_f, kv_lens, pt, cu, spec=spec_f
+    )
+    rel = np.abs(np.asarray(out3) - np.asarray(out_f)).max() / np.abs(
+        np.asarray(out_f)
+    ).max()
+    assert rel < 0.25, rel  # 3-bit K grid loss, bounded
+
+
+def test_turbo3_attention_pallas_matches_jnp():
+    from candle_vllm_tpu.ops.kv_cache import (
+        allocate_kv_pages_turbo3,
+        allocate_kv_scales,
+    )
+
+    S, K, D, ps, P = 2, 8, 128, 8, 6
+    H = 8
+    spec = AttentionSpec(num_q_heads=H, num_kv_heads=K, head_dim=D,
+                         sm_scale=D ** -0.5, kv3=True)
+    rng = np.random.default_rng(2)
+    T = 10
+    q = jnp.asarray(rng.standard_normal((T, H, D)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((T, K, D)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((T, K, D)) * 0.5, jnp.float32)
+    pages3 = allocate_kv_pages_turbo3(1, P, ps, K, D)[0]
+    scales = allocate_kv_scales(1, P, ps, K)[0]
+    slots = jnp.asarray([8, 9, 10, 11, 12, 13, 16, 17, 18, 19], jnp.int32)
+    pages3, scales = write_kv(pages3, k, v, slots, scales, kv3=True)
+    pt = jnp.asarray([[1, 0], [2, 0]], jnp.int32)
+    kv_lens = jnp.asarray([6, 4], jnp.int32)
+    cu = jnp.asarray([0, 6, 10], jnp.int32)
+    ref = _ragged_paged_attention_jnp(
+        q, pages3, kv_lens, pt, cu, spec=spec, kv_scales=scales
+    )
+    got = ragged_paged_attention_pallas(
+        q, pages3, kv_lens, pt, cu, kv_scales=scales, spec=spec, bq=8,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=0.06, atol=0.02,
+    )
+
+
+def test_engine_with_turbo3_kv_cache_and_capacity():
+    from candle_vllm_tpu.config import CacheConfig as CC
+    from candle_vllm_tpu.engine.llm_engine import LLMEngine
+    from candle_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = ModelConfig(
+        architecture="LlamaForCausalLM",
+        hidden_size=512,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_key_value_heads=8,
+        head_dim=128,
+        vocab_size=128,
+        max_model_len=128,
+        dtype=jnp.float32,
+    )
+    # capacity: bytes/token ratio vs bf16 must be > 4x (README turbo3)
+    bf16 = CC.kv_bytes_per_token(cfg, "auto")
+    t3 = CC.kv_bytes_per_token(cfg, "turbo3")
+    assert bf16 / t3 > 4.0, (bf16, t3)
+    i4 = CC.kv_bytes_per_token(cfg, "int4")
+    assert t3 < i4
+
+    sched = SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=256,
+                            prefill_chunk_size=64, max_model_len=128)
+    rng = np.random.default_rng(7)
+    ps = [rng.integers(0, 128, size=12).tolist() for _ in range(2)]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    eng = LLMEngine(
+        cfg,
+        CC(block_size=8, num_gpu_blocks=64, num_cpu_blocks=0,
+           kv_cache_dtype="turbo3"),
+        sched, seed=0,
+    )
+    # turbo3 pages: plane-major [P, BYTES/128, ps, 128] int8
+    assert eng.kv_pages[0][0].shape[1] == (8 * 128 * 7 // 8) // 128
+    got = eng.generate(ps, sp)
+    assert all(len(o.outputs[0].token_ids) == 6 for o in got)
+
+
+def test_turbo3_falls_back_when_unaligned():
+    from candle_vllm_tpu.config import CacheConfig as CC
+    from candle_vllm_tpu.engine.llm_engine import LLMEngine
+
+    cfg = ModelConfig(
+        architecture="LlamaForCausalLM",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,   # K*D = 64 -> unaligned
+        vocab_size=128,
+        max_model_len=128,
+        dtype=jnp.float32,
+    )
+    eng = LLMEngine(
+        cfg,
+        CC(block_size=8, num_gpu_blocks=32, num_cpu_blocks=0,
+           kv_cache_dtype="turbo3"),
+        SchedulerConfig(max_model_len=128),
+        seed=0,
+    )
+    assert eng.cache_config.kv_cache_dtype == "int4"
