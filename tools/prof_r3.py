@@ -153,12 +153,24 @@ def main():
         logits_idx=jnp.zeros(T, jnp.int32), decode_only=True,
     )
 
-    def attnw_body(c, kvx):
-        q = c
-        y, _ = paged_attention_with_write(q, k0, k0, kvx, step0, spec)
-        return q * (1 + y[0, 0, 0].astype(jnp.float32) * 1e-24).astype(q.dtype)
+    def attnw_body(c, unused):
+        q, kvx = c
+        y, kvx = paged_attention_with_write(q, k0, k0, kvx, step0, spec)
+        q = q * (1 + y[0, 0, 0].astype(jnp.float32) * 1e-24).astype(q.dtype)
+        return (q, kvx)
 
-    rec("attention+write_kv", time_op(attnw_body, q0, kv1))
+    rec("attention+write_kv", time_op(attnw_body, (q0, kv1), x0))
+
+    from candle_vllm_tpu.ops.kv_cache import write_kv
+
+    def write_body(c, unused):
+        q, kvx = c
+        kvx = write_kv(kvx, k0 * (1 + q[0, 0, 0] * 1e-24).astype(k0.dtype),
+                       k0, step0.slot_mapping)
+        return (q * (1 + kvx[0, 0, 0, 0].astype(jnp.float32) * 1e-24
+                     ).astype(q.dtype), kvx)
+
+    rec("write_kv_alone", time_op(write_body, (q0, kv1), x0))
 
     # lm_head int8
     def lm_body(x, pr):
