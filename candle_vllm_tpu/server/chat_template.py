@@ -64,6 +64,54 @@ _FALLBACKS: Dict[str, str] = {
         "{% endfor %}"
         "{% if add_generation_prompt %}{{ '<|assistant|>\n' }}{% endif %}"
     ),
+    # llama4 header tokens (default_conversation.rs Llama arm for llama4;
+    # llama4 checkpoints use <|header_start|>/<|eot|>)
+    "llama4": (
+        "{% for message in messages %}"
+        "{{ '<|header_start|>' + message['role'] + '<|header_end|>\n\n' "
+        "+ message['content'] + '<|eot|>' }}"
+        "{% endfor %}"
+        "{% if add_generation_prompt %}"
+        "{{ '<|header_start|>assistant<|header_end|>\n\n' }}{% endif %}"
+    ),
+    # stablelm zephyr-era markers (default_conversation.rs StableLM arm)
+    "stablelm": (
+        "{% for message in messages %}"
+        "{% if message['role'] == 'system' %}"
+        "{{ '<|SYSTEM|>' + message['content'] }}"
+        "{% elif message['role'] == 'user' %}"
+        "{{ '<|USER|>' + message['content'] }}"
+        "{% else %}{{ '<|ASSISTANT|>' + message['content'] }}{% endif %}"
+        "{% endfor %}"
+        "{% if add_generation_prompt %}{{ '<|ASSISTANT|>' }}{% endif %}"
+    ),
+    # minimax ]~b] role markers (default_conversation.rs MINIMAX_TEMPLATE,
+    # tool/reasoning scaffolding stripped to the turn structure)
+    "minimax": (
+        "{{ ']~!b[]~b]system\nYou are MiniMax.[e~[\n' }}"
+        "{% for message in messages %}"
+        "{% if message['role'] == 'user' %}"
+        "{{ ']~b]user\n' + message['content'] + '[e~[\n' }}"
+        "{% elif message['role'] == 'assistant' %}"
+        "{{ ']~b]ai\n' + message['content'] + '[e~[\n' }}"
+        "{% elif message['role'] == 'system' %}"
+        "{{ ']~b]system\n' + message['content'] + '[e~[\n' }}"
+        "{% endif %}{% endfor %}"
+        "{% if add_generation_prompt %}{{ ']~b]ai\n' }}{% endif %}"
+    ),
+    # classic llama2 [INST] <<SYS>> (default_conversation.rs Llama arm)
+    "llama2": (
+        "{% if messages and messages[0]['role'] == 'system' %}"
+        "{{ '[INST] <<SYS>>\n' + messages[0]['content'] + '\n<</SYS>>\n\n' }}"
+        "{% set messages = messages[1:] %}{% else %}{{ '[INST] ' }}"
+        "{% endif %}"
+        "{% for message in messages %}"
+        "{% if message['role'] == 'user' %}"
+        "{{ message['content'] + ' [/INST]' }}"
+        "{% elif message['role'] == 'assistant' %}"
+        "{{ ' ' + message['content'] + ' </s><s>[INST] ' }}"
+        "{% endif %}{% endfor %}"
+    ),
     # deepseek v2/v3 (default_conversation.rs DeepSeek arm)
     "deepseek": (
         "{% for message in messages %}"
@@ -80,9 +128,11 @@ _FALLBACKS: Dict[str, str] = {
 
 
 def fallback_template(model_type: str) -> str:
+    if model_type == "llama4":
+        return _FALLBACKS["llama4"]
     if model_type in ("llama",):
         return _FALLBACKS["llama3"]
-    if model_type in ("mistral", "mixtral"):
+    if model_type in ("mistral", "mixtral", "pixtral"):
         return _FALLBACKS["mistral"]
     if model_type.startswith("gemma"):
         return _FALLBACKS["gemma"]
@@ -92,6 +142,11 @@ def fallback_template(model_type: str) -> str:
         return _FALLBACKS["glm"]
     if model_type.startswith("deepseek"):
         return _FALLBACKS["deepseek"]
+    if model_type.startswith("stablelm"):
+        return _FALLBACKS["stablelm"]
+    if model_type.startswith("minimax"):
+        return _FALLBACKS["minimax"]
+    # qwen/yi/internlm-class checkpoints all speak ChatML
     return _FALLBACKS["chatml"]
 
 

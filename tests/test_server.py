@@ -425,3 +425,34 @@ def test_generation_config_defaults(tmp_path):
     )
     d2 = load_generation_config(str(tmp_path / "generation_config.json"))
     assert d2["temperature"] == 0.0
+
+
+def test_fallback_templates_new_families():
+    """Round-3 separator breadth: llama4 / stablelm / minimax / llama2
+    fallbacks for template-less checkpoints (reference:
+    default_conversation.rs SeparatorStyle arms)."""
+    import jinja2
+
+    from candle_vllm_tpu.server.chat_template import fallback_template
+
+    msgs = [
+        {"role": "system", "content": "sys"},
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "yo"},
+        {"role": "user", "content": "more"},
+    ]
+
+    def render(mt):
+        t = jinja2.Environment().from_string(fallback_template(mt))
+        return t.render(messages=msgs, add_generation_prompt=True)
+
+    out = render("llama4")
+    assert "<|header_start|>user<|header_end|>" in out
+    assert out.endswith("<|header_start|>assistant<|header_end|>\n\n")
+    out = render("stablelm_epoch")
+    assert "<|USER|>hi" in out and out.endswith("<|ASSISTANT|>")
+    out = render("minimax_m2")
+    assert "]~b]user\nhi[e~[" in out and out.endswith("]~b]ai\n")
+    assert "You are MiniMax." in out
+    out = render("qwen3")
+    assert "<|im_start|>user" in out
