@@ -128,12 +128,17 @@ def can_fuse_layer_tail(x: jnp.ndarray, params: Params, p: str,
     biases or extra output norms, silu MLP, decode-sized batch."""
     import os
 
+    # OPT-IN (CVT_FUSED_LAYER=1): measured a wash on the isolated kernel
+    # path (127 vs 129 tok/s) but a 40% REGRESSION inside the engine's
+    # multi-step dispatch (79 vs 127 tok/s, 2026-08-19 A/B) — the
+    # per-projection kernels + fused_mlp pipeline better under the
+    # engine's jit program.  Kept as an experiment; see docs/PERF.md.
     if (
         jax.default_backend() != "tpu"
         or x.shape[0] > 8
         or x.dtype != jnp.bfloat16
         or hidden_act not in ("silu", "swish")
-        or os.environ.get("CVT_DISABLE_FUSED_LAYER") == "1"
+        or os.environ.get("CVT_FUSED_LAYER", "0") != "1"
     ):
         return False
     names = [f"{p}.self_attn.o_proj", f"{p}.mlp.gate_up_proj",

@@ -9,9 +9,14 @@ all-gather for vocab-parallel logits) — riding ICI, scheduled by the
 compiler.
 
 Axes:
-- ``dp``: data parallel (replicated weights, sharded batch). The engine
-  uses it for multi-host replica groups.
-- ``tp``: tensor parallel (sharded heads / ffn / vocab).
+- ``tp``: tensor parallel (sharded heads / ffn / vocab) — the axis every
+  sharding rule below actually partitions, matching the reference's
+  TP-only parallelism.
+- ``dp``: REPLICA groups.  No rule shards batch or KV pages over it —
+  a dp group is a full copy used for multi-host lockstep replicas
+  (parallel/multihost.py) and fault domains, not for splitting one
+  step's work.  Request-level data parallelism (distinct requests per
+  replica) is the roadmap use; the reference has no DP at all.
 """
 
 from __future__ import annotations
