@@ -43,12 +43,45 @@ def _w4_tile_matmul(x, p, s, acc):
     nibble is recovered as plo = x@b - 16*(x@hi) (see quant_matmul.py).
     k-way accumulator rotation + a single rowsum-correction dot break the
     serial VPU-add chain (quant_matmul._nacc; measured ~1.7x on TPU)."""
+    import os
+
     from candle_vllm_tpu.ops.pallas.quant_matmul import _nacc
 
     TI, TOH = p.shape
     T = x.shape[0]
     ng = TI // GROUP
     NACC = _nacc(ng)
+    if os.environ.get("CVT_W4A8") == "1":
+        # W4A8: s8xs8->s32 MXU dots at 2x pass rate (see quant_matmul.py)
+        xf = x.astype(jnp.float32)
+        sx = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0 + 1e-12
+        xq = jnp.round(xf / sx).astype(jnp.int8)
+        hi8 = jnp.floor(p.astype(jnp.float32) * 0.0625).astype(jnp.int8)
+        rs_all = jnp.sum(
+            xq.astype(jnp.float32).reshape(T, ng, GROUP), axis=2
+        )
+        corr = 8.0 * jnp.dot(rs_all, s[:, :TOH],
+                             preferred_element_type=jnp.float32)
+        los = [jnp.zeros((T, TOH), jnp.float32) for _ in range(NACC)]
+        his = [jnp.zeros((T, TOH), jnp.float32) for _ in range(NACC)]
+        for gi in range(ng):
+            sl = slice(gi * GROUP, (gi + 1) * GROUP)
+            xb = xq[:, sl]
+            ppf = jax.lax.dot_general(
+                xb, p[sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            phi = jax.lax.dot_general(
+                xb, hi8[sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            s32 = s[gi][None, :]
+            kk = gi % NACC
+            los[kk] = los[kk] + (ppf - 16.0 * phi) * s32[:, :TOH]
+            his[kk] = his[kk] + phi * s32[:, TOH:]
+        acc_lo = acc[:, :TOH] + (sum(los) - corr) * sx
+        acc_hi = acc[:, TOH:] + sum(his) * sx
+        return jnp.concatenate([acc_lo, acc_hi], axis=1)
     pf32 = p.astype(jnp.float32)
     hi = jnp.floor(pf32 * 0.0625).astype(jnp.bfloat16)
     pf = pf32.astype(jnp.bfloat16)

@@ -82,6 +82,49 @@ def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
     NACC = _nacc(ng)
     s32 = s.astype(jnp.float32)
     acc = acc_ref[...]
+    import os
+
+    if w4 and z_ref is None and os.environ.get("CVT_W4A8") == "1":
+        # W4A8 experiment: activations quantize to int8 per ROW and the
+        # group dots run s8xs8->s32 on the MXU at 2x the bf16 pass rate —
+        # the packed byte's SIGNED value is exactly lo_biased + 16*hi, so
+        # the byte itself is the int8 operand (no unpack for the first
+        # dot).  Row scale folds into the f32 partial scaling.
+        TOH = p.shape[1]
+        xf = x.astype(jnp.float32)
+        sx = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0 + 1e-12
+        xq = jnp.round(xf / sx).astype(jnp.int8)
+        hi8 = jnp.floor(p.astype(jnp.float32) * 0.0625).astype(jnp.int8)
+        rs_all = jnp.sum(
+            xq.astype(jnp.float32).reshape(T, ng, group), axis=2
+        )
+        corr = 8.0 * jnp.dot(rs_all, s32[:, :TOH],
+                             preferred_element_type=jnp.float32)
+        los = [jnp.zeros((T, TOH), jnp.float32) for _ in range(NACC)]
+        his = [jnp.zeros((T, TOH), jnp.float32) for _ in range(NACC)]
+        for gi in range(ng):
+            sl = slice(gi * group, (gi + 1) * group)
+            xb = xq[:, sl]
+            ppf = jax.lax.dot_general(
+                xb, p[sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            phi = jax.lax.dot_general(
+                xb, hi8[sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            sg = s32[gi][None, :]
+            kk = gi % NACC
+            los[kk] = los[kk] + (ppf - 16.0 * phi) * sg[:, :TOH]
+            his[kk] = his[kk] + phi * sg[:, TOH:]
+        acc_ref[:, :TOH] = acc[:, :TOH] + (sum(los) - corr) * sx
+        acc_ref[:, TOH:] = acc[:, TOH:] + sum(his) * sx
+
+        @pl.when(i == ni - 1)
+        def _flush_a8():
+            out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+        return
     if w4:
         # f32 unpack: hi = floor(b/16) == b >> 4 exactly for int8.
         # (int32-shift and direct int8->bf16 variants measured identical
