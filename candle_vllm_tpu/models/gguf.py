@@ -655,6 +655,7 @@ def load_gguf(
     )
     params: Dict[str, Any] = {}
     unmapped: List[str] = []
+    pending_banks: Dict[str, np.ndarray] = {}
     for gname in g.tensors:
         name = map_gguf_name(gname, arch, gdn_layers)
         if name is None:
@@ -670,6 +671,12 @@ def load_gguf(
         if arr.ndim == 3 and ".experts." in name:
             # expert banks: [E, out, in] -> [E, in, out] (models/moe.py)
             arr = np.ascontiguousarray(arr.transpose(0, 2, 1))
+            if quantize:
+                # re-quantize to per-expert W4 banks host-side so the
+                # bf16 bank never reaches HBM (reference keeps GGUF MoE
+                # experts quantized end-to-end, FusedMoeISQ)
+                pending_banks[name] = arr
+                continue
         if quantize and name.endswith(".weight"):
             q = quantize_tensor_np(name, arr, quantize)
             if q:
@@ -678,6 +685,45 @@ def load_gguf(
                 params[f"{prefix}.scales"] = jnp.asarray(q["scales"], jnp.bfloat16)
                 continue
         params[name] = jnp.asarray(arr, dtype)
+    if pending_banks:
+        from candle_vllm_tpu.ops.quant import (
+            DEFAULT_GROUP, QTILE_OUT, quantize_expert_bank,
+        )
+
+        prefixes = {n.rsplit(".experts.", 1)[0] for n in pending_banks}
+        for p in sorted(prefixes):
+            g_b = pending_banks.pop(f"{p}.experts.gate_proj", None)
+            u_b = pending_banks.pop(f"{p}.experts.up_proj", None)
+            gu = pending_banks.pop(f"{p}.experts.gate_up_proj", None)
+            if gu is None and g_b is not None and u_b is not None:
+                gu = np.concatenate([g_b, u_b], axis=2)
+            dn = pending_banks.pop(f"{p}.experts.down_proj", None)
+            quantizable = (
+                gu is not None and dn is not None
+                and not (gu.shape[1] % DEFAULT_GROUP)
+                and not (gu.shape[2] % (2 * QTILE_OUT))
+                and not (dn.shape[1] % DEFAULT_GROUP)
+                and not (dn.shape[2] % QTILE_OUT)
+            )
+            if quantizable:
+                qw, s = quantize_expert_bank(gu)
+                params[f"{p}.experts.gate_up_proj.qweight"] = jnp.asarray(qw)
+                params[f"{p}.experts.gate_up_proj.scales"] = jnp.asarray(
+                    s, jnp.bfloat16
+                )
+                qw, s = quantize_expert_bank(dn)
+                params[f"{p}.experts.down_proj.qweight"] = jnp.asarray(qw)
+                params[f"{p}.experts.down_proj.scales"] = jnp.asarray(
+                    s, jnp.bfloat16
+                )
+            else:  # odd dims: keep bf16 banks
+                for nm, a in ((f"{p}.experts.gate_proj", g_b),
+                              (f"{p}.experts.up_proj", u_b),
+                              (f"{p}.experts.gate_up_proj", gu
+                               if g_b is None else None),
+                              (f"{p}.experts.down_proj", dn)):
+                    if a is not None:
+                        params[nm] = jnp.asarray(a, dtype)
     if unmapped:
         # silent drops turn a MoE/MLA checkpoint into a broken dense model
         # (reference errors the same way: unknown GGUF arch/tensor)

@@ -113,21 +113,39 @@ def moe_ffn(
         w_sorted = jnp.ones_like(w_sorted)
     group_sizes = jnp.bincount(flat_idx, length=E).astype(jnp.int32)
 
-    wgu = params.get(f"{prefix}.experts.gate_up_proj")
-    if wgu is not None:
-        # llama4-style fused bank [E, hidden, 2I]: one grouped GEMM, then
-        # split halves (reference stores gate_up fused in the checkpoint)
-        gu = jax.lax.ragged_dot(xs, wgu, group_sizes)
+    gu_qw = params.get(f"{prefix}.experts.gate_up_proj.qweight")
+    if gu_qw is not None:
+        # W4 expert banks (reference FusedMoeISQ/moe_gemm_gguf class):
+        # decode streams ONLY the routed experts' packed tiles
+        from candle_vllm_tpu.ops.quant import grouped_quant_matmul
+
+        gu = grouped_quant_matmul(
+            xs, gu_qw, params[f"{prefix}.experts.gate_up_proj.scales"],
+            group_sizes,
+        )
         inter = gu.shape[-1] // 2
         h = act(gu[:, :inter]) * gu[:, inter:]
-    else:
-        wg = params[f"{prefix}.experts.gate_proj"]
-        wu = params[f"{prefix}.experts.up_proj"]
-        h = act(jax.lax.ragged_dot(xs, wg, group_sizes)) * jax.lax.ragged_dot(
-            xs, wu, group_sizes
+        y = grouped_quant_matmul(
+            h.astype(x.dtype),
+            params[f"{prefix}.experts.down_proj.qweight"],
+            params[f"{prefix}.experts.down_proj.scales"],
+            group_sizes,
         )
-    wd = params[f"{prefix}.experts.down_proj"]
-    y = jax.lax.ragged_dot(h.astype(x.dtype), wd, group_sizes)  # [T*k, hidden]
+    else:
+        wgu = params.get(f"{prefix}.experts.gate_up_proj")
+        if wgu is not None:
+            # llama4-style fused bank [E, hidden, 2I]: one grouped GEMM,
+            # then split halves (reference stores gate_up fused)
+            gu = jax.lax.ragged_dot(xs, wgu, group_sizes)
+            inter = gu.shape[-1] // 2
+            h = act(gu[:, :inter]) * gu[:, inter:]
+        else:
+            wg = params[f"{prefix}.experts.gate_proj"]
+            wu = params[f"{prefix}.experts.up_proj"]
+            h = act(jax.lax.ragged_dot(xs, wg, group_sizes)) * \
+                jax.lax.ragged_dot(xs, wu, group_sizes)
+        wd = params[f"{prefix}.experts.down_proj"]
+        y = jax.lax.ragged_dot(h.astype(x.dtype), wd, group_sizes)
 
     out = jnp.zeros((T, hidden), jnp.float32).at[tok_of].add(
         y.astype(jnp.float32) * w_sorted[:, None]

@@ -198,6 +198,9 @@ def quantize_params(
         lm_head_method = os.environ.get("CVT_LM_HEAD", "int8")
     if merge_fused:
         params = merge_fused_projections(params)
+    # 3D expert banks quantize separately (2D tensor loop below skips them)
+    if any(".experts." in n for n in params):
+        params = quantize_moe_banks(params)
     keep = re.compile(keep_regex)
     out: Params = {}
     for name, arr in params.items():
@@ -501,6 +504,133 @@ def dequant_mxfp4(
     w = fp4_e2m1_to_float(unpack_fp4_bytes(blocks))
     s = np.repeat(e8m0_to_float(scales), 32, axis=1)[:, : w.shape[1]]
     return w * s
+
+
+# ---------------------------------------------------------------------------
+# MoE expert banks (reference: FusedMoeISQ / moe_gemm_gguf, moe.rs:483+ —
+# experts stay quantized in HBM and only the routed experts stream)
+# ---------------------------------------------------------------------------
+
+
+def quantize_expert_bank(
+    bank: np.ndarray, group_size: int = DEFAULT_GROUP
+) -> Tuple[np.ndarray, np.ndarray]:
+    """[E, in, out] float -> (qweight [E, n_tiles, in, TO/2] int8
+    tile-contiguous per expert, scales [E, in/g, out] f32)."""
+    E, n_in, n_out = bank.shape
+    to = pick_tile_out(n_out)
+    qws, ss = [], []
+    for e in range(E):
+        qw, s = quantize_w4a16(np.asarray(bank[e], np.float32), group_size)
+        qws.append(qw)
+        ss.append(s)
+    return np.stack(qws), np.stack(ss)
+
+
+def quantize_moe_banks(params: Params) -> Params:
+    """Quantize 3D expert banks in a loaded param dict to W4 (gate/up
+    merge into one gate_up bank first).  Banks whose dims don't meet the
+    packing gates stay bf16."""
+    out = dict(params)
+    prefixes = {
+        n[: -len(".experts.gate_proj")]
+        for n in params
+        if n.endswith(".experts.gate_proj")
+    } | {
+        n[: -len(".experts.gate_up_proj")]
+        for n in params
+        if n.endswith(".experts.gate_up_proj")
+    }
+    for p in sorted(prefixes):
+        gu = out.get(f"{p}.experts.gate_up_proj")
+        if gu is None:
+            g = out.get(f"{p}.experts.gate_proj")
+            u = out.get(f"{p}.experts.up_proj")
+            if g is None or u is None:
+                continue
+            gu = jnp.concatenate([g, u], axis=2)
+        dn = out.get(f"{p}.experts.down_proj")
+        if dn is None:
+            continue
+        if (
+            gu.shape[1] % DEFAULT_GROUP or gu.shape[2] % (2 * QTILE_OUT)
+            or dn.shape[1] % DEFAULT_GROUP or dn.shape[2] % QTILE_OUT
+        ):
+            continue
+        gu_np = np.asarray(jax.device_get(gu), np.float32)
+        dn_np = np.asarray(jax.device_get(dn), np.float32)
+        qw, s = quantize_expert_bank(gu_np)
+        out[f"{p}.experts.gate_up_proj.qweight"] = jnp.asarray(qw)
+        out[f"{p}.experts.gate_up_proj.scales"] = jnp.asarray(s, jnp.bfloat16)
+        qw, s = quantize_expert_bank(dn_np)
+        out[f"{p}.experts.down_proj.qweight"] = jnp.asarray(qw)
+        out[f"{p}.experts.down_proj.scales"] = jnp.asarray(s, jnp.bfloat16)
+        for n in (f"{p}.experts.gate_proj", f"{p}.experts.up_proj",
+                  f"{p}.experts.down_proj", f"{p}.experts.gate_up_proj"):
+            out.pop(n, None)
+    return out
+
+
+# rows at/below this run the selected-expert Pallas kernel; above it the
+# expert-chunked dequant path wins (prefill is MXU-bound)
+MOE_KERNEL_MAX_ROWS = 256
+
+
+def grouped_quant_matmul(
+    x_sorted: jnp.ndarray,     # [R, IN] rows sorted by expert
+    qweight: jnp.ndarray,      # [E, n_tiles, IN, TO/2] int8
+    scales: jnp.ndarray,       # [E, IN/g, OUT]
+    group_sizes: jnp.ndarray,  # [E] i32
+) -> jnp.ndarray:
+    """Grouped GEMM over per-expert W4 banks (ragged_dot's quantized
+    twin).  Decode-sized batches stream only the routed experts via the
+    Pallas kernel; larger batches dequant expert CHUNKS transiently and
+    reuse ragged_dot (full-R masked dots per chunk — fine where the MXU
+    dominates)."""
+    R, IN = x_sorted.shape
+    E = qweight.shape[0]
+    OUT = scales.shape[2]
+    if R <= MOE_KERNEL_MAX_ROWS:
+        from candle_vllm_tpu.ops.pallas.moe_quant_matmul import (
+            moe_quant_matmul_pallas,
+        )
+
+        return moe_quant_matmul_pallas(
+            x_sorted.astype(jnp.bfloat16), qweight, scales, group_sizes
+        )
+    from candle_vllm_tpu.ops.pallas.quant_matmul import dequant_w4_jnp
+
+    EC = max(1, min(16, E))
+    csum = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(group_sizes).astype(jnp.int32)]
+    )
+    xs_pad = jnp.pad(x_sorted, ((0, R), (0, 0)))
+    out = jnp.zeros((R, OUT), jnp.float32)
+    dequant_e = jax.vmap(lambda q, s: dequant_w4_jnp(q, s))
+    for e0 in range(0, E, EC):
+        ec = min(EC, E - e0)
+        w_chunk = dequant_e(
+            qweight[e0: e0 + ec], scales[e0: e0 + ec]
+        ).astype(x_sorted.dtype)                      # [ec, IN, OUT]
+        # +1 dummy expert absorbs the tail rows beyond this chunk
+        w_chunk = jnp.concatenate(
+            [w_chunk, jnp.zeros((1, IN, OUT), x_sorted.dtype)], axis=0
+        )
+        start = csum[e0]
+        cnt = csum[e0 + ec] - start
+        xs_c = jax.lax.dynamic_slice(xs_pad, (start, 0), (R, IN))
+        gs_c = jnp.concatenate(
+            [group_sizes[e0: e0 + ec].astype(jnp.int32),
+             (R - cnt).astype(jnp.int32)[None]]
+        )
+        y_c = jax.lax.ragged_dot(xs_c, w_chunk, gs_c)  # [R, OUT]
+        rows = start + jnp.arange(R, dtype=jnp.int32)
+        keep = jnp.arange(R, dtype=jnp.int32) < cnt
+        out = out.at[jnp.where(keep, rows, jnp.int32(1 << 30))].add(
+            jnp.where(keep[:, None], y_c.astype(jnp.float32), 0.0),
+            mode="drop",
+        )
+    return out.astype(x_sorted.dtype)
 
 
 # ---------------------------------------------------------------------------
