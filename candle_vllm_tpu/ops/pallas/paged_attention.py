@@ -225,6 +225,91 @@ def _kernel(
                     mask[:, None, :], (bq, G, PW)
                 ).reshape(BQG, PW)
 
+                # decode-sized blocks only: at prefill widths (bq=64,
+                # K*BQG rows in the thousands) the Kx off-diagonal MXU
+                # waste is real (TTFT 115 -> 123 ms measured); at bq<=8
+                # the batched dots measured 130.4 -> 132.9 tok/s
+                hb = (
+                    os.environ.get("CVT_ATTN_HB", "1") == "1"
+                    and bq <= 8
+                    and not quantized and not kv4 and not spec.kv3
+                    and not spec.kv_shared and spec.logit_soft_cap is None
+                )
+                if hb:
+                    # ---- head-batched phase: replace the K-head loop's
+                    # 2K small dependent dots with TWO block-diagonal
+                    # dots + one vectorized softmax.  The off-diagonal
+                    # MXU work is wasted (Kx) but tiny in absolute terms;
+                    # what it buys is the removal of K serial
+                    # dot->VPU->dot latency chains per page step.
+                    q_all = jnp.concatenate([
+                        q_ref[:, h * G:(h + 1) * G, :].reshape(BQG, D)
+                        for h in range(K)
+                    ], axis=0)                          # [K*BQG, D]
+                    k_all = jnp.concatenate([
+                        kv_buf[slot, :, :, 2 * h, :].reshape(PW, D)
+                        for h in range(K)
+                    ], axis=0)                          # [K*PW, D]
+                    v_all = jnp.concatenate([
+                        kv_buf[slot, :, :, 2 * h + 1, :].reshape(PW, D)
+                        for h in range(K)
+                    ], axis=0)
+                    big = jax.lax.dot_general(
+                        q_all.astype(jnp.bfloat16),
+                        k_all.astype(jnp.bfloat16),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * spec.sm_scale                   # [K*BQG, K*PW]
+                    scores = jnp.concatenate([
+                        big[h * BQG:(h + 1) * BQG, h * PW:(h + 1) * PW]
+                        for h in range(K)
+                    ], axis=0)                          # [K*BQG, PW]
+                    mask_all = jnp.concatenate([mask3] * K, axis=0)
+                    m_prev = m_ref[...][:, :, :1].reshape(K * BQG, 1)
+                    l_prev = l_ref[...][:, :, :1].reshape(K * BQG, 1)
+                    m_cur = jnp.max(
+                        jnp.where(mask_all, scores, NEG_INF), axis=-1,
+                        keepdims=True,
+                    )
+                    m_new = jnp.maximum(m_prev, m_cur)
+                    p_ij = jnp.where(mask_all, jnp.exp(scores - m_new), 0.0)
+                    alpha = jnp.exp(m_prev - m_new)
+                    l_new = alpha * l_prev + jnp.sum(p_ij, -1, keepdims=True)
+                    # block-diagonal P assembled by concatenation (Mosaic
+                    # has no scatter lowering for value updates)
+                    rows_p = []
+                    for h in range(K):
+                        parts = []
+                        if h:
+                            parts.append(
+                                jnp.zeros((BQG, h * PW), jnp.float32)
+                            )
+                        parts.append(p_ij[h * BQG:(h + 1) * BQG])
+                        if K - 1 - h:
+                            parts.append(
+                                jnp.zeros((BQG, (K - 1 - h) * PW),
+                                          jnp.float32)
+                            )
+                        rows_p.append(jnp.concatenate(parts, axis=1))
+                    p_big = jnp.concatenate(rows_p, axis=0)
+                    pv = jax.lax.dot_general(
+                        p_big.astype(jnp.bfloat16),
+                        v_all.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                    # [K*BQG, D]
+                    acc_ref[...] = (
+                        acc_ref[...] * alpha.reshape(K, BQG, 1)
+                        + pv.reshape(K, BQG, D)
+                    )
+                    m_ref[...] = jnp.broadcast_to(
+                        m_new.reshape(K, BQG, 1), (K, BQG, 128)
+                    )
+                    l_ref[...] = jnp.broadcast_to(
+                        l_new.reshape(K, BQG, 1), (K, BQG, 128)
+                    )
+                    return 0
+
                 def _kv3_head(h):
                     # turbo3 plane-major pages: head h's 3-bit K codes
                     # live in ONE (plane, bitfield) pair of the 2-bit and
