@@ -232,7 +232,7 @@ def main() -> None:
             params=params,
         )
         sp = SamplingParams(temperature=0.0, ignore_eos=True,
-                            max_tokens=args.engine_steps + 192)
+                            max_tokens=3 * args.engine_steps + 256)
         eng.add_request("bench", prompt_token_ids=list(prompt), sampling_params=sp)
         # measure the tunnel round-trip so the serving numbers can be
         # adjusted to what a co-located host would see (each engine step
@@ -248,22 +248,44 @@ def main() -> None:
         eng.step()  # prefill (cold: includes jit compile of the bucket)
         engine_ttft_cold_ms = (time.time() - t0 - rtt) * 1e3
         seq = eng._groups["bench"].get_seqs()[0]
-        for _ in range(4):  # warm/compile decode dispatch shapes
+        for _ in range(6):  # warm/compile decode dispatch shapes
             eng.step()
-        n0 = seq.get_output_len()
-        n_calls = 0
-        t0 = time.time()
-        while (
-            seq.get_output_len() - n0 < args.engine_steps
-            and eng.has_unfinished_requests()
-        ):
-            eng.step()
-            n_calls += 1
-        d_eng = time.time() - t0
-        produced = seq.get_output_len() - n0
-        # each step() fetches once -> subtract one tunnel RTT per call
-        engine_tok_s = produced / max(d_eng - n_calls * rtt, 1e-9)
+        # median of 3 measurement windows so one noisy session can't mask
+        # a regression (VERDICT r3 #1).
+        #
+        # Rate model (pipelined engine): each step() call enqueues dispatch
+        # N+1 BEFORE fetching dispatch N, so device compute overlaps the
+        # host work AND the tunnel RTT.  Wall-clock through the tunnel
+        # therefore measures max(host, rtt) per call and cannot see the
+        # device time at all once rtt > device_step.  The co-located
+        # serving rate is tokens_per_call / max(device_call, host_call):
+        # device_call from the device-resident kernel loop above,
+        # host_call = wall/call - rtt (the only part a co-located host
+        # would keep).  Both components are reported for audit.
+        rates = []
+        host_ms = []
+        for _rep in range(3):
+            n0 = seq.get_output_len()
+            n_calls = 0
+            t0 = time.time()
+            while (
+                seq.get_output_len() - n0 < args.engine_steps
+                and eng.has_unfinished_requests()
+            ):
+                eng.step()
+                n_calls += 1
+            d_eng = time.time() - t0
+            produced = seq.get_output_len() - n0
+            tokens_per_call = produced / max(n_calls, 1)
+            host_call = max(d_eng / max(n_calls, 1) - rtt, 1e-9)
+            host_ms.append(host_call * 1e3)
+            device_call = (
+                tokens_per_call / toks_per_s if toks_per_s else 0.0
+            )
+            rates.append(tokens_per_call / max(device_call, host_call))
+        engine_tok_s = sorted(rates)[1]
         eng.abort_request("bench")
+        eng.step()  # flush any in-flight pipelined dispatch
         while eng.has_unfinished_requests():
             eng.step()
         # warm TTFT: a second same-shape prompt hits compiled buckets —
@@ -292,6 +314,14 @@ def main() -> None:
             "param_bytes": param_bytes,
             "ttft_ms_1k_prompt": round(ttft * 1e3, 1) if ttft else None,
             "engine_decode_tok_s": round(engine_tok_s, 2) if engine_tok_s else None,
+            "engine_decode_runs": [round(r, 2) for r in rates]
+            if not args.skip_engine else None,
+            "engine_host_ms_per_dispatch": [round(h, 1) for h in host_ms]
+            if not args.skip_engine else None,
+            "engine_rate_model": "tok_per_call/max(device_call,host_call); "
+            "device from kernel loop, host=wall/call-RTT (pipelined decode "
+            "overlaps device with host+RTT)"
+            if not args.skip_engine else None,
             "engine_ttft_ms": round(engine_ttft_ms, 1) if engine_ttft_ms else None,
             "engine_ttft_cold_ms": round(engine_ttft_cold_ms, 1)
             if engine_ttft_cold_ms else None,

@@ -738,8 +738,16 @@ class SchedulerConfig:
     # decode micro-steps fused into one device dispatch (the CUDA-graph
     # multi-token replay analogue): the sampled token feeds the next
     # forward on-device, so per-step host work amortizes K-fold.  1
-    # disables.  Applied only to penalty-free all-decode steps.
+    # disables.  Applied only to penalty-free all-decode steps.  Requests
+    # can lower it per-request (SamplingParams.decode_steps) for
+    # per-token streaming cadence.
     decode_steps: int = 8
+    # pipelined decode: dispatch step N+1 (fed by step N's on-device
+    # sampled tokens) BEFORE fetching step N's results, so host-side
+    # scheduling/detokenization overlaps device compute and the chip
+    # never idles between decode dispatches.  Token delivery to streams
+    # lags one dispatch.  CVT_PIPELINE=0 disables at runtime.
+    pipeline_decode: bool = True
 
     def __post_init__(self) -> None:
         # the step token budget is authoritative; chunks can never exceed it

@@ -43,6 +43,34 @@ from candle_vllm_tpu.parallel.sharding import ShardingPlan, make_mesh
 from candle_vllm_tpu.sampling_params import SamplingParams
 
 MAX_COPY_PAIRS = 128  # fixed-size COW copy list inside the jitted step
+# all-padding copy list reused by continuation dispatches (do_copy=False)
+_NO_COPY = np.full(MAX_COPY_PAIRS, 1 << 30, np.int32)
+
+
+@dataclass
+class _PendingStep:
+    """An in-flight pipelined decode dispatch whose results have not been
+    fetched yet.
+
+    The device is already computing (or has computed) these tokens; the
+    host processes them one step() call later, after enqueueing the next
+    dispatch — so host scheduling/detokenization overlaps device compute
+    and the chip never idles between decode steps.
+    """
+
+    packed: Any                 # device [n_steps, 2, S]
+    top_vals: Any               # device [n_steps, S, k] or None
+    top_ids: Any
+    next_tokens: Any            # device [T] i32 — next dispatch's q rows
+    plan: Any                   # StepPlan of the dispatched step
+    row_seqs: List["Sequence"]
+    groups: List["SequenceGroup"]   # per row
+    n_steps: int
+    want_logprobs: int
+    greedy_only: bool
+    st: SamplingTensors         # numpy leaves (seed_pos advances per chain)
+    np_kv_lens: np.ndarray      # [S] i32 kv_lens at dispatch time
+    step_start: float
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -169,18 +197,22 @@ class LLMEngine:
                 )
             elif quantization is not None:
                 # TP: merged projections can't column-shard; quantize the
-                # separate tensors
+                # separate tensors (incl. separate gate/up expert banks)
                 from candle_vllm_tpu.ops.quant import quantize_params
 
                 params = quantize_params(
-                    self.model.init_params(seed=seed), method=quantization
+                    self.model.init_params(seed=seed), method=quantization,
+                    moe_fuse_gate_up=False,
                 )
             else:
                 params = self.model.init_params(seed=seed)
         elif quantization is not None:
             from candle_vllm_tpu.ops.quant import quantize_params
 
-            params = quantize_params(params, method=quantization)
+            params = quantize_params(
+                params, method=quantization,
+                moe_fuse_gate_up=self.plan is None,
+            )
         if self.plan is not None:
             params = self.plan.apply(params)
         self.params = params
@@ -351,7 +383,8 @@ class LLMEngine:
             self._device_step,
             donate_argnums=(1,),
             static_argnames=("want_logprobs", "greedy_only", "penalties",
-                             "dsa_prefill", "n_steps", "do_copy"),
+                             "dsa_prefill", "n_steps", "do_copy",
+                             "emit_next"),
         )
         # per-step sampling keys derive on device from this base key +
         # the step counter (an eager jax.random.split on host costs
@@ -366,6 +399,18 @@ class LLMEngine:
             1, int(os.environ.get("CVT_MULTISTEP",
                                   str(scheduler_config.decode_steps)))
         )
+        # pipelined decode: keep one dispatch in flight so host-side
+        # scheduling/fetch/detokenization overlaps device compute (the
+        # serving path then runs at kernel-path throughput; the
+        # reference's host stays in the decode loop between CUDA-graph
+        # replays, backend/graph.rs)
+        self._pipeline = bool(
+            int(os.environ.get(
+                "CVT_PIPELINE",
+                str(int(scheduler_config.pipeline_decode)),
+            ))
+        )
+        self._pending: Optional["_PendingStep"] = None
 
     # -- the single-dispatch device step -----------------------------------
     def _device_step(
@@ -378,12 +423,13 @@ class LLMEngine:
         st: SamplingTensors,
         key_idx: jnp.ndarray,      # [] i32 step counter -> fold_in(base, .)
         *,
-        want_logprobs: bool = False,
+        want_logprobs: int = 0,    # top-k alternatives per token (0 = off)
         greedy_only: bool = False,
         penalties: bool = True,
         dsa_prefill: bool = False,
         n_steps: int = 1,
         do_copy: bool = True,
+        emit_next: bool = False,   # also return next-step token_ids [T]
     ):
         def _copy(p):
             if isinstance(p, dict):  # GDN state pool: no block COW
@@ -429,13 +475,21 @@ class LLMEngine:
             # top-k alternatives for the API's logprobs field — only
             # compiled in when some scheduled request asked for logprobs
             # (a full-vocab log_softmax + top_k is pure wasted bandwidth
-            # otherwise)
+            # otherwise).  k honors request top_logprobs up to 20
+            # (reference: logits_processor.rs:227+).
             top_vals = top_ids = None
             if want_logprobs:
                 logp = jax.nn.log_softmax(logits, axis=-1)
-                top_vals, top_ids = jax.lax.top_k(logp, 8)
+                top_vals, top_ids = jax.lax.top_k(logp, want_logprobs)
                 top_vals, top_ids = top_vals[None], top_ids[None]
-            return packed, top_vals, top_ids, kv_pages
+            next_ids = None
+            if emit_next:
+                # pipelined decode: the sampled tokens become the next
+                # dispatch's q rows without a host round-trip
+                T = step.token_ids.shape[0]
+                S = tokens.shape[0]
+                next_ids = jnp.zeros(T, jnp.int32).at[:S].set(tokens)
+            return packed, top_vals, top_ids, next_ids, kv_pages
 
         # ---- multi-token decode: n_steps micro-steps in one dispatch ----
         # The TPU analogue of replaying a captured CUDA decode graph N
@@ -490,7 +544,7 @@ class LLMEngine:
             )
             if want_logprobs:
                 logp = jax.nn.log_softmax(logits, axis=-1)
-                tv, ti = jax.lax.top_k(logp, 8)
+                tv, ti = jax.lax.top_k(logp, want_logprobs)
                 out_tv = out_tv.at[k].set(tv)
                 out_ti = out_ti.at[k].set(ti)
             # sampled token of row i feeds q row i of the next micro-step
@@ -498,15 +552,16 @@ class LLMEngine:
             return kv_pages, next_ids, out_packed, out_tv, out_ti
 
         out_packed = jnp.zeros((n_steps, 2, S), jnp.float32)
-        out_tv = jnp.zeros((n_steps, S, 8), jnp.float32)
-        out_ti = jnp.zeros((n_steps, S, 8), jnp.int32)
-        kv_pages, _, out_packed, out_tv, out_ti = jax.lax.fori_loop(
+        out_tv = jnp.zeros((n_steps, S, max(want_logprobs, 1)), jnp.float32)
+        out_ti = jnp.zeros((n_steps, S, max(want_logprobs, 1)), jnp.int32)
+        kv_pages, last_ids, out_packed, out_tv, out_ti = jax.lax.fori_loop(
             0, n_steps, micro,
             (kv_pages, step.token_ids, out_packed, out_tv, out_ti),
         )
         if not want_logprobs:
             out_tv = out_ti = None
-        return out_packed, out_tv, out_ti, kv_pages
+        next_ids = last_ids if emit_next else None
+        return out_packed, out_tv, out_ti, next_ids, kv_pages
 
     # -- request intake ----------------------------------------------------
     def add_request(
@@ -656,6 +711,177 @@ class LLMEngine:
 
     # -- one engine iteration ---------------------------------------------
     def step(self) -> List[RequestOutput]:
+        """One engine iteration.
+
+        With pipelined decode, each call enqueues dispatch N+1 (fed by the
+        previous dispatch's on-device sampled tokens) BEFORE fetching and
+        post-processing dispatch N — the device runs back-to-back while
+        the host catches up one step behind.  The chain breaks (and the
+        call falls back to a normal scheduled step) whenever new work is
+        waiting, a row finished/aborted, or blocks run out.
+        """
+        prev = self._pending
+        if prev is not None:
+            self._pending = None
+            if self._can_continue(prev):
+                self._dispatch_continuation(prev)
+                return self._finalize_pending(prev)
+            outs = self._finalize_pending(prev)
+            return outs + self._step_inner()
+        return self._step_inner()
+
+    def _can_continue(self, prev: _PendingStep) -> bool:
+        """Is the next step a pure continuation of the in-flight decode
+        chain (same rows, one more multi-token decode dispatch)?"""
+        if not self._pipeline:
+            return False
+        if self.scheduler.waiting or self.scheduler.swapped:
+            return False  # admit / swap-in via a normal scheduler pass
+        K = prev.n_steps
+        max_len = self.scheduler_config.max_model_len
+        for i, seq in enumerate(prev.row_seqs):
+            group = prev.groups[i]
+            if seq.is_finished or group.cancelled:
+                return False
+            # prev's K tokens are still unfetched: after this continuation
+            # the row holds output_len + 2K tokens / kv_len + K slots
+            sp = group.sampling_params
+            if seq.get_output_len() + 2 * K > sp.max_tokens:
+                return False
+            need = int(prev.np_kv_lens[i]) + 2 * K - 1
+            if need > max_len:
+                return False
+            if not self.block_engine.allocate_extend_for_chunk(seq, need):
+                return False
+        return True
+
+    def _dispatch_continuation(self, prev: _PendingStep) -> None:
+        """Enqueue the next decode dispatch of the chain, fed by the
+        previous dispatch's on-device sampled tokens (no host round-trip
+        touches the critical path)."""
+        from candle_vllm_tpu.ops.kv_cache import INVALID_SLOT
+
+        step = prev.plan.step
+        S = step.kv_lens.shape[0]
+        T = step.token_ids.shape[0]
+        K = prev.n_steps
+        page = self.cache_config.block_size
+        n = len(prev.row_seqs)
+        kv_lens = prev.np_kv_lens.copy()
+        kv_lens[:n] += K
+        positions = np.zeros(T, np.int32)
+        positions[:n] = kv_lens[:n] - 1
+        maxp = step.page_tables.shape[1]
+        pt = np.zeros((S, maxp), np.int32)
+        slots = np.full(T, INVALID_SLOT, np.int32)
+        for i, seq in enumerate(prev.row_seqs):
+            bids = self.block_engine.get_block_ids(seq)
+            pt[i, : len(bids)] = bids
+            p = int(positions[i])
+            slots[i] = pt[i, p // page] * page + p % page
+        st0 = prev.st
+        st = SamplingTensors(
+            temperature=st0.temperature, top_k=st0.top_k, top_p=st0.top_p,
+            min_p=st0.min_p, presence=st0.presence, frequency=st0.frequency,
+            repetition=st0.repetition, last_tokens=st0.last_tokens,
+            greedy=st0.greedy, seeds=st0.seeds,
+            seed_pos=st0.seed_pos + K, seed_sub=st0.seed_sub,
+        )
+        s = StepInput(
+            token_ids=prev.next_tokens,  # device array from the chain
+            positions=positions,
+            slot_mapping=slots,
+            kv_lens=kv_lens,
+            page_tables=pt,
+            cu_q_lens=step.cu_q_lens,
+            logits_idx=step.logits_idx,
+            state_slots=step.state_slots,
+            decode_only=True,
+        )
+        step_start = time.monotonic()
+        packed, tv, ti, nxt, self.kv_pages = self._jit_step(
+            self.params, self.kv_pages, s, _NO_COPY, _NO_COPY, st,
+            np.int32(self._step_counter),
+            want_logprobs=prev.want_logprobs,
+            greedy_only=prev.greedy_only,
+            penalties=False,
+            dsa_prefill=False,
+            n_steps=K,
+            do_copy=False,
+            emit_next=True,
+        )
+        self._step_counter += 1
+        self._pending = _PendingStep(
+            packed, tv, ti, nxt, prev.plan, prev.row_seqs, prev.groups,
+            K, prev.want_logprobs, prev.greedy_only, st, kv_lens, step_start,
+        )
+
+    def _finalize_pending(self, prev: _PendingStep) -> List[RequestOutput]:
+        """Fetch and post-process an in-flight dispatch (the device is
+        already running the next one)."""
+        packed = np.asarray(prev.packed)      # [n_steps, 2, S]
+        tokens = packed[:, 0].astype(np.int64)
+        logprobs = packed[:, 1]
+        top_vals = top_ids = None
+        if prev.want_logprobs:
+            top_vals = np.asarray(prev.top_vals)
+            top_ids = np.asarray(prev.top_ids)
+        now = time.monotonic()
+        n_accepted = 0
+        for i, seq in enumerate(prev.row_seqs):
+            if seq.is_finished:
+                continue  # aborted after dispatch: discard its tokens
+            group = prev.groups[i]
+            if group.metrics.get("first_token_time") is None:
+                group.metrics["first_token_time"] = now
+            for k in range(prev.n_steps):
+                seq.num_computed_tokens += 1
+                tok = int(tokens[k, i])
+                seq.append_token(tok, float(logprobs[k, i]))
+                n_accepted += 1
+                if group.sampling_params.logprobs:
+                    kk = min(
+                        group.sampling_params.logprobs, top_ids.shape[2]
+                    )
+                    seq.output_logprobs.append(
+                        {
+                            "token": tok,
+                            "logprob": float(logprobs[k, i]),
+                            "top": {
+                                int(top_ids[k, i, j]): float(top_vals[k, i, j])
+                                for j in range(kk)
+                            },
+                        }
+                    )
+                self._maybe_finish(seq, group)
+                if seq.is_finished:
+                    break  # discard speculatively decoded tails
+        finished_groups = self.scheduler.free_finished()
+        self.stats.requests_finished += len(finished_groups)
+        self.stats.record_step(
+            prefill_tokens=0,
+            decode_tokens=n_accepted,
+            step_time=now - prev.step_start,
+            preempted=0,
+        )
+        # the in-flight continuation computed garbage if every row just
+        # finished — drop it unfetched (its KV writes land at positions
+        # beyond each sequence's final length, which nothing reads: full
+        # prefix-cache blocks only cover positions < len)
+        if self._pending is not None and all(
+            s.is_finished for s in self._pending.row_seqs
+        ):
+            self._pending = None
+        outputs = []
+        for group in finished_groups:
+            out = self._group_output(group)
+            outputs.append(out)
+            if self.request_logger is not None:
+                self.request_logger.log_finished(out)
+            self._groups.pop(group.request_id, None)
+        return outputs
+
+    def _step_inner(self) -> List[RequestOutput]:
         step_start = time.monotonic()
         sched_out = self.scheduler.schedule()
         if sched_out.is_empty:
@@ -692,6 +918,15 @@ class LLMEngine:
             for sg in sched_out.scheduled
             for sid, q in sg.token_chunks.items()
         ]
+        if sched_rows:
+            # latency-sensitive requests can cap the fused micro-steps
+            # (decode_steps=1 restores per-token streaming cadence); the
+            # batch steps at the minimum across scheduled rows
+            K = max(1, min(
+                K,
+                min(g.sampling_params.decode_steps or K
+                    for g, _, _ in sched_rows),
+            ))
         if (
             K > 1
             and sched_rows
@@ -776,7 +1011,11 @@ class LLMEngine:
             copy_src[i] = s
             copy_dst[i] = d
 
-        want_logprobs = any(p.logprobs for p in rows_params)
+        # top-k alternatives: honor request top_logprobs up to 20 (OpenAI
+        # cap; reference: logits_processor.rs:227+).  Bucketed to {8, 20}
+        # so the compiled-variant set stays closed.
+        wl = max((p.logprobs or 0) for p in rows_params) if rows_params else 0
+        want_logprobs = 0 if wl == 0 else (8 if wl <= 8 else 20)
         # DSA sparse prefill (DeepSeek V3.2 / GLM5 class): eligible only
         # when EVERY scheduled row is a whole-prompt prefill chunk (the
         # in-batch indexer sees the full causal context; reference:
@@ -793,16 +1032,48 @@ class LLMEngine:
                 )
             )
         )
-        packed, top_vals, top_ids, self.kv_pages = self._jit_step(
+        greedy_only = all(p.is_greedy for p in rows_params)
+        # pipelined decode: defer the fetch and keep this dispatch in
+        # flight when the step is a steady penalty-free decode batch of
+        # single (unforked) sequences and no new work is waiting.  The
+        # next step() call enqueues the continuation before fetching.
+        can_pipe = (
+            self._pipeline
+            and plan.step.decode_only
+            and not penalties
+            and plan.needs_sample
+            and all(plan.needs_sample)
+            and not self.scheduler.waiting
+            and not self.scheduler.swapped
+            and not hasattr(self.model, "make_caches")
+            and all(
+                len(seq_to_group[sid].get_unfinished()) == 1
+                for sid in plan.seq_ids
+            )
+            and plan.sample_rows == list(range(len(plan.seq_ids)))
+        )
+        packed, top_vals, top_ids, next_ids, self.kv_pages = self._jit_step(
             self.params, self.kv_pages, plan.step, copy_src, copy_dst, st,
             np.int32(self._step_counter),
             want_logprobs=want_logprobs,
-            greedy_only=all(p.is_greedy for p in rows_params),
+            greedy_only=greedy_only,
             penalties=penalties,
             dsa_prefill=dsa_prefill,
             n_steps=n_steps,
             do_copy=bool(pairs),
+            emit_next=can_pipe,
         )
+        if can_pipe:
+            self._step_counter += 1
+            groups_per_row = [seq_to_group[s.seq_id] for s in row_seqs]
+            self._pending = _PendingStep(
+                packed, top_vals, top_ids, next_ids, plan, row_seqs,
+                groups_per_row, n_steps, want_logprobs, greedy_only, st,
+                np.asarray(plan.step.kv_lens), step_start,
+            )
+            # scheduler bookkeeping for this dispatch happens at fetch
+            # time (_finalize_pending), one step() call later
+            return self._collect_outputs([], sched_out)
         packed = np.asarray(packed)          # [n_steps, 2, S]
         tokens = packed[:, 0].astype(np.int64)
         logprobs = packed[:, 1]

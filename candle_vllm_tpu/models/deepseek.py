@@ -180,7 +180,7 @@ class DeepseekForCausalLM(LlamaForCausalLM):
     def _mlp_block(self, params, prefix, h, layer_idx):
         if self.is_moe_layer(layer_idx):
             return moe_ffn(h, params, prefix, self.config.moe,
-                           self.config.hidden_act)
+                           self.config.hidden_act, mesh=self.mesh)
         return mlp(h, params, prefix, self.config.hidden_act)
 
     def _attn(self, params: Params, a: str, x, cos_sin, kv_pages, step):

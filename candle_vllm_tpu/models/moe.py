@@ -18,6 +18,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
 
 from candle_vllm_tpu.config import MoEConfig
 from candle_vllm_tpu.models.layers import _act
@@ -77,6 +78,7 @@ def moe_ffn(
     prefix: str,               # e.g. "model.layers.3.mlp"
     moe: MoEConfig,
     hidden_act: str = "silu",
+    mesh: Optional[Mesh] = None,
 ) -> jnp.ndarray:
     """Sparse expert FFN over stacked expert banks:
 
@@ -114,9 +116,86 @@ def moe_ffn(
     group_sizes = jnp.bincount(flat_idx, length=E).astype(jnp.int32)
 
     gu_qw = params.get(f"{prefix}.experts.gate_up_proj.qweight")
-    if gu_qw is not None:
-        # W4 expert banks (reference FusedMoeISQ/moe_gemm_gguf class):
+    g_qw = params.get(f"{prefix}.experts.gate_proj.qweight")
+    tp = mesh.shape.get("tp", 1) if mesh is not None else 1
+    if g_qw is not None and tp > 1:
+        # mirror ShardingPlan.apply's divisibility gate: the plan dropped
+        # these banks to replicated if any dim didn't divide tp, in which
+        # case the single-shard path below is the consistent one
+        ds = params[f"{prefix}.experts.down_proj.scales"]
+        dq = params[f"{prefix}.experts.down_proj.qweight"]
+        gs_ = params[f"{prefix}.experts.gate_proj.scales"]
+        if (
+            g_qw.shape[1] % tp or gs_.shape[2] % tp
+            or dq.shape[2] % tp or ds.shape[1] % tp
+        ):
+            tp = 1
+    if g_qw is not None and tp > 1:
+        # TP-sharded W4 expert banks (reference: expert sharding,
+        # distributed.rs:108-203 + MergedParallelColumnLinear 252-535):
+        # gate/up quantize SEPARATELY under TP (a fused [gate|up] OUT dim
+        # cannot column-shard scale-aligned), the whole expert FFN runs in
+        # ONE shard_map — column-parallel gate/up, local activation,
+        # row-parallel down, psum — so each device streams 1/tp of every
+        # routed expert's W4 tiles and no bank is ever replicated.
+        from candle_vllm_tpu.ops.quant import grouped_quant_matmul
+
+        def local_moe(xs_, gq, gs, uq, us, dq, ds, sizes):
+            g = grouped_quant_matmul(xs_, gq, gs, sizes)
+            u = grouped_quant_matmul(xs_, uq, us, sizes)
+            h_ = (act(g) * u).astype(xs_.dtype)
+            y_ = grouped_quant_matmul(h_, dq, ds, sizes)
+            return jax.lax.psum(y_, "tp")
+
+        rep2 = P(None, None)
+        y = jax.shard_map(
+            local_moe,
+            mesh=mesh,
+            in_specs=(
+                rep2,
+                P(None, "tp", None, None), P(None, None, "tp"),
+                P(None, "tp", None, None), P(None, None, "tp"),
+                P(None, None, "tp", None), P(None, "tp", None),
+                P(None),
+            ),
+            out_specs=rep2,
+            check_vma=False,
+        )(
+            xs,
+            g_qw, params[f"{prefix}.experts.gate_proj.scales"],
+            params[f"{prefix}.experts.up_proj.qweight"],
+            params[f"{prefix}.experts.up_proj.scales"],
+            params[f"{prefix}.experts.down_proj.qweight"],
+            params[f"{prefix}.experts.down_proj.scales"],
+            group_sizes,
+        )
+    elif g_qw is not None:
+        # separate W4 banks, single shard
+        from candle_vllm_tpu.ops.quant import grouped_quant_matmul
+
+        g = grouped_quant_matmul(
+            xs, g_qw, params[f"{prefix}.experts.gate_proj.scales"],
+            group_sizes,
+        )
+        u = grouped_quant_matmul(
+            xs, params[f"{prefix}.experts.up_proj.qweight"],
+            params[f"{prefix}.experts.up_proj.scales"], group_sizes,
+        )
+        h = (act(g) * u).astype(x.dtype)
+        y = grouped_quant_matmul(
+            h,
+            params[f"{prefix}.experts.down_proj.qweight"],
+            params[f"{prefix}.experts.down_proj.scales"],
+            group_sizes,
+        )
+    elif gu_qw is not None:
+        # fused W4 expert bank (reference FusedMoeISQ/moe_gemm_gguf class):
         # decode streams ONLY the routed experts' packed tiles
+        assert tp == 1, (
+            "fused quantized gate_up expert banks cannot column-shard "
+            "scale-aligned under TP; quantize with moe_fuse_gate_up=False "
+            "(the engine does this automatically when a mesh is present)"
+        )
         from candle_vllm_tpu.ops.quant import grouped_quant_matmul
 
         gu = grouped_quant_matmul(

@@ -71,4 +71,5 @@ class QwenMoeForCausalLM(LlamaForCausalLM):
     ) -> jnp.ndarray:
         if not self.is_moe_layer(layer_idx):
             return super()._mlp_block(params, prefix, h, layer_idx)
-        return moe_ffn(h, params, prefix, self.config.moe, self.config.hidden_act)
+        return moe_ffn(h, params, prefix, self.config.moe,
+                       self.config.hidden_act, mesh=self.mesh)

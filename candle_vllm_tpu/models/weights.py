@@ -319,7 +319,9 @@ def load_safetensors(
         if quantize:
             from candle_vllm_tpu.ops.quant import quantize_params
 
-            params = quantize_params(params, method=quantize)
+            params = quantize_params(
+                params, method=quantize, moe_fuse_gate_up=plan is None
+            )
     if plan is not None:
         params = plan.apply(params)
     return params

@@ -120,18 +120,20 @@ def tile_int8(q: np.ndarray, tile_out: int) -> np.ndarray:
 
 
 def quantize_w4a16(
-    w: np.ndarray, group_size: int = DEFAULT_GROUP
+    w: np.ndarray, group_size: int = DEFAULT_GROUP,
+    tile_out: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Symmetric per-(group,col) int4. w: [in, out] float. Returns
     (packed [out/TO, in, TO/2] int8 tile-contiguous, scales [in/g, out]
-    float32)."""
+    float32).  ``tile_out`` narrows the out-tile (TP-sharded banks want
+    n_tiles % tp == 0; tiles are contiguous OUT spans)."""
     n_in, n_out = w.shape
     assert n_in % group_size == 0, (n_in, group_size)
     wg = w.astype(np.float32).reshape(n_in // group_size, group_size, n_out)
     scale = np.abs(wg).max(axis=1) / 7.0  # [in/g, out]
     scale = np.maximum(scale, 1e-8)
     q = np.rint(wg / scale[:, None, :]).clip(-8, 7).astype(np.int8)
-    to = pick_tile_out(n_out)
+    to = tile_out if tile_out and n_out % tile_out == 0 else pick_tile_out(n_out)
     return tile_packed_w4(pack_int4(q.reshape(n_in, n_out), to), to), scale
 
 
@@ -186,6 +188,7 @@ def quantize_params(
     keep_regex: str = r"(embed_tokens|norm|\.bias$|\.visual\.)",
     lm_head_method: Optional[str] = None,
     merge_fused: bool = False,
+    moe_fuse_gate_up: bool = True,
 ) -> Params:
     """In-situ quantization of a loaded bf16 param dict (reference ISQ,
     linear.rs:from_linear_x).  Embeddings / norms stay bf16; the lm_head
@@ -200,7 +203,7 @@ def quantize_params(
         params = merge_fused_projections(params)
     # 3D expert banks quantize separately (2D tensor loop below skips them)
     if any(".experts." in n for n in params):
-        params = quantize_moe_banks(params)
+        params = quantize_moe_banks(params, fuse_gate_up=moe_fuse_gate_up)
     keep = re.compile(keep_regex)
     out: Params = {}
     for name, arr in params.items():
@@ -513,24 +516,28 @@ def dequant_mxfp4(
 
 
 def quantize_expert_bank(
-    bank: np.ndarray, group_size: int = DEFAULT_GROUP
+    bank: np.ndarray, group_size: int = DEFAULT_GROUP,
+    tile_out: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """[E, in, out] float -> (qweight [E, n_tiles, in, TO/2] int8
     tile-contiguous per expert, scales [E, in/g, out] f32)."""
-    E, n_in, n_out = bank.shape
-    to = pick_tile_out(n_out)
     qws, ss = [], []
-    for e in range(E):
-        qw, s = quantize_w4a16(np.asarray(bank[e], np.float32), group_size)
+    for e in range(bank.shape[0]):
+        qw, s = quantize_w4a16(
+            np.asarray(bank[e], np.float32), group_size, tile_out=tile_out
+        )
         qws.append(qw)
         ss.append(s)
     return np.stack(qws), np.stack(ss)
 
 
-def quantize_moe_banks(params: Params) -> Params:
-    """Quantize 3D expert banks in a loaded param dict to W4 (gate/up
-    merge into one gate_up bank first).  Banks whose dims don't meet the
-    packing gates stay bf16."""
+def quantize_moe_banks(params: Params, fuse_gate_up: bool = True) -> Params:
+    """Quantize 3D expert banks in a loaded param dict to W4.  Gate/up
+    merge into one gate_up bank by default; under TP pass
+    ``fuse_gate_up=False`` — separate banks column-shard scale-aligned
+    (the reference's MergedParallelColumnLinear per-chunk split,
+    distributed.rs:252-535, achieved here by not merging at all).  Banks
+    whose dims don't meet the packing gates stay bf16."""
     out = dict(params)
     prefixes = {
         n[: -len(".experts.gate_proj")]
@@ -543,12 +550,16 @@ def quantize_moe_banks(params: Params) -> Params:
     }
     for p in sorted(prefixes):
         gu = out.get(f"{p}.experts.gate_up_proj")
+        g = out.get(f"{p}.experts.gate_proj")
+        u = out.get(f"{p}.experts.up_proj")
         if gu is None:
-            g = out.get(f"{p}.experts.gate_proj")
-            u = out.get(f"{p}.experts.up_proj")
             if g is None or u is None:
                 continue
             gu = jnp.concatenate([g, u], axis=2)
+        elif not fuse_gate_up:
+            # checkpoint ships fused (llama4): split for TP sharding
+            inter = gu.shape[2] // 2
+            g, u = gu[..., :inter], gu[..., inter:]
         dn = out.get(f"{p}.experts.down_proj")
         if dn is None:
             continue
@@ -557,12 +568,27 @@ def quantize_moe_banks(params: Params) -> Params:
             or dn.shape[1] % DEFAULT_GROUP or dn.shape[2] % QTILE_OUT
         ):
             continue
-        gu_np = np.asarray(jax.device_get(gu), np.float32)
         dn_np = np.asarray(jax.device_get(dn), np.float32)
-        qw, s = quantize_expert_bank(gu_np)
-        out[f"{p}.experts.gate_up_proj.qweight"] = jnp.asarray(qw)
-        out[f"{p}.experts.gate_up_proj.scales"] = jnp.asarray(s, jnp.bfloat16)
-        qw, s = quantize_expert_bank(dn_np)
+        if fuse_gate_up:
+            gu_np = np.asarray(jax.device_get(gu), np.float32)
+            qw, s = quantize_expert_bank(gu_np)
+            out[f"{p}.experts.gate_up_proj.qweight"] = jnp.asarray(qw)
+            out[f"{p}.experts.gate_up_proj.scales"] = jnp.asarray(
+                s, jnp.bfloat16
+            )
+        else:
+            # narrow 256-wide tiles so n_tiles % tp == 0 for common
+            # intermediate sizes (tiles are the TP shard unit)
+            for t, bank in (("gate_proj", g), ("up_proj", u)):
+                qw, s = quantize_expert_bank(
+                    np.asarray(jax.device_get(bank), np.float32),
+                    tile_out=256,
+                )
+                out[f"{p}.experts.{t}.qweight"] = jnp.asarray(qw)
+                out[f"{p}.experts.{t}.scales"] = jnp.asarray(s, jnp.bfloat16)
+        qw, s = quantize_expert_bank(
+            dn_np, tile_out=256 if not fuse_gate_up else None
+        )
         out[f"{p}.experts.down_proj.qweight"] = jnp.asarray(qw)
         out[f"{p}.experts.down_proj.scales"] = jnp.asarray(s, jnp.bfloat16)
         for n in (f"{p}.experts.gate_proj", f"{p}.experts.up_proj",

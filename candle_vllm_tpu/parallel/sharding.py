@@ -45,6 +45,16 @@ def make_mesh(tp_size: int, dp_size: int = 1, devices=None) -> Mesh:
 # This mirrors the reference's TensorParallelColumn/RowLinear split
 # (distributed.rs:210-250, 538-711) without any explicit collectives.
 _DEFAULT_RULES: Tuple[Tuple[str, P], ...] = (
+    # quantized W4 expert banks FIRST (the dense *_proj rules below would
+    # otherwise shadow them with 2D/3D specs).  Reference: expert
+    # sharding distributed.rs:108-203.  qweight [E, n_tiles, IN, TO/2]
+    # shards the tile axis (tiles are contiguous OUT spans — scale-aligned
+    # with the scales' OUT shard); down_proj is row-parallel (IN axis /
+    # scale-group axis).  Consumed inside models/moe.py's shard_map.
+    (r"\.experts\.(gate_proj|up_proj)\.qweight$", P(None, "tp", None, None)),
+    (r"\.experts\.(gate_proj|up_proj)\.scales$", P(None, None, "tp")),
+    (r"\.experts\.down_proj\.qweight$", P(None, None, "tp", None)),
+    (r"\.experts\.down_proj\.scales$", P(None, "tp", None)),
     # embeddings: vocab-sharded (reference: VocabParallelLinear,
     # distributed.rs:1457-1668)
     (r"embed_tokens\.weight$", P("tp", None)),
@@ -78,6 +88,10 @@ _DEFAULT_RULES: Tuple[Tuple[str, P], ...] = (
     # MoE expert banks [E, in, out] / [E, in, out]
     (r"\.experts\.(gate_proj|up_proj)$", P(None, None, "tp")),
     (r"\.experts\.down_proj$", P(None, "tp", None)),
+    # llama4-style fused bf16 bank [E, hidden, 2I]: sharded for HBM (the
+    # gate/up split resharding is XLA's problem; quantized TP paths use
+    # separate banks instead — see ops/quant.quantize_moe_banks)
+    (r"\.experts\.gate_up_proj$", P(None, None, "tp")),
     (r"\.(gate|router)\.weight$", P()),
     # norms replicated
     (r".*norm.*\.weight$", P()),
@@ -109,9 +123,44 @@ class ShardingPlan:
         # [num_pages, page_size, 2*K, head_dim] — KV heads sharded over tp
         return NamedSharding(self.mesh, P(None, None, "tp", None))
 
+    def _fits(self, shape: Tuple[int, ...], spec: P) -> bool:
+        """A spec only applies when every named axis divides its dim."""
+        for dim, axes in zip(shape, spec):
+            if axes is None:
+                continue
+            for ax in (axes if isinstance(axes, tuple) else (axes,)):
+                n = self.mesh.shape.get(ax, 1)
+                if dim % n:
+                    return False
+        return True
+
     def apply(self, params: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        specs: Dict[str, P] = {}
+        for name, arr in params.items():
+            s = self.spec(name)
+            if not self._fits(arr.shape, s):
+                s = P()
+            specs[name] = s
+        # quantized expert banks shard all-or-none per layer: the MoE
+        # shard_map (models/moe.py) needs every bank tensor of a layer
+        # sharded consistently, so one non-divisible tensor drops the
+        # whole layer's banks to replicated
+        import collections
+
+        groups = collections.defaultdict(list)
+        pat = re.compile(
+            r"(.*)\.experts\.(gate_proj|up_proj|down_proj)\.(qweight|scales)$"
+        )
+        for name in params:
+            m = pat.match(name)
+            if m:
+                groups[m.group(1)].append(name)
+        for names in groups.values():
+            if any(specs[n] == P() for n in names):
+                for n in names:
+                    specs[n] = P()
         return {
-            name: jax.device_put(arr, self.sharding(name))
+            name: jax.device_put(arr, NamedSharding(self.mesh, specs[name]))
             for name, arr in params.items()
         }
 

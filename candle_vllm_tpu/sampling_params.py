@@ -35,6 +35,11 @@ class SamplingParams:
     logprobs: Optional[int] = None
     prompt_logprobs: Optional[int] = None
     skip_special_tokens: bool = True
+    # per-request cap on fused decode micro-steps: 1 restores per-token
+    # SSE cadence / stop checks for latency-sensitive streams (the
+    # engine-wide default is SchedulerConfig.decode_steps; the batch
+    # steps at the minimum across scheduled requests)
+    decode_steps: Optional[int] = None
 
     def __post_init__(self) -> None:
         if self.best_of is None:
@@ -64,6 +69,14 @@ class SamplingParams:
             raise ValueError(f"min_p must be in [0, 1], got {self.min_p}")
         if self.max_tokens < 1:
             raise ValueError(f"max_tokens must be >= 1, got {self.max_tokens}")
+        if self.decode_steps is not None and self.decode_steps < 1:
+            raise ValueError(
+                f"decode_steps must be >= 1, got {self.decode_steps}"
+            )
+        if self.logprobs is not None and not 0 <= self.logprobs <= 20:
+            raise ValueError(
+                f"logprobs must be in [0, 20], got {self.logprobs}"
+            )
 
     @property
     def is_greedy(self) -> bool:
