@@ -119,6 +119,11 @@ class MoEConfig:
     # instead of the output (reference: llama4/mod.rs:108-109
     # set_apply_router_weight_on_input)
     apply_router_weight_on_input: bool = False
+    # expert CPU offload: the LAST n experts of every bank live in pinned
+    # host memory; each step DMAs only the routed offloaded experts' W4
+    # tiles to HBM inside the jitted step (reference:
+    # num_experts_offload_per_rank, models/mod.rs:445 + linear.rs:110-116)
+    num_experts_offload: int = 0
 
 
 @dataclass

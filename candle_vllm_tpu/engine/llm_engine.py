@@ -190,11 +190,24 @@ class LLMEngine:
             )
         elif params is None:
             if quantization is not None and self.plan is None:
-                from candle_vllm_tpu.ops.quant import random_quantized_params
+                n_off = getattr(model_config.moe, "num_experts_offload", 0) \
+                    if model_config.moe else 0
+                if n_off:
+                    # offload needs separate gate/up banks
+                    from candle_vllm_tpu.ops.quant import quantize_params
 
-                params = random_quantized_params(
-                    self.model, quantization, jax.random.PRNGKey(seed)
-                )
+                    params = quantize_params(
+                        self.model.init_params(seed=seed),
+                        method=quantization, moe_fuse_gate_up=False,
+                    )
+                else:
+                    from candle_vllm_tpu.ops.quant import (
+                        random_quantized_params,
+                    )
+
+                    params = random_quantized_params(
+                        self.model, quantization, jax.random.PRNGKey(seed)
+                    )
             elif quantization is not None:
                 # TP: merged projections can't column-shard; quantize the
                 # separate tensors (incl. separate gate/up expert banks)
@@ -209,9 +222,21 @@ class LLMEngine:
         elif quantization is not None:
             from candle_vllm_tpu.ops.quant import quantize_params
 
+            n_off = getattr(model_config.moe, "num_experts_offload", 0) \
+                if model_config.moe else 0
             params = quantize_params(
                 params, method=quantization,
-                moe_fuse_gate_up=self.plan is None,
+                moe_fuse_gate_up=self.plan is None and not n_off,
+            )
+        # expert CPU offload: tail experts' W4 banks move to pinned host
+        # memory (reference: num_experts_offload_per_rank)
+        if model_config.moe and getattr(
+            model_config.moe, "num_experts_offload", 0
+        ):
+            from candle_vllm_tpu.ops.quant import offload_expert_banks
+
+            params = offload_expert_banks(
+                params, model_config.moe.num_experts_offload
             )
         if self.plan is not None:
             params = self.plan.apply(params)

@@ -117,7 +117,23 @@ def moe_ffn(
 
     gu_qw = params.get(f"{prefix}.experts.gate_up_proj.qweight")
     g_qw = params.get(f"{prefix}.experts.gate_proj.qweight")
+    g_off = params.get(f"{prefix}.experts.gate_proj.qweight_offload")
     tp = mesh.shape.get("tp", 1) if mesh is not None else 1
+    if g_off is not None:
+        # expert CPU offload (reference: num_experts_offload_per_rank,
+        # models/mod.rs:445 + linear.rs:110-116): the tail experts' W4
+        # banks live in pinned host memory; only the ROUTED offloaded
+        # experts' tiles DMA to HBM inside this jitted step
+        assert tp == 1, "expert offload + TP not supported yet"
+        y = _moe_quant_offload(
+            xs, params, prefix, group_sizes, act, x.dtype
+        )
+        out = jnp.zeros((T, hidden), jnp.float32).at[tok_of].add(
+            y.astype(jnp.float32) * w_sorted[:, None]
+        )
+        return _add_shared_expert(
+            out.astype(x.dtype), x, params, prefix, hidden_act
+        )
     if g_qw is not None and tp > 1:
         # mirror ShardingPlan.apply's divisibility gate: the plan dropped
         # these banks to replicated if any dim didn't divide tp, in which
@@ -231,6 +247,13 @@ def moe_ffn(
     )
     out = out.astype(x.dtype)
 
+    return _add_shared_expert(out, x, params, prefix, hidden_act)
+
+
+def _add_shared_expert(
+    out: jnp.ndarray, x: jnp.ndarray, params: Params, prefix: str,
+    hidden_act: str,
+) -> jnp.ndarray:
     if f"{prefix}.shared_expert.gate_proj.weight" in params or \
        f"{prefix}.shared_experts.gate_proj.weight" in params:
         sp = (
@@ -248,3 +271,108 @@ def moe_ffn(
             )
         out = out + shared
     return out
+
+
+def _moe_quant_offload(
+    xs: jnp.ndarray,            # [R, hidden] rows sorted by expert
+    params: Params,
+    prefix: str,
+    group_sizes: jnp.ndarray,   # [E] i32
+    act,
+    dtype,
+) -> jnp.ndarray:
+    """Expert FFN with the tail experts' W4 banks in pinned host memory.
+
+    Resident experts [0, E_res) run the normal grouped W4 GEMM; each
+    ROUTED offloaded expert's packed tiles are host->HBM DMA'd inside the
+    step (dynamic_slice on the host bank + device_put — XLA lowers the
+    pair to a DMA of exactly that expert's bytes; reference semantics:
+    on-demand reload, linear.rs:110-116).  NSO slots bound the unrolled
+    transfer count: at most min(n_offload, R) distinct offloaded experts
+    can be routed in a step."""
+    from jax.sharding import SingleDeviceSharding
+
+    from candle_vllm_tpu.ops.pallas.quant_matmul import dequant_w4_jnp
+    from candle_vllm_tpu.ops.quant import grouped_quant_matmul
+
+    def p(n):
+        return params[f"{prefix}.experts.{n}"]
+
+    g_off = p("gate_proj.qweight_offload")
+    n_off = g_off.shape[0]
+    E = group_sizes.shape[0]
+    E_res = E - n_off
+    R = xs.shape[0]
+    host = SingleDeviceSharding(jax.devices()[0], memory_kind="pinned_host")
+    dev = SingleDeviceSharding(jax.devices()[0], memory_kind="device")
+
+    # resident part: rows routed to offloaded experts sit at the sorted
+    # tail, outside every resident group range -> contribute zero here
+    if E_res > 0:
+        gs_res = group_sizes[:E_res]
+        g = grouped_quant_matmul(
+            xs, p("gate_proj.qweight"), p("gate_proj.scales"), gs_res
+        ).astype(jnp.float32)
+        u = grouped_quant_matmul(
+            xs, p("up_proj.qweight"), p("up_proj.scales"), gs_res
+        ).astype(jnp.float32)
+    else:
+        OUT = p("gate_proj.scales_offload").shape[2]
+        g = jnp.zeros((R, OUT), jnp.float32)
+        u = jnp.zeros((R, OUT), jnp.float32)
+
+    # routed offloaded experts: fixed NSO slots (padding slots replicate
+    # bank row 0 with an empty range)
+    NSO = min(n_off, R)
+    off_sizes = group_sizes[E_res:]
+    (sel,) = jnp.nonzero(off_sizes > 0, size=NSO, fill_value=0)
+    sel = sel.astype(jnp.int32)
+    cs = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(group_sizes).astype(jnp.int32)]
+    )
+    valid = jnp.arange(NSO) < jnp.sum(off_sizes > 0)
+    lo = jnp.where(valid, cs[E_res + sel], 0)
+    hi = jnp.where(valid, cs[E_res + sel + 1], 0)
+    rows = jnp.arange(R, dtype=jnp.int32)
+
+    def fetch(name, i_h):
+        bank = p(name)
+        row = jax.lax.dynamic_slice_in_dim(bank, i_h, 1, axis=0)
+        return jax.device_put(row, dev)[0]
+
+    sel_h = jax.device_put(sel, host)
+    ws = []
+    for j in range(NSO):
+        i_h = sel_h[j]
+        wg = dequant_w4_jnp(
+            fetch("gate_proj.qweight_offload", i_h),
+            fetch("gate_proj.scales_offload", i_h),
+        ).astype(xs.dtype)
+        wu = dequant_w4_jnp(
+            fetch("up_proj.qweight_offload", i_h),
+            fetch("up_proj.scales_offload", i_h),
+        ).astype(xs.dtype)
+        mask = ((rows >= lo[j]) & (rows < hi[j]))[:, None]
+        g = g + jnp.where(mask, jnp.dot(xs, wg,
+                          preferred_element_type=jnp.float32), 0.0)
+        u = u + jnp.where(mask, jnp.dot(xs, wu,
+                          preferred_element_type=jnp.float32), 0.0)
+        ws.append((i_h, mask))
+
+    h = (act(g) * u).astype(dtype)
+
+    if E_res > 0:
+        y = grouped_quant_matmul(
+            h, p("down_proj.qweight"), p("down_proj.scales"), gs_res
+        ).astype(jnp.float32)
+    else:
+        y = jnp.zeros((R, p("down_proj.scales_offload").shape[2]),
+                      jnp.float32)
+    for i_h, mask in ws:
+        wd = dequant_w4_jnp(
+            fetch("down_proj.qweight_offload", i_h),
+            fetch("down_proj.scales_offload", i_h),
+        ).astype(dtype)
+        y = y + jnp.where(mask, jnp.dot(h, wd,
+                          preferred_element_type=jnp.float32), 0.0)
+    return y.astype(dtype)

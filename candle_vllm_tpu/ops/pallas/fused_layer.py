@@ -155,7 +155,8 @@ def _kernel(
         a = attn_ref[...]
         zero = jnp.zeros((T, TO), jnp.float32)
         so = o_s_ref[i].astype(jnp.float32)
-        y = _w4_tile_matmul(a, obuf[slot], so, zero)
+        TOH = TO // 2
+        y = _w4_tile_matmul(a, obuf[slot], so[:, :TOH], so[:, TOH:], zero)
         cols = pl.ds(i * TO, TO)
         x2_ref[:, cols] = (
             x_ref[:, cols].astype(jnp.float32) + y
@@ -176,11 +177,14 @@ def _kernel(
         )
         hrow = (xf * scale * nw_ref[...]).astype(jnp.bfloat16)
         zero = jnp.zeros((T, TO), jnp.float32)
+        TOH = TO // 2
         sg = gu_s_ref[j].astype(jnp.float32)
-        gate = _w4_tile_matmul(hrow, gbuf[slot], sg, zero)
+        gate = _w4_tile_matmul(hrow, gbuf[slot], sg[:, :TOH], sg[:, TOH:],
+                               zero)
         ngu = n_gu_end - n_o
         su = gu_s_ref[j + ngu].astype(jnp.float32)
-        up = _w4_tile_matmul(hrow, ubuf[slot], su, zero)
+        up = _w4_tile_matmul(hrow, ubuf[slot], su[:, :TOH], su[:, TOH:],
+                             zero)
         act = jax.nn.silu(gate) * up
         h_ref[:, pl.ds(j * TO, TO)] = act
 
@@ -198,7 +202,9 @@ def _kernel(
         dn_dma(slot, j).wait()
         xh = h_ref[:, pl.ds(chunk * CH, CH)].astype(jnp.bfloat16)
         sd = dn_s_ref[j].astype(jnp.float32)
-        acc_ref[...] = _w4_tile_matmul(xh, dbuf[slot], sd, acc_ref[...])
+        TOH = TO // 2
+        acc_ref[...] = _w4_tile_matmul(xh, dbuf[slot], sd[:, :TOH],
+                                       sd[:, TOH:], acc_ref[...])
 
         @pl.when(chunk == n_chunks - 1)
         def _flush():
@@ -220,7 +226,9 @@ def _kernel(
             hrow = (xf * scale * n2w_ref[...]).astype(jnp.bfloat16)
             zero = jnp.zeros((T, TO), jnp.float32)
             sq = q_s_ref[j].astype(jnp.float32)
-            y = _w4_tile_matmul(hrow, qbuf[slot], sq, zero)
+            TOH = TO // 2
+            y = _w4_tile_matmul(hrow, qbuf[slot], sq[:, :TOH], sq[:, TOH:],
+                                zero)
             qkv_ref[:, pl.ds(j * TO, TO)] = y.astype(qkv_ref.dtype)
 
 

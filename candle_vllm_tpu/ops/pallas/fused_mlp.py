@@ -35,10 +35,12 @@ from jax.experimental.pallas import tpu as pltpu
 GROUP = 128
 
 
-def _w4_tile_matmul(x, p, s, acc):
+def _w4_tile_matmul(x, p, s_lo, s_hi, acc):
     """acc += x @ dequant(p) for one [TI, TO/2]-packed tile.
 
-    x [T, TI] bf16; p [TI, TOH] int8; s [TI/g, TO] f32; acc [T, TO] f32.
+    x [T, TI] bf16; p [TI, TOH] int8; s_lo/s_hi [TI/g, TOH] f32 (split
+    halves: Mosaic cannot sublane-broadcast a row sliced at a lane
+    offset < 512 — see quant_matmul.py); acc [T, TO] f32.
     Group-split form: scales hit the [T, TO] partial products; the low
     nibble is recovered as plo = x@b - 16*(x@hi) (see quant_matmul.py).
     k-way accumulator rotation + a single rowsum-correction dot break the
@@ -60,7 +62,7 @@ def _w4_tile_matmul(x, p, s, acc):
         rs_all = jnp.sum(
             xq.astype(jnp.float32).reshape(T, ng, GROUP), axis=2
         )
-        corr = 8.0 * jnp.dot(rs_all, s[:, :TOH],
+        corr = 8.0 * jnp.dot(rs_all, s_lo,
                              preferred_element_type=jnp.float32)
         los = [jnp.zeros((T, TOH), jnp.float32) for _ in range(NACC)]
         his = [jnp.zeros((T, TOH), jnp.float32) for _ in range(NACC)]
@@ -75,10 +77,9 @@ def _w4_tile_matmul(x, p, s, acc):
                 xb, hi8[sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)
-            s32 = s[gi][None, :]
             kk = gi % NACC
-            los[kk] = los[kk] + (ppf - 16.0 * phi) * s32[:, :TOH]
-            his[kk] = his[kk] + phi * s32[:, TOH:]
+            los[kk] = los[kk] + (ppf - 16.0 * phi) * s_lo[gi][None, :]
+            his[kk] = his[kk] + phi * s_hi[gi][None, :]
         acc_lo = acc[:, :TOH] + (sum(los) - corr) * sx
         acc_hi = acc[:, TOH:] + sum(his) * sx
         return jnp.concatenate([acc_lo, acc_hi], axis=1)
@@ -86,7 +87,7 @@ def _w4_tile_matmul(x, p, s, acc):
     hi = jnp.floor(pf32 * 0.0625).astype(jnp.bfloat16)
     pf = pf32.astype(jnp.bfloat16)
     rs_all = jnp.sum(x.astype(jnp.float32).reshape(T, ng, GROUP), axis=2)
-    corr = 8.0 * jnp.dot(rs_all, s[:, :TOH],
+    corr = 8.0 * jnp.dot(rs_all, s_lo,
                          preferred_element_type=jnp.float32)
     los = [jnp.zeros((T, TOH), jnp.float32) for _ in range(NACC)]
     his = [jnp.zeros((T, TOH), jnp.float32) for _ in range(NACC)]
@@ -95,10 +96,9 @@ def _w4_tile_matmul(x, p, s, acc):
         xb = x[:, sl]
         ppf = jnp.dot(xb, pf[sl], preferred_element_type=jnp.float32)
         phi = jnp.dot(xb, hi[sl], preferred_element_type=jnp.float32)
-        s32 = s[gi][None, :]
         k = gi % NACC
-        los[k] = los[k] + (ppf - 16.0 * phi) * s32[:, :TOH]
-        his[k] = his[k] + phi * s32[:, TOH:]
+        los[k] = los[k] + (ppf - 16.0 * phi) * s_lo[gi][None, :]
+        his[k] = his[k] + phi * s_hi[gi][None, :]
     acc_lo = acc[:, :TOH] + sum(los) - corr
     acc_hi = acc[:, TOH:] + sum(his)
     return jnp.concatenate([acc_lo, acc_hi], axis=1)
@@ -109,8 +109,10 @@ def _kernel(
     n_gu_ref,        # [1] number of paired gate/up steps (I/TO)
     # VMEM inputs
     x_ref,           # [T, H] bf16
-    gu_s_ref,        # [2*n_gu, H/g, TO] bf16 (per-tile planes)
-    dn_s_ref,        # [n_dn_tiles*n_chunks, CH/g, TO] bf16 (per-step)
+    gu_slo_ref,      # [2*n_gu, H/g, TOH] bf16 (per-tile lo planes)
+    gu_shi_ref,      # [2*n_gu, H/g, TOH] bf16 (per-tile hi planes)
+    dn_slo_ref,      # [n_dn_tiles*n_chunks, CH/g, TOH] bf16 (per-step)
+    dn_shi_ref,      # [n_dn_tiles*n_chunks, CH/g, TOH] bf16
     # HBM (manual DMA)
     gu_q_ref,        # [2*I/TO, H, TO/2] int8
     dn_q_ref,        # [H/TO, I, TO/2] int8
@@ -185,10 +187,12 @@ def _kernel(
         u.wait()
         x = x_ref[...]
         zero = jnp.zeros((T, TO), jnp.float32)
-        sg = gu_s_ref[i].astype(jnp.float32)
-        gate = _w4_tile_matmul(x, gbuf[slot], sg, zero)
-        su = gu_s_ref[i + n_gu].astype(jnp.float32)
-        up = _w4_tile_matmul(x, ubuf[slot], su, zero)
+        gate = _w4_tile_matmul(
+            x, gbuf[slot], gu_slo_ref[i].astype(jnp.float32),
+            gu_shi_ref[i].astype(jnp.float32), zero)
+        up = _w4_tile_matmul(
+            x, ubuf[slot], gu_slo_ref[i + n_gu].astype(jnp.float32),
+            gu_shi_ref[i + n_gu].astype(jnp.float32), zero)
         h = jax.nn.silu(gate) * up
         h_ref[:, pl.ds(i * TO, TO)] = h
 
@@ -206,8 +210,9 @@ def _kernel(
         xh = h_ref[:, pl.ds(chunk * CH, CH)].astype(jnp.bfloat16)
         # dn_s ships one [CH/g, TO] plane per down grid step so this is a
         # single leading dynamic index (Mosaic lowers it as a VMEM slice)
-        sd = dn_s_ref[j].astype(jnp.float32)
-        acc_ref[...] = _w4_tile_matmul(xh, dbuf[slot], sd, acc_ref[...])
+        acc_ref[...] = _w4_tile_matmul(
+            xh, dbuf[slot], dn_slo_ref[j].astype(jnp.float32),
+            dn_shi_ref[j].astype(jnp.float32), acc_ref[...])
 
         @pl.when(chunk == n_chunks - 1)
         def _flush():
@@ -259,8 +264,10 @@ def fused_mlp_w4(
         in_specs=[
             pl.BlockSpec((Tp, H), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # gu_s whole
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # dn_s whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # gu_s lo
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # gu_s hi
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # dn_s lo
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # dn_s hi
             pl.BlockSpec(memory_space=pl.ANY),       # gu_q HBM
             pl.BlockSpec(memory_space=pl.ANY),       # dn_q HBM
         ],
@@ -288,15 +295,15 @@ def fused_mlp_w4(
     )(
         jnp.asarray([n_gu], jnp.int32),
         x,
-        # [H/g, 2I] -> [2*n_gu, H/g, TO] per-tile scale planes
-        gu_s.astype(jnp.bfloat16)
-        .reshape(gu_s.shape[0], 2 * n_gu, TO)
-        .transpose(1, 0, 2),
-        # [I/g, H] -> [n_dn_tiles * n_chunks, CH/g, TO] per-step planes
-        dn_s.astype(jnp.bfloat16)
-        .reshape(n_chunks, CH // GROUP, n_dn_tiles, TO)
-        .transpose(2, 0, 1, 3)
-        .reshape(n_dn_tiles * n_chunks, CH // GROUP, TO),
+        # [H/g, 2I] -> 2 x [2*n_gu, H/g, TOH] per-tile lo/hi planes
+        *(gu_s.astype(jnp.bfloat16)
+          .reshape(gu_s.shape[0], 2 * n_gu, 2, TOH)
+          .transpose(2, 1, 0, 3)),
+        # [I/g, H] -> 2 x [n_dn_tiles * n_chunks, CH/g, TOH] per-step
+        *(dn_s.astype(jnp.bfloat16)
+          .reshape(n_chunks, CH // GROUP, n_dn_tiles, 2, TOH)
+          .transpose(3, 2, 0, 1, 4)
+          .reshape(2, n_dn_tiles * n_chunks, CH // GROUP, TOH)),
         gu_q,
         dn_q,
     )

@@ -39,13 +39,17 @@ def _kernel(
     end_ref,        # [NS] one-past-last row
     # VMEM
     x_ref,          # [R, IN] bf16 (sorted by expert)
-    s_ref,          # [1, IN/g, TO] bf16 — selected expert's scale tile
-    qw_ref,         # [1, IN, TO/2] int8 — selected expert's weight tile
+    slo_ref,        # [1, 1, IN/g, TOH] bf16 — lo-nibble column scales
+    shi_ref,        # [1, 1, IN/g, TOH] bf16 — hi-nibble column scales
+    qw_ref,         # [1, 1, IN, TO/2] int8 — selected expert's weight tile
     out_ref,        # [R, TO]
     acc_ref,        # [R, TO] f32
     *,
     group: int,
 ):
+    # scales arrive as SEPARATE lo/hi half-tile blocks: Mosaic cannot
+    # sublane-broadcast a row sliced at a lane offset < 512 (see
+    # quant_matmul.py _kernel — same fix)
     e = pl.program_id(1)
     ns = pl.num_programs(1)
 
@@ -59,7 +63,8 @@ def _kernel(
     @pl.when(lo < hi)
     def _compute():
         p = qw_ref[0, 0]              # [IN, TOH]
-        s32 = s_ref[0, 0].astype(jnp.float32)
+        slo32 = slo_ref[0, 0].astype(jnp.float32)
+        shi32 = shi_ref[0, 0].astype(jnp.float32)
         x = x_ref[...]
         R = x.shape[0]
         IN = x.shape[1]
@@ -74,7 +79,7 @@ def _kernel(
         rs_all = jnp.sum(
             x.astype(jnp.float32).reshape(R, ng, group), axis=2
         )
-        corr = 8.0 * jnp.dot(rs_all, s32[:, :TOH],
+        corr = 8.0 * jnp.dot(rs_all, slo32,
                              preferred_element_type=jnp.float32)
         los = [jnp.zeros((R, TOH), jnp.float32) for _ in range(NACC)]
         his = [jnp.zeros((R, TOH), jnp.float32) for _ in range(NACC)]
@@ -83,10 +88,9 @@ def _kernel(
             xb = x[:, sl]
             ppf = jnp.dot(xb, pf[sl], preferred_element_type=jnp.float32)
             phi = jnp.dot(xb, hi_n[sl], preferred_element_type=jnp.float32)
-            sg = s32[gi][None, :]
             kk = gi % NACC
-            los[kk] = los[kk] + (ppf - 16.0 * phi) * sg[:, :TOH]
-            his[kk] = his[kk] + phi * sg[:, TOH:]
+            los[kk] = los[kk] + (ppf - 16.0 * phi) * slo32[gi][None, :]
+            his[kk] = his[kk] + phi * shi32[gi][None, :]
         y = jnp.concatenate([sum(los) - corr, sum(his)], axis=1)
         rows = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
         mask = (rows >= lo) & (rows < hi)
@@ -136,22 +140,27 @@ def moe_quant_matmul_pallas(
         x_sorted = jnp.pad(x_sorted, ((0, Rp - R), (0, 0)))
     x_sorted = x_sorted.astype(jnp.bfloat16)
 
-    # per-(expert, tile) scale planes: [E, IN/g, OUT] -> [E, n_tiles, IN/g, TO]
+    # per-(expert, tile) scale planes, split into lo/hi nibble halves:
+    # [E, IN/g, OUT] -> 2 x [E, n_tiles, IN/g, TOH]
     s_tiles = (
         scales.astype(jnp.bfloat16)
-        .reshape(E, IN // group, n_tiles, TO)
-        .transpose(0, 2, 1, 3)
+        .reshape(E, IN // group, n_tiles, 2, TOH)
+        .transpose(0, 2, 1, 3, 4)
     )
+    s_lo = s_tiles[:, :, :, 0]
+    s_hi = s_tiles[:, :, :, 1]
 
+    s_spec = pl.BlockSpec((1, 1, IN // group, TOH),
+                          lambda t, e, ids, st, en: (ids[e], t, 0, 0),
+                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles, NS),
         in_specs=[
             pl.BlockSpec((Rp, IN), lambda t, e, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, IN // group, TO),
-                         lambda t, e, ids, st, en: (ids[e], t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            s_spec,
+            s_spec,
             pl.BlockSpec((1, 1, IN, TOH),
                          lambda t, e, ids, st, en: (ids[e], t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -172,7 +181,8 @@ def moe_quant_matmul_pallas(
     )(
         sel, start, end,
         x_sorted,
-        s_tiles.reshape(E, n_tiles, IN // group, TO),
+        s_lo,
+        s_hi,
         qweight,
     )
     return out[:R]

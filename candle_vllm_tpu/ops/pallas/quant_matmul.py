@@ -62,11 +62,20 @@ def _nacc(ng: int) -> int:
 
 def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
             has_zoff: bool, TI: int):
-    if has_zoff:
-        z_ref, out_ref, acc_ref = rest
+    # w4 scales (and zoffs) arrive as SEPARATE lo/hi half-tile blocks:
+    # Mosaic cannot sublane-broadcast a row sliced at a lane offset
+    # < 512 (vector.broadcast "Invalid input layout" for narrow tiles),
+    # so each half starts at lane offset 0 instead of slicing [TOH:].
+    sh_ref = None
+    if w4:
+        sh_ref, *rest = rest
+    z_lo_ref = z_hi_ref = None
+    if has_zoff and w4:
+        z_lo_ref, z_hi_ref, out_ref, acc_ref = rest
+    elif has_zoff:
+        _, out_ref, acc_ref = rest  # int8+zoff: handled by dequant path
     else:
         out_ref, acc_ref = rest
-        z_ref = None
     i = pl.program_id(1)
     ni = pl.num_programs(1)
 
@@ -75,16 +84,16 @@ def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     p = qw_ref[0]                  # [TI, TO/2] (w4) | [TI, TO] (int8)
-    s = s_ref[...]                 # [TI/group, TO] bf16
     x = x_ref[:, pl.ds(i * TI, TI)]   # resident activations, aligned slice
     T = x.shape[0]
     ng = TI // group
     NACC = _nacc(ng)
-    s32 = s.astype(jnp.float32)
+    s32 = s_ref[...].astype(jnp.float32)   # [TI/g, TOH] (w4) | [TI/g, TO]
+    shi32 = sh_ref[...].astype(jnp.float32) if sh_ref is not None else None
     acc = acc_ref[...]
     import os
 
-    if w4 and z_ref is None and os.environ.get("CVT_W4A8") == "1":
+    if w4 and z_lo_ref is None and os.environ.get("CVT_W4A8") == "1":
         # W4A8 experiment: activations quantize to int8 per ROW and the
         # group dots run s8xs8->s32 on the MXU at 2x the bf16 pass rate —
         # the packed byte's SIGNED value is exactly lo_biased + 16*hi, so
@@ -98,7 +107,7 @@ def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
         rs_all = jnp.sum(
             xq.astype(jnp.float32).reshape(T, ng, group), axis=2
         )
-        corr = 8.0 * jnp.dot(rs_all, s32[:, :TOH],
+        corr = 8.0 * jnp.dot(rs_all, s32,
                              preferred_element_type=jnp.float32)
         los = [jnp.zeros((T, TOH), jnp.float32) for _ in range(NACC)]
         his = [jnp.zeros((T, TOH), jnp.float32) for _ in range(NACC)]
@@ -113,10 +122,9 @@ def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
                 xb, hi8[sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)
-            sg = s32[gi][None, :]
             kk = gi % NACC
-            los[kk] = los[kk] + (ppf - 16.0 * phi) * sg[:, :TOH]
-            his[kk] = his[kk] + phi * sg[:, TOH:]
+            los[kk] = los[kk] + (ppf - 16.0 * phi) * s32[gi][None, :]
+            his[kk] = his[kk] + phi * shi32[gi][None, :]
         acc_ref[:, :TOH] = acc[:, :TOH] + (sum(los) - corr) * sx
         acc_ref[:, TOH:] = acc[:, TOH:] + sum(his) * sx
 
@@ -137,7 +145,7 @@ def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
         # (and the zoff term) collapse into one tiny [T, ng] @ [ng, TO]
         # dot instead of ng serial FMAs
         rs_all = jnp.sum(x.astype(jnp.float32).reshape(T, ng, group), axis=2)
-        corr = 8.0 * jnp.dot(rs_all, s32[:, :TOH],
+        corr = 8.0 * jnp.dot(rs_all, s32,
                              preferred_element_type=jnp.float32)
         los = [jnp.zeros((T, TOH), jnp.float32) for _ in range(NACC)]
         his = [jnp.zeros((T, TOH), jnp.float32) for _ in range(NACC)]
@@ -146,19 +154,20 @@ def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
             xb = x[:, sl]
             ppf = jnp.dot(xb, pf[sl], preferred_element_type=jnp.float32)
             phi = jnp.dot(xb, hi[sl], preferred_element_type=jnp.float32)
-            sg = s32[gi][None, :]
             k = gi % NACC
-            los[k] = los[k] + (ppf - 16.0 * phi) * sg[:, :TOH]
-            his[k] = his[k] + phi * sg[:, TOH:]
+            los[k] = los[k] + (ppf - 16.0 * phi) * s32[gi][None, :]
+            his[k] = his[k] + phi * shi32[gi][None, :]
         tot_lo = sum(los) - corr
         tot_hi = sum(his)
-        if z_ref is not None:
+        if z_lo_ref is not None:
             # asymmetric (GPTQ/AWQ): w = (n-8)*s - zoff; the -rs*z term is
             # again a single small matmul over the group dim
-            cz = jnp.dot(rs_all, z_ref[...].astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
-            tot_lo = tot_lo - cz[:, :TOH]
-            tot_hi = tot_hi - cz[:, TOH:]
+            tot_lo = tot_lo - jnp.dot(
+                rs_all, z_lo_ref[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+            tot_hi = tot_hi - jnp.dot(
+                rs_all, z_hi_ref[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
         acc_ref[:, :TOH] = acc[:, :TOH] + tot_lo
         acc_ref[:, TOH:] = acc[:, TOH:] + tot_hi
     else:
@@ -355,18 +364,41 @@ def quant_matmul_pallas(
     grid = (n_tiles, IN // TI)
     has_zoff = zoffs is not None
     scale_spec = pl.BlockSpec(
-        (TI // group, TO), lambda o, i: (i, o), memory_space=pltpu.VMEM
+        (TI // group, TOH), lambda o, i: (i, o), memory_space=pltpu.VMEM
     )
+
+    def split_lohi(s):
+        # per-tile [lo(TOH) | hi(TOH)] columns -> two [IN/g, n_tiles*TOH]
+        # arrays, so the kernel's scale-row broadcasts start at lane
+        # offset 0 (Mosaic rejects offset-TOH broadcasts for TOH < 512)
+        r = s.reshape(s.shape[0], n_tiles, 2, TOH)
+        return (r[:, :, 0].reshape(s.shape[0], -1),
+                r[:, :, 1].reshape(s.shape[0], -1))
+
     in_specs = [
         pl.BlockSpec((Tp, IN), lambda o, i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, TI, TOH), lambda o, i: (o, i, 0),
                      memory_space=pltpu.VMEM),
         scale_spec,
     ]
-    inputs = [x, qweight, scales.astype(jnp.bfloat16)]
-    if has_zoff:
+    sb = scales.astype(jnp.bfloat16)
+    if w4:
+        s_lo, s_hi = split_lohi(sb)
+        inputs = [x, qweight, s_lo, s_hi]
         in_specs.append(scale_spec)
-        inputs.append(zoffs.astype(jnp.bfloat16))
+    else:
+        inputs = [x, qweight, sb]
+        in_specs[2] = pl.BlockSpec(
+            (TI // group, TO), lambda o, i: (i, o), memory_space=pltpu.VMEM
+        )
+    if has_zoff:
+        if w4:
+            z_lo, z_hi = split_lohi(zoffs.astype(jnp.bfloat16))
+            inputs += [z_lo, z_hi]
+            in_specs += [scale_spec, scale_spec]
+        else:
+            inputs.append(zoffs.astype(jnp.bfloat16))
+            in_specs.append(in_specs[2])
     out = pl.pallas_call(
         functools.partial(_kernel, w4=w4, group=group, has_zoff=has_zoff,
                           TI=TI),

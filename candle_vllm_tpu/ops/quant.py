@@ -597,6 +597,43 @@ def quantize_moe_banks(params: Params, fuse_gate_up: bool = True) -> Params:
     return out
 
 
+def offload_expert_banks(params: Params, n_offload: int) -> Params:
+    """Move the LAST ``n_offload`` experts of every quantized expert bank
+    into pinned host memory (keys gain an ``_offload`` suffix).  The MoE
+    forward DMAs only the routed offloaded experts' W4 tiles to HBM
+    inside the jitted step — the TPU-native analogue of the reference's
+    ``num_experts_offload_per_rank`` on-demand expert reload
+    (models/mod.rs:445, linear.rs:110-116).  Serves MoE checkpoints whose
+    expert bytes exceed HBM.
+
+    Requires separate (unfused) quantized banks — quantize with
+    ``moe_fuse_gate_up=False``."""
+    import jax
+    from jax.sharding import SingleDeviceSharding
+
+    if n_offload <= 0:
+        return params
+    host = SingleDeviceSharding(jax.devices()[0], memory_kind="pinned_host")
+    out = dict(params)
+    for name in list(params):
+        if not (".experts." in name
+                and name.endswith((".qweight", ".scales"))):
+            continue
+        if ".gate_up_proj." in name:
+            raise ValueError(
+                "expert offload needs separate gate/up banks; quantize "
+                "with moe_fuse_gate_up=False"
+            )
+        arr = out.pop(name)
+        E = arr.shape[0]
+        assert n_offload < E, (
+            f"num_experts_offload={n_offload} must be < num_experts={E}"
+        )
+        out[name] = arr[: E - n_offload]
+        out[name + "_offload"] = jax.device_put(arr[E - n_offload:], host)
+    return out
+
+
 # rows at/below this run the selected-expert Pallas kernel; above it the
 # expert-chunked dequant path wins (prefill is MXU-bound)
 MOE_KERNEL_MAX_ROWS = 256

@@ -160,7 +160,9 @@ class ShardingPlan:
                 for n in names:
                     specs[n] = P()
         return {
-            name: jax.device_put(arr, NamedSharding(self.mesh, specs[name]))
+            # host-offloaded banks keep their pinned_host placement
+            name: arr if name.endswith("_offload")
+            else jax.device_put(arr, NamedSharding(self.mesh, specs[name]))
             for name, arr in params.items()
         }
 

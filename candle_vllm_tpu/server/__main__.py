@@ -64,6 +64,12 @@ def make_parser() -> argparse.ArgumentParser:
                    help="in-situ weight quantization at load")
     p.add_argument("--kvcache-dtype", choices=["auto", "fp8", "int8", "int4", "turbo3"], default="auto",
                    help="KV cache dtype (int8 ~2x, int4 ~4x capacity)")
+    p.add_argument("--num-experts-offload", type=int, default=0,
+                   help="keep the last N experts of every MoE bank in "
+                        "pinned host memory; routed experts' W4 tiles DMA "
+                        "to HBM per step (reference: "
+                        "num_experts_offload_per_rank) — serves MoE "
+                        "checkpoints whose expert bytes exceed HBM")
     p.add_argument("--holding-time-ms", type=float, default=2.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tool-parser", default=None,
@@ -131,6 +137,11 @@ def build_engine(args):
         model_name = args.served_name or f"dummy-{args.dummy_model}"
     else:
         raise SystemExit("one of --model-dir / --dummy-model is required")
+
+    if args.num_experts_offload:
+        if cfg.moe is None:
+            raise SystemExit("--num-experts-offload requires a MoE model")
+        cfg.moe.num_experts_offload = args.num_experts_offload
 
     if args.yarn_scaling_factor:
         from candle_vllm_tpu.config import RopeScaling, derive_yarn_parameters
