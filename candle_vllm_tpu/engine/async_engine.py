@@ -198,8 +198,14 @@ class AsyncLLMEngine:
             if self.bridge is not None:
                 from candle_vllm_tpu.parallel.multihost import IntakeEvent
 
+                # a follower that failed its previous step must fail the
+                # batch BEFORE the leader dispatches the next collective
+                self.bridge.raise_if_follower_failed()
                 self.bridge.publish(IntakeEvent(kind="step"))
-            return self.engine.step()
+            outs = self.engine.step()
+            if self.bridge is not None:
+                self.bridge.raise_if_follower_failed()
+            return outs
 
     async def embed(self, prompts, pooling: str = "last"):
         def run():

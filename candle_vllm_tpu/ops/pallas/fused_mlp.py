@@ -83,22 +83,43 @@ def _w4_tile_matmul(x, p, s_lo, s_hi, acc):
         acc_lo = acc[:, :TOH] + (sum(los) - corr) * sx
         acc_hi = acc[:, TOH:] + sum(his) * sx
         return jnp.concatenate([acc_lo, acc_hi], axis=1)
-    pf32 = p.astype(jnp.float32)
-    hi = jnp.floor(pf32 * 0.0625).astype(jnp.bfloat16)
-    pf = pf32.astype(jnp.bfloat16)
+    if os.environ.get("CVT_HI_SHIFT") == "1":
+        # A/B: integer shift unpack (i8->i32 asr 4) instead of the f32
+        # floor route — fewer VPU f32 ops per streamed byte
+        hi = jax.lax.shift_right_arithmetic(
+            p.astype(jnp.int32), 4
+        ).astype(jnp.bfloat16)
+        pf = p.astype(jnp.float32).astype(jnp.bfloat16)
+    else:
+        pf32 = p.astype(jnp.float32)
+        hi = jnp.floor(pf32 * 0.0625).astype(jnp.bfloat16)
+        pf = pf32.astype(jnp.bfloat16)
     rs_all = jnp.sum(x.astype(jnp.float32).reshape(T, ng, GROUP), axis=2)
     corr = 8.0 * jnp.dot(rs_all, s_lo,
                          preferred_element_type=jnp.float32)
     los = [jnp.zeros((T, TOH), jnp.float32) for _ in range(NACC)]
     his = [jnp.zeros((T, TOH), jnp.float32) for _ in range(NACC)]
-    for gi in range(ng):
-        sl = slice(gi * GROUP, (gi + 1) * GROUP)
-        xb = x[:, sl]
-        ppf = jnp.dot(xb, pf[sl], preferred_element_type=jnp.float32)
-        phi = jnp.dot(xb, hi[sl], preferred_element_type=jnp.float32)
-        k = gi % NACC
-        los[k] = los[k] + (ppf - 16.0 * phi) * s_lo[gi][None, :]
-        his[k] = his[k] + phi * s_hi[gi][None, :]
+    if os.environ.get("CVT_QM_CONCAT") == "1":
+        # A/B: one [T,128]x[128,2TOH] dot per group instead of two TOH
+        # dots — halves MXU issue count at the cost of one VPU concat
+        w2 = jnp.concatenate([pf, hi], axis=1)        # [TI, 2*TOH]
+        for gi in range(ng):
+            sl = slice(gi * GROUP, (gi + 1) * GROUP)
+            r = jnp.dot(x[:, sl], w2[sl],
+                        preferred_element_type=jnp.float32)
+            ppf, phi = r[:, :TOH], r[:, TOH:]
+            k = gi % NACC
+            los[k] = los[k] + (ppf - 16.0 * phi) * s_lo[gi][None, :]
+            his[k] = his[k] + phi * s_hi[gi][None, :]
+    else:
+        for gi in range(ng):
+            sl = slice(gi * GROUP, (gi + 1) * GROUP)
+            xb = x[:, sl]
+            ppf = jnp.dot(xb, pf[sl], preferred_element_type=jnp.float32)
+            phi = jnp.dot(xb, hi[sl], preferred_element_type=jnp.float32)
+            k = gi % NACC
+            los[k] = los[k] + (ppf - 16.0 * phi) * s_lo[gi][None, :]
+            his[k] = his[k] + phi * s_hi[gi][None, :]
     acc_lo = acc[:, :TOH] + sum(los) - corr
     acc_hi = acc[:, TOH:] + sum(his)
     return jnp.concatenate([acc_lo, acc_hi], axis=1)

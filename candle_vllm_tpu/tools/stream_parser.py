@@ -65,6 +65,60 @@ def _json_incomplete(payload: str) -> bool:
     return depth > 0 or in_str
 
 
+def _pythonic_incomplete(s: str) -> bool:
+    """Paren/bracket/quote balance for pythonic call payloads
+    (``[f(a="x")]`` — llama4/gemma): an end marker inside an argument
+    string leaves the structure open (reference: stream_parser.rs
+    per-grammar false-end-marker confirmation)."""
+    if not s or ("(" not in s and "[" not in s):
+        return False
+    depth = 0
+    quote = None
+    esc = False
+    for ch in s:
+        if quote is not None:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+    return depth > 0 or quote is not None
+
+
+def _xml_incomplete(s: str, tags: Tuple[str, ...]) -> bool:
+    """Open/close balance for XML-form payloads (minimax ``<invoke>``
+    trees, GLM ``<arg_key>/<arg_value>`` bodies)."""
+    for tag in tags:
+        if s.count(f"<{tag}") > s.count(f"</{tag}>"):
+            return True
+    return False
+
+
+def _payload_incomplete(payload: str, family: ToolFamily) -> bool:
+    """Per-grammar end-marker confirmation: is this payload structurally
+    unfinished (meaning the end marker we just saw sits INSIDE an
+    argument)?  Dispatches on the family's wire format (reference:
+    stream_parser.rs ParserState per-family buffering)."""
+    s = payload.lstrip()
+    if family.payload == "pythonic":
+        return _pythonic_incomplete(s)
+    if family.payload == "xml_invoke":
+        return _xml_incomplete(s, ("invoke", "parameter"))
+    if s.startswith("<") or "<arg_" in s:
+        # GLM-4.7 XML body inside a json-family envelope (the body leads
+        # with the function name, then <arg_key>/<arg_value> pairs)
+        return _xml_incomplete(s, ("arg_key", "arg_value"))
+    return _json_incomplete(payload)
+
+
 class StreamToolParser:
     """State machine over text deltas.
 
@@ -158,7 +212,7 @@ class StreamToolParser:
             self.pending = text[len(text) - hold:] if hold else ""
             return ""
         candidate = self.buffer + text[:i]
-        if _json_incomplete(candidate):
+        if _payload_incomplete(candidate, self.family):
             # end marker sits INSIDE an argument string (unbalanced JSON):
             # consume it into the buffer and wait for a confirmed end
             # (reference: false_end_marker_inside_arguments)

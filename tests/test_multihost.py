@@ -14,6 +14,7 @@ import os
 import subprocess
 import sys
 import threading
+import time
 
 import jax.numpy as jnp
 import numpy as np
@@ -378,3 +379,53 @@ def test_bridge_event_throughput():
     assert got["n"] == N
     rate = N / dt
     assert rate > 1000, f"bridge sustained only {rate:.0f} events/s"
+
+
+def test_follower_step_error_reaches_leader():
+    """A follower whose engine.step() raises must broadcast the failure
+    so the leader fails the in-flight batch instead of desyncing the mesh
+    (reference ack protocol: communicator.rs:348-460; VERDICT r3 #8)."""
+    port = _free_port()
+    bridge = RequestBridge(port, num_followers=1)
+
+    class BoomEngine:
+        def add_request(self, *a, **kw):
+            pass
+
+        def abort_request(self, rid):
+            pass
+
+        def step(self):
+            raise RuntimeError("kaboom on follower")
+
+    errs = {}
+
+    def follower():
+        link = FollowerLink("127.0.0.1", port, hb_timeout=5.0)
+        try:
+            link.run_engine_loop(BoomEngine())
+        except RuntimeError as e:
+            errs["follower"] = str(e)
+        link.close()
+
+    t = threading.Thread(target=follower)
+    t.start()
+    bridge.wait_for_followers(timeout=10.0)
+    bridge.publish(IntakeEvent(kind="add", request_id="r1",
+                               prompt_token_ids=[1, 2]))
+    bridge.publish(IntakeEvent(kind="step"))
+    t.join(timeout=10.0)
+    assert not t.is_alive()
+    assert "kaboom" in errs["follower"]
+    # the error propagated over the back-channel
+    deadline = time.monotonic() + 5.0
+    while bridge.follower_error is None and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert bridge.follower_error and "kaboom" in bridge.follower_error
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="kaboom"):
+        bridge.raise_if_follower_failed()
+    # error is one-shot: cleared after raising
+    bridge.raise_if_follower_failed()
+    bridge.close()

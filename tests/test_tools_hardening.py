@@ -293,3 +293,77 @@ def test_multiple_sequential_calls_single_chunk():
         "<tool_call>" + pay("b") + "</tool_call>"
     ])
     assert len(calls_of(ev)) == 2
+
+
+# -- per-grammar end-marker confirmation (VERDICT r3 weak #8 / next #7:
+# pythonic and XML payloads must keep buffering when the end marker sits
+# inside an argument; ref stream_parser.rs per-family false-end tests) ------
+
+
+def test_pythonic_end_marker_inside_string_keeps_buffering():
+    p = StreamToolParser(LLAMA4, TOOLS)
+    ev = drain(p, [
+        '<|python_start|>[get_weather(city="literally ',
+        '<|python_end|> is not the end")]<|python_end|>',
+    ])
+    calls = calls_of(ev)
+    assert len(calls) == 1
+    assert "<|python_end|>" in json.loads(calls[0].arguments)["city"]
+
+
+def test_gemma_pythonic_end_marker_inside_string():
+    gemma = family_for_model("gemma3")
+    p = StreamToolParser(gemma, TOOLS)
+    ev = drain(p, [
+        '<start_function_call>get_weather(city="a<end_function_call>b")',
+        "<end_function_call>",
+    ])
+    calls = calls_of(ev)
+    assert len(calls) == 1
+    assert json.loads(calls[0].arguments)["city"] == "a<end_function_call>b"
+
+
+def test_pythonic_marker_inside_nested_list_string():
+    p = StreamToolParser(LLAMA4, TOOLS)
+    ev = drain(p, [
+        '<|python_start|>[run(code=[1, 2, "',
+        "<|python_end|>", '", 3])]<|python_end|>',
+    ])
+    # first marker arrives at bracket depth 2 with a quote open ->
+    # consumed into the buffer; the confirmed payload parses whole
+    calls = calls_of(ev)
+    assert len(calls) == 1 and calls[0].name == "run"
+    assert "<|python_end|>" in json.loads(calls[0].arguments)["code"][2]
+
+
+def test_minimax_end_marker_inside_parameter_keeps_buffering():
+    p = StreamToolParser(MINIMAX, TOOLS)
+    ev = drain(p, [
+        '<minimax:tool_call><invoke name="get_weather">'
+        '<parameter name="city">half </minimax:tool_call> city'
+        "</parameter></invoke></minimax:tool_call>",
+    ])
+    calls = calls_of(ev)
+    assert len(calls) == 1
+    assert "</minimax:tool_call>" in json.loads(calls[0].arguments)["city"]
+
+
+def test_glm_xml_end_marker_inside_arg_value():
+    p = StreamToolParser(GLM, TOOLS)
+    ev = drain(p, [
+        "<tool_call>get_weather\n<arg_key>city</arg_key>\n"
+        "<arg_value>see </tool_call> tag</arg_value>\n</tool_call>",
+    ])
+    calls = calls_of(ev)
+    assert len(calls) == 1
+    assert json.loads(calls[0].arguments)["city"] == "see </tool_call> tag"
+
+
+def test_pythonic_balanced_payload_ends_at_marker():
+    """A complete pythonic payload must NOT over-buffer past its marker."""
+    p = StreamToolParser(LLAMA4, TOOLS)
+    ev = drain(p, [
+        '<|python_start|>[get_weather(city="x")]<|python_end|> after',
+    ])
+    assert len(calls_of(ev)) == 1
+    assert "after" in text_of(ev)

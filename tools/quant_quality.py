@@ -17,6 +17,10 @@ Run on CPU:  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
 from __future__ import annotations
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -42,8 +46,8 @@ def build(dtype_kv="auto", quantize=None, lm_head=None, seed=0,
         intermediate_size=1024,
         num_hidden_layers=4,
         num_attention_heads=8,
-        num_key_value_heads=4,
-        head_dim=64,
+        num_key_value_heads=8,
+        head_dim=128,  # K*D = 1024: turbo3's bitplane layout gate
         vocab_size=2048,
         max_model_len=512,
         dtype=jnp.float32,
@@ -105,8 +109,10 @@ def main():
         "baseline_f32": dict(),
         "w4a16+int8head": dict(quantize="w4a16"),
         "w4a16+w4head": dict(quantize="w4a16", lm_head="w4a16"),
+        "w8a16+int8head": dict(quantize="int8"),
         "kv_int8": dict(dtype_kv="int8"),
         "kv_int4_hadamard": dict(dtype_kv="int4"),
+        "kv_turbo3": dict(dtype_kv="turbo3"),
     }
     base_logits = None
     base_rows = None
