@@ -513,11 +513,13 @@ def ragged_paged_attention_pallas(
         q = jnp.pad(q, ((0, T_pad - T), (0, 0), (0, 0)))
     NB = T_pad // bq
 
-    # pages per grouped compute step (fewer, bigger MXU issues);
-    # CVT_ATTN_PG overrides for tuning sweeps
+    # pages per grouped compute step; smaller groups pipeline the page
+    # DMAs better under the head-batched decode path (r4 sweep on the
+    # full 8B decode step: pg=1 134.96 / pg=2 134.97 / pg=4 132.83 /
+    # pg=8 127.39 tok/s); CVT_ATTN_PG overrides for tuning sweeps
     import os
 
-    pg_want = int(os.environ.get("CVT_ATTN_PG", "4"))
+    pg_want = int(os.environ.get("CVT_ATTN_PG", "2"))
     pg = pg_want
     while pg > 1 and MAXP < pg:
         pg //= 2

@@ -53,6 +53,9 @@ class ChatCompletionRequest(BaseModel):
     seed: Optional[int] = None
     ignore_eos: bool = False
     skip_special_tokens: bool = True
+    # per-request fused-decode cap: 1 = per-token SSE cadence / stop
+    # checks (engine default batches decode_steps micro-steps)
+    decode_steps: Optional[int] = None
     tools: Optional[List[Dict[str, Any]]] = None
     tool_choice: Optional[Union[str, Dict[str, Any]]] = None
     chat_template_kwargs: Optional[Dict[str, Any]] = None

@@ -132,6 +132,7 @@ def _sampling_from_chat(
         max_tokens=max_tokens,
         logprobs=(req.top_logprobs or 1) if req.logprobs else None,
         skip_special_tokens=req.skip_special_tokens,
+        decode_steps=getattr(req, "decode_steps", None),
     )
 
 

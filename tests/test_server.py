@@ -456,3 +456,18 @@ def test_fallback_templates_new_families():
     assert "You are MiniMax." in out
     out = render("qwen3")
     assert "<|im_start|>user" in out
+
+
+def test_sampling_mapping_decode_steps_and_top_logprobs():
+    """Request decode_steps and top_logprobs (up to 20) reach
+    SamplingParams (VERDICT r3 next #6)."""
+    from candle_vllm_tpu.server.api_types import ChatCompletionRequest
+    from candle_vllm_tpu.server.openai_server import _sampling_from_chat
+
+    req = ChatCompletionRequest(
+        messages=[{"role": "user", "content": "hi"}],
+        logprobs=True, top_logprobs=20, decode_steps=1, max_tokens=4,
+    )
+    sp = _sampling_from_chat(req, max_model_len=128, prompt_len=8)
+    assert sp.logprobs == 20
+    assert sp.decode_steps == 1

@@ -89,27 +89,36 @@ def bench_scan_vs_unrolled():
 
 def bench_int8_dot():
     """Raw MXU rate: s8xs8->s32 vs bf16xbf16->f32 at the decode shape."""
-    TI, TO, T, REP = 2048, 1024, 8, 8
+    TI, TO, T, REP = 2048, 1024, 8, 32
 
     def mk(dtype, acc):
         def kern(x_ref, w_ref, o_ref):
             a = jnp.zeros((x_ref.shape[0], TO), acc)
-            for _ in range(REP):  # re-issue the same dot: pure issue rate
-                a = a + jax.lax.dot_general(
-                    x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+            x = x_ref[...]
+            for _ in range(REP):
+                # chain: each dot's LHS depends on the previous result so
+                # Mosaic cannot CSE the REP identical dots into one
+                y = jax.lax.dot_general(
+                    x, w_ref[...], (((1,), (0,)), ((), ())),
                     preferred_element_type=acc)
+                a = a + y
+                bump = (y[:, :1] > (1 << 30)).astype(x.dtype)  # always 0
+                x = x + jnp.broadcast_to(bump, x.shape)
             o_ref[...] = a.astype(o_ref.dtype)
 
         @jax.jit
         def run(x, w, n):
             def body(i, o):
+                # data dependency on o: XLA must not hoist the call
+                bump = (o[:, :1] > 1e30).astype(x.dtype)  # always 0
+                xd = x + jnp.broadcast_to(bump, x.shape)
                 y = pl.pallas_call(
                     kern,
                     out_shape=jax.ShapeDtypeStruct((T, TO), jnp.float32),
                     compiler_params=pltpu.CompilerParams(
                         vmem_limit_bytes=100 * 1024 * 1024,
                     ),
-                )(x, w)
+                )(xd, w)
                 return o * 0.5 + y.astype(jnp.float32)
             return jax.lax.fori_loop(0, n, body, jnp.zeros((T, TO), jnp.float32))
         return run
@@ -122,9 +131,12 @@ def bench_int8_dot():
 
     run_b = mk(jnp.bfloat16, jnp.float32)
     run_i = mk(jnp.int8, jnp.int32)
-    db = timed(lambda x, w, n: run_b(x, w, n), xb, wb)
+    # longer loops: per-iteration cost ~REP*dot; tunnel noise ~20%
+    db = min(timed(lambda x, w, n: run_b(x, w, n), xb, wb, n_lo=4, n_hi=404)
+             for _ in range(3))
     try:
-        di = timed(lambda x, w, n: run_i(x, w, n), xi, wi)
+        di = min(timed(lambda x, w, n: run_i(x, w, n), xi, wi,
+                       n_lo=4, n_hi=404) for _ in range(3))
         print(f"int8-dot: bf16 {db*1e6:.1f} us/{REP}dots vs s8 "
               f"{di*1e6:.1f} us/{REP}dots (ratio s8/bf16 = {di/db:.2f})",
               flush=True)
@@ -135,7 +147,11 @@ def bench_int8_dot():
 
 
 if __name__ == "__main__":
+    import sys as _sys
     assert jax.default_backend() == "tpu", "run on the real TPU"
-    bench_scan_vs_unrolled()
-    bench_int8_dot()
+    which = _sys.argv[1] if len(_sys.argv) > 1 else "all"
+    if which in ("all", "scan"):
+        bench_scan_vs_unrolled()
+    if which in ("all", "int8"):
+        bench_int8_dot()
     print("abl_r4 done", flush=True)
