@@ -63,6 +63,42 @@ MIN_DECODE_RESERVE = int(
 )  # reference: openai_server.rs admission reserve
 
 
+def delta_for_parser_event(pe, forced_tool=None) -> Optional[DeltaMessage]:
+    """Map one StreamToolParser event to an OpenAI streaming delta.
+
+    tool_call_delta events follow the OpenAI wire format: the first delta
+    of a call carries index + id + type + function.name (with arguments
+    ""), later deltas carry index + a function.arguments fragment
+    (reference: stream_parser.rs ParserState streaming deltas)."""
+    if pe.kind == "content" and pe.text:
+        return DeltaMessage(content=pe.text)
+    if pe.kind == "reasoning" and pe.text:
+        return DeltaMessage(reasoning_content=pe.text)
+    if pe.kind == "tool_call_delta":
+        fn: Dict[str, Any] = {}
+        if pe.name is not None:
+            fn["name"] = pe.name
+            fn["arguments"] = pe.text or ""
+        elif pe.text:
+            fn["arguments"] = pe.text
+        tc: Dict[str, Any] = {"index": pe.index, "function": fn}
+        if pe.name is not None:
+            tc["id"] = pe.call_id
+            tc["type"] = "function"
+        return DeltaMessage(tool_calls=[tc])
+    if pe.kind == "tool_calls":
+        kept = filter_forced_calls(list(pe.calls or []), forced_tool)
+        if not kept:
+            return None
+        return DeltaMessage(
+            tool_calls=[
+                {**c.to_openai(), "index": pe.base_index + i}
+                for i, c in enumerate(kept)
+            ]
+        )
+    return None
+
+
 class ServerState:
     def __init__(
         self,
@@ -484,28 +520,20 @@ async def _stream_chat(
         mm_inputs=mm,
     )
     family = state.tool_family
-    parser = StreamToolParser(family, req.tools)
+    # incremental name/argument deltas (reference: stream_parser.rs
+    # ParserState streaming) — disabled under a forced tool_choice, where
+    # non-matching calls must be filtered before the client sees them
+    parser = StreamToolParser(family, req.tools,
+                              stream_deltas=forced_tool is None)
     final: Optional[RequestOutput] = None
     reasoning_chars = [0]
 
     async def send_events(events) -> None:
         for pe in events:
-            if pe.kind == "content" and pe.text:
-                delta = DeltaMessage(content=pe.text)
-            elif pe.kind == "reasoning" and pe.text:
+            if pe.kind == "reasoning" and pe.text:
                 reasoning_chars[0] += len(pe.text)
-                delta = DeltaMessage(reasoning_content=pe.text)
-            elif pe.kind == "tool_calls":
-                kept = filter_forced_calls(list(pe.calls or []), forced_tool)
-                if not kept:
-                    continue
-                delta = DeltaMessage(
-                    tool_calls=[
-                        {**c.to_openai(), "index": i}
-                        for i, c in enumerate(kept)
-                    ]
-                )
-            else:
+            delta = delta_for_parser_event(pe, forced_tool)
+            if delta is None:
                 continue
             await send(
                 ChatCompletionChunk(
