@@ -58,6 +58,9 @@ def main() -> None:
     ap.add_argument("--block-size", type=int, default=128,
                     help="engine KV block size (TPU page DMA wants >=128; "
                          "16-token vLLM-style blocks cost ~30%% decode)")
+    ap.add_argument("--page-size", type=int, default=128,
+                    help="kernel-path KV page size (attention DMA "
+                         "granularity sweep)")
     args = ap.parse_args()
 
     import jax
@@ -70,7 +73,7 @@ def main() -> None:
 
     hidden, inter, layers, heads, kv_heads, head_dim, vocab, quant, baseline = \
         CONFIGS[args.config]
-    PAGE = 128
+    PAGE = args.page_size
     CTX = args.ctx
     DECODE_STEPS = args.decode_steps
     cfg = ModelConfig(

@@ -89,6 +89,14 @@ def _try_fused_mlp(x: jnp.ndarray, params: Params,
 
     if not (_is_w4(gu_q, gu_s) and _is_w4(dn_q, dn_s)):
         return None
+    # tiny shapes (I < TO, or mismatched gu/dn tile widths) have no fused
+    # layout — fall back to the per-projection kernels
+    twoI = gu_s.shape[1]
+    TO = twoI // gu_q.shape[0]
+    H = x.shape[1]
+    I = twoI // 2
+    if I % TO or I // TO < 1 or dn_q.shape[0] * TO != H or dn_q.shape[1] != I:
+        return None
     from candle_vllm_tpu.ops.pallas.fused_mlp import fused_mlp_w4
 
     y = fused_mlp_w4(x.astype(jnp.bfloat16), gu_q,

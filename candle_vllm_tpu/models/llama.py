@@ -235,6 +235,10 @@ class LlamaForCausalLM:
             logits = jnp.dot(sel, params["model.embed_tokens.weight"].T)
         else:
             logits = linear(sel, params, "lm_head")
+            if logits.shape[-1] != c.vocab_size:
+                # quantized lm_head may carry zero-scale pad columns so the
+                # kernel gets TILE_OUT-divisible tiles (quant.pad_vocab_out)
+                logits = logits[..., : c.vocab_size]
         logits = logits.astype(jnp.float32)
         if c.logit_softcapping:
             cap = c.logit_softcapping

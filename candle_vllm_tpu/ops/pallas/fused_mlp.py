@@ -311,6 +311,9 @@ def fused_mlp_w4(
         out_shape=jax.ShapeDtypeStruct((Tp, H), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # wide tiles (CVT_TILE_OUT=2048) double-buffer 4MB gate/up
+            # blocks past the 17M default scoped-vmem limit
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(

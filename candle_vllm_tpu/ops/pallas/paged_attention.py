@@ -297,7 +297,81 @@ def _kernel(
                 # the batched dots measured 130.4 -> 132.9 tok/s.  All KV
                 # tiers batch: quantized scales fold into the score /
                 # probability rows per head block (VERDICT r3 weak #5).
-                hb = os.environ.get("CVT_ATTN_HB", "1") == "1" and bq <= 8
+                hbv = int(os.environ.get("CVT_ATTN_HB", "1") or "0")
+                hb = hbv >= 1 and bq <= 8
+                if hb and hbv == 2:
+                    # ---- masked-big variant (CVT_ATTN_HB=2): keep the
+                    # whole [K*BQG, K*PW] score matrix and mask the
+                    # off-diagonal blocks to -inf instead of extracting
+                    # diagonal blocks and rebuilding a block-diagonal P.
+                    # exp(-inf)=0 keeps each row's softmax sum within its
+                    # own head block, so P @ V_all is exact — and the two
+                    # concat passes (score extract + zero-padded P build)
+                    # disappear from the VPU path.
+                    heads = [_head_kv(h) for h in range(K)]
+                    q_all = jnp.concatenate([
+                        q_ref[:, h * G:(h + 1) * G, :].reshape(BQG, D)
+                        for h in range(K)
+                    ], axis=0)                          # [K*BQG, D]
+                    k_all = jnp.concatenate(
+                        [k_h for k_h, _, _, _ in heads], axis=0
+                    )                                   # [K*PW, D]
+                    v_all = jnp.concatenate(
+                        [v_h for _, v_h, _, _ in heads], axis=0
+                    )
+                    big = jax.lax.dot_general(
+                        q_all.astype(jnp.bfloat16),
+                        k_all.astype(jnp.bfloat16),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * spec.sm_scale                   # [K*BQG, K*PW]
+                    if quantized:
+                        ks_all = jnp.concatenate(
+                            [ks_h for _, _, ks_h, _ in heads]
+                        )                               # [K*PW]
+                        big = big * ks_all[None, :]
+                    if spec.logit_soft_cap is not None:
+                        cap = spec.logit_soft_cap
+                        big = cap * jnp.tanh(big / cap)
+                    rblk = jax.lax.broadcasted_iota(
+                        jnp.int32, (K * BQG, K * PW), 0
+                    ) // BQG
+                    cblk = jax.lax.broadcasted_iota(
+                        jnp.int32, (K * BQG, K * PW), 1
+                    ) // PW
+                    mask_big = (rblk == cblk) & jnp.tile(mask3, (K, K))
+                    m_prev = m_ref[...][:, :, :1].reshape(K * BQG, 1)
+                    l_prev = l_ref[...][:, :, :1].reshape(K * BQG, 1)
+                    m_cur = jnp.max(
+                        jnp.where(mask_big, big, NEG_INF), axis=-1,
+                        keepdims=True,
+                    )
+                    m_new = jnp.maximum(m_prev, m_cur)
+                    p_big = jnp.where(mask_big, jnp.exp(big - m_new), 0.0)
+                    alpha = jnp.exp(m_prev - m_new)
+                    l_new = alpha * l_prev + jnp.sum(p_big, -1, keepdims=True)
+                    if quantized:
+                        vs_all = jnp.concatenate(
+                            [vs_h for _, _, _, vs_h in heads]
+                        )
+                        p_big = p_big * vs_all[None, :]
+                    pv = jax.lax.dot_general(
+                        p_big.astype(jnp.bfloat16),
+                        v_all.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                    # [K*BQG, D]
+                    acc_ref[...] = (
+                        acc_ref[...] * alpha.reshape(K, BQG, 1)
+                        + pv.reshape(K, BQG, D)
+                    )
+                    m_ref[...] = jnp.broadcast_to(
+                        m_new.reshape(K, BQG, 1), (K, BQG, 128)
+                    )
+                    l_ref[...] = jnp.broadcast_to(
+                        l_new.reshape(K, BQG, 1), (K, BQG, 128)
+                    )
+                    return 0
                 if hb:
                     # ---- head-batched phase: replace the K-head loop's
                     # 2K small dependent dots with TWO block-diagonal
@@ -508,6 +582,16 @@ def ragged_paged_attention_pallas(
 
     MAXP = page_tables.shape[1]
     bq = min(bq, max(8, T))
+    # Decode-size batches (T <= 8) usually carry ONE real row padded to
+    # the bucket: shrinking the query block shrinks every hb matrix
+    # ([K*bq*G, ...] scores/probabilities) by the same factor while the
+    # page DMAs are unchanged — blocks past t_used skip.  bq*G >= 8 keeps
+    # the f32 sublane tiling minimum.
+    import os
+
+    if T <= 8:
+        bq_want = int(os.environ.get("CVT_ATTN_BQ", "8"))
+        bq = min(bq, max(bq_want, -(-8 // G)))
     T_pad = pl.cdiv(T, bq) * bq
     if T_pad != T:
         q = jnp.pad(q, ((0, T_pad - T), (0, 0), (0, 0)))

@@ -267,7 +267,32 @@ def _quant_matmul_prefill(x, qweight, scales, zoffs, *, w4, interpret):
     TO = OUT // n_tiles
     TOH = TO // 2 if w4 else TO
     group = IN // scales.shape[0]
+    # Wide tiles at deep IN (TO=2048, IN=14336) overflow scoped VMEM: the
+    # bf16 dequant scratch is [IN, TO] and the qweight blocks double-buffer
+    # on top.  Split the contraction in half and add — tile-contiguous
+    # packing slices cleanly on the IN axis, groups stay intact, and
+    # prefill is MXU-bound so the second x pass is free.
+    if IN * TO * 2 > 32 * 1024 * 1024 and scales.shape[0] % 2 == 0:
+        h = IN // 2
+        gr = scales.shape[0] // 2
+        a = _quant_matmul_prefill(
+            x[:, :h].astype(jnp.float32), qweight[:, :h], scales[:gr],
+            zoffs[:gr] if zoffs is not None else None,
+            w4=w4, interpret=interpret)
+        b = _quant_matmul_prefill(
+            x[:, h:].astype(jnp.float32), qweight[:, h:], scales[gr:],
+            zoffs[gr:] if zoffs is not None else None,
+            w4=w4, interpret=interpret)
+        return (a + b).astype(x.dtype)
+    # TT sized against the VMEM budget: the bf16 dequant scratch [IN, TO]
+    # plus double-buffered qweight blocks are fixed costs; the x/out
+    # blocks scale with TT (wide tiles — TO=2048 at IN=14336 — otherwise
+    # OOM the 128M scoped vmem: 58.7M scratch + 29.4M qweight buffers)
+    fixed = IN * TO * 2 + 2 * IN * TOH
+    budget = 104 * 1024 * 1024
     TT = 256 if IN > 8192 else 512
+    while TT > 128 and fixed + 2 * TT * (IN + TO) * 2 > budget:
+        TT //= 2
     Tp = pl.cdiv(T, TT) * TT
     out_dtype = x.dtype
     if Tp != T:
@@ -298,7 +323,7 @@ def _quant_matmul_prefill(x, qweight, scales, zoffs, *, w4, interpret):
         scratch_shapes=[pltpu.VMEM((IN, TO), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*inputs)
@@ -430,6 +455,9 @@ def quant_matmul_pallas(
         scratch_shapes=[pltpu.VMEM((Tp, TO), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # wide tiles (CVT_TILE_OUT=2048: 8MB qweight blocks, double
+            # buffered) exceed the 17M default scoped-vmem limit
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*inputs)

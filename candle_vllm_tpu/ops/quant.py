@@ -49,6 +49,29 @@ def pick_tile_out(n_out: int) -> int:
         want //= 2
     return want if n_out % want == 0 else 256
 
+
+def pad_vocab_out(n_out: int) -> int:
+    """lm_head column padding to a TILE_OUT-divisible width.
+
+    An unpadded 128256 vocab forces 256-wide kernel out-tiles — ~500
+    serial grid steps whose fixed per-step cost adds ~15% to the lm_head
+    stream (measured 705 us vs the 592 us byte roofline, prof_r3 r4).
+    Padding to the preferred tile costs <=2.5% extra zero-scale columns;
+    ``LlamaModel.forward`` slices logits back to vocab_size."""
+    import os
+
+    to = pick_tile_out(n_out)
+    want = int(os.environ.get("CVT_TILE_OUT", "1024"))
+    if to >= want:
+        return n_out
+    # 8*want granularity keeps the tile count divisible under TP<=8
+    # (tiles are the column-shard unit, parallel/sharding.py)
+    padded = -(-n_out // (8 * want)) * (8 * want)
+    if (padded - n_out) / n_out > 0.025:
+        return n_out
+    return padded
+
+
 Params = Dict[str, jnp.ndarray]
 
 
@@ -198,7 +221,7 @@ def quantize_params(
     import re
 
     if lm_head_method is None:
-        lm_head_method = os.environ.get("CVT_LM_HEAD", "int8")
+        lm_head_method = os.environ.get("CVT_LM_HEAD", "w4a16")
     if merge_fused:
         params = merge_fused_projections(params)
     # 3D expert banks quantize separately (2D tensor loop below skips them)
@@ -223,6 +246,10 @@ def quantize_params(
             out[name] = arr
             continue
         w = np.asarray(jax.device_get(arr), np.float32)
+        if "lm_head" in name:
+            padded = pad_vocab_out(w.shape[1])
+            if padded != w.shape[1]:
+                w = np.pad(w, ((0, 0), (0, padded - w.shape[1])))
         prefix = name[: -len(".weight")]
         if tensor_method == "w4a16":
             qw, s = quantize_w4a16(w, group_size)
@@ -251,7 +278,7 @@ def quantize_tensor_np(
     import re
 
     if lm_head_method is None:
-        lm_head_method = os.environ.get("CVT_LM_HEAD", "int8")
+        lm_head_method = os.environ.get("CVT_LM_HEAD", "w4a16")
     tensor_method = method
     if "lm_head" in name:
         if lm_head_method is None:
@@ -265,10 +292,15 @@ def quantize_tensor_np(
         or w.shape[1] % QTILE_OUT
     ):
         return {}
+    w = w.astype(np.float32)
+    if "lm_head" in name:
+        padded = pad_vocab_out(w.shape[1])
+        if padded != w.shape[1]:
+            w = np.pad(w, ((0, 0), (0, padded - w.shape[1])))
     if tensor_method == "w4a16":
-        qw, s = quantize_w4a16(w.astype(np.float32), group_size)
+        qw, s = quantize_w4a16(w, group_size)
     elif tensor_method == "int8":
-        qw, s = quantize_int8(w.astype(np.float32), group_size)
+        qw, s = quantize_int8(w, group_size)
     else:
         raise ValueError(f"unknown quant method {tensor_method}")
     return {"qweight": qw, "scales": s.astype(np.float32)}
@@ -313,21 +345,25 @@ def random_quantized_params(model, method: str, key) -> Params:
                 and shape[1] % QTILE_OUT == 0
             ):
                 prefix = name[: -len(".weight")]
-                # lm_head defaults to int8 (streamed every step; higher
-                # bit width like the reference's q6k output.weight) —
-                # CVT_LM_HEAD=w4a16 halves its stream at a quality cost
-                # (gate with tools/quant_quality.py)
+                # lm_head defaults to w4a16 on padded-vocab tiles (it is
+                # streamed every decode step: w4 measured +4.0 tok/s over
+                # int8 at 1024-wide tiles, r4b E13; marginal quality KL
+                # 0.0093 vs 0.0081 passes the tools/quant_quality.py
+                # gate) — CVT_LM_HEAD=int8 restores the higher-bit head
                 import os
 
-                lm_w4 = os.environ.get("CVT_LM_HEAD", "int8") == "w4a16"
+                lm_w4 = os.environ.get("CVT_LM_HEAD", "w4a16") == "w4a16"
                 is_lm_head = "lm_head" in name and not lm_w4
-                to = pick_tile_out(shape[1])
+                n_out = shape[1]
+                if "lm_head" in name:
+                    n_out = pad_vocab_out(n_out)
+                to = pick_tile_out(n_out)
                 cols = to if is_lm_head else to // 2  # int8 | w4 packed
                 params[f"{prefix}.qweight"] = jax.random.randint(
-                    k, (shape[1] // to, shape[0], cols), -128, 128, jnp.int8
+                    k, (n_out // to, shape[0], cols), -128, 128, jnp.int8
                 )
                 params[f"{prefix}.scales"] = jnp.full(
-                    (shape[0] // DEFAULT_GROUP, shape[1]),
+                    (shape[0] // DEFAULT_GROUP, n_out),
                     0.4 / (shape[0] ** 0.5),
                     jnp.bfloat16,
                 )

@@ -476,3 +476,70 @@ def test_convert_checkpoint_roundtrip(tmp_path):
     info = json.loads(r.stdout.strip().splitlines()[-1])
     assert info["tensors"] == len(params)
     assert out.exists()
+
+
+def test_prefill_split_deep_in_wide_tiles():
+    """TO=2048-at-deep-IN prefill splits the contraction (scoped-VMEM
+    guard in _quant_matmul_prefill) and stays exact vs the oracle."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from candle_vllm_tpu.ops.pallas.quant_matmul import (
+        dequant_w4_jnp, quant_matmul_pallas,
+    )
+    from candle_vllm_tpu.ops.quant import quantize_w4a16
+
+    rng = np.random.default_rng(0)
+    IN, OUT, T = 8192, 2048, 96  # IN*TO*2 = 33.5MB > 32MB -> split path
+    w = (rng.standard_normal((IN, OUT)) * 0.02).astype(np.float32)
+    qw, s = quantize_w4a16(w, tile_out=2048)
+    assert qw.shape[0] == 1  # single wide tile
+    x = (rng.standard_normal((T, IN)) * 0.1).astype(np.float32)
+    got = quant_matmul_pallas(
+        jnp.asarray(x), jnp.asarray(qw), jnp.asarray(s), w4=True,
+        interpret=True,
+    )
+    want = x @ np.asarray(dequant_w4_jnp(jnp.asarray(qw), jnp.asarray(s)))
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               rtol=0.05, atol=0.5)
+
+
+def test_lm_head_vocab_padding_sliced_logits():
+    """pad_vocab_out pads the quantized lm_head to a TILE_OUT-divisible
+    width (zero-scale columns); model.forward slices logits back."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from candle_vllm_tpu.config import ModelConfig
+    from candle_vllm_tpu.models.registry import get_model
+    from candle_vllm_tpu.models.types import StepInput
+    from candle_vllm_tpu.ops.kv_cache import allocate_kv_pages
+    from candle_vllm_tpu.ops.quant import pad_vocab_out, random_quantized_params
+
+    vocab = 40704  # 256-tile fallback without padding; pads to 40960
+    assert pad_vocab_out(vocab) == 40960
+    cfg = ModelConfig(
+        architecture="LlamaForCausalLM", hidden_size=128,
+        intermediate_size=256, num_hidden_layers=1,
+        num_attention_heads=2, num_key_value_heads=1, head_dim=64,
+        vocab_size=vocab, max_model_len=64, dtype=jnp.bfloat16,
+    )
+    model = get_model(cfg)
+    params = random_quantized_params(model, "w4a16", jax.random.PRNGKey(0))
+    assert params["lm_head.scales"].shape[1] == 40960
+    kv = allocate_kv_pages(1, 4, 16, 1, 64, dtype=cfg.dtype,
+                           pad_head_dim_to=128)
+    T = 4
+    step = StepInput(
+        token_ids=jnp.zeros(T, jnp.int32),
+        positions=jnp.arange(T, dtype=jnp.int32),
+        slot_mapping=jnp.arange(T, dtype=jnp.int32),
+        kv_lens=jnp.asarray([T], jnp.int32),
+        page_tables=jnp.zeros((1, 4), jnp.int32),
+        cu_q_lens=jnp.asarray([0, T], jnp.int32),
+        logits_idx=jnp.asarray([T - 1], jnp.int32),
+    )
+    logits, _ = model.forward(params, kv, step)
+    assert logits.shape[-1] == vocab
+    assert bool(jnp.all(jnp.isfinite(logits)))
