@@ -399,9 +399,16 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
 
     request_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
     if req.stream:
+        # a generation prompt ending in the think-open marker (MiniMax
+        # style) means the stream starts INSIDE reasoning; only the close
+        # marker will arrive (reference: extract_reasoning_content
+        # standalone-close arm)
         return await _stream_chat(
             request, state, request_id, prompt_ids, sp, req, mm=mm,
             forced_tool=forced_tool,
+            start_in_thinking=prompt.rstrip().endswith(
+                state.tool_family.think_open
+            ),
         )
 
     out = await state.async_engine.generate(
@@ -488,6 +495,7 @@ async def _stream_chat(
     req: ChatCompletionRequest,
     mm=None,
     forced_tool=None,
+    start_in_thinking: bool = False,
 ) -> web.StreamResponse:
     response = web.StreamResponse(
         status=200,
@@ -524,7 +532,8 @@ async def _stream_chat(
     # ParserState streaming) — disabled under a forced tool_choice, where
     # non-matching calls must be filtered before the client sees them
     parser = StreamToolParser(family, req.tools,
-                              stream_deltas=forced_tool is None)
+                              stream_deltas=forced_tool is None,
+                              start_in_thinking=start_in_thinking)
     final: Optional[RequestOutput] = None
     reasoning_chars = [0]
 

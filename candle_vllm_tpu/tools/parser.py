@@ -248,6 +248,14 @@ def parse_complete(
     if m:
         reasoning = m.group(1).strip()
         text = (text[: m.start()] + text[m.end():]).strip()
+    elif family.think_close in text and family.think_open not in text:
+        # standalone close marker (MiniMax-style): the open marker was part
+        # of the generation prompt, so everything before the first close is
+        # reasoning (reference: extract_reasoning_content standalone arm,
+        # default_conversation.rs)
+        i = text.find(family.think_close)
+        reasoning = text[:i].strip()
+        text = text[i + len(family.think_close):].strip()
 
     calls: List[ToolCall] = []
     if family.start:

@@ -391,11 +391,16 @@ class StreamToolParser:
 
     def __init__(self, family: ToolFamily,
                  tools: Optional[List[Dict[str, Any]]] = None,
-                 stream_deltas: bool = False):
+                 stream_deltas: bool = False,
+                 start_in_thinking: bool = False):
         self.family = family
         self.tools = tools
         self.stream_deltas = stream_deltas and family.payload == "json"
-        self.state = "normal"
+        # start_in_thinking: the rendered prompt ended with the think-open
+        # marker (MiniMax-style generation prompts), so the stream begins
+        # INSIDE reasoning and only a close marker will arrive (reference:
+        # extract_reasoning_content standalone-close arm)
+        self.state = "thinking" if start_in_thinking else "normal"
         self.pending = ""     # held-back text (possible marker prefix)
         self.buffer = ""      # tool markup being accumulated
         self.tool_calls: List[ToolCall] = []

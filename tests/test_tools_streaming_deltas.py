@@ -204,3 +204,29 @@ def test_truncated_envelope_keeps_streamed_calls():
     assert json.loads(p.tool_calls[0].arguments) == {"a": 1}
     assert p.finish_reason == "tool_calls"
     assert whole_calls_of(events) == []
+
+
+def test_close_only_reasoning_minimax_style():
+    """The generation prompt ended with the think-open marker, so the
+    stream starts INSIDE reasoning and only a close marker arrives
+    (reference: extract_reasoning_content standalone-close arm)."""
+    p = StreamToolParser(CHATML, TOOLS, start_in_thinking=True)
+    events = []
+    for ch in "step one\nstep two</think>the answer":
+        events += p.feed(ch)
+    events += p.finish()
+    reasoning = "".join(e.text for e in events if e.kind == "reasoning")
+    content = "".join(e.text for e in events if e.kind == "content")
+    assert reasoning == "step one\nstep two"
+    assert content == "the answer"
+
+
+def test_parse_complete_close_only_reasoning():
+    from candle_vllm_tpu.tools.parser import parse_complete
+
+    content, reasoning, calls = parse_complete(
+        "thinking hard</think>hello", CHATML
+    )
+    assert reasoning == "thinking hard"
+    assert content == "hello"
+    assert calls == []
