@@ -236,7 +236,8 @@ class LLMEngine:
             from candle_vllm_tpu.ops.quant import offload_expert_banks
 
             params = offload_expert_banks(
-                params, model_config.moe.num_experts_offload
+                params, model_config.moe.num_experts_offload,
+                mesh=self.mesh,
             )
         if self.plan is not None:
             params = self.plan.apply(params)

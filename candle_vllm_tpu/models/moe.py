@@ -123,10 +123,23 @@ def moe_ffn(
         # expert CPU offload (reference: num_experts_offload_per_rank,
         # models/mod.rs:445 + linear.rs:110-116): the tail experts' W4
         # banks live in pinned host memory; only the ROUTED offloaded
-        # experts' tiles DMA to HBM inside this jitted step
-        assert tp == 1, "expert offload + TP not supported yet"
+        # experts' tiles DMA to HBM inside this jitted step.  Under TP
+        # each device hosts (and fetches) only its 1/tp shard of every
+        # bank — the analogue of the reference's per-RANK offload.
+        if tp > 1:
+            # same all-or-none divisibility gate as the resident path /
+            # offload_expert_banks host placement
+            gso = params[f"{prefix}.experts.gate_proj.scales_offload"]
+            dqo = params[f"{prefix}.experts.down_proj.qweight_offload"]
+            dso = params[f"{prefix}.experts.down_proj.scales_offload"]
+            if (
+                g_off.shape[1] % tp or gso.shape[2] % tp
+                or dqo.shape[2] % tp or dso.shape[1] % tp
+            ):
+                tp = 1
         y = _moe_quant_offload(
-            xs, params, prefix, group_sizes, act, x.dtype
+            xs, params, prefix, group_sizes, act, x.dtype,
+            mesh=mesh, tp=tp,
         )
         out = jnp.zeros((T, hidden), jnp.float32).at[tok_of].add(
             y.astype(jnp.float32) * w_sorted[:, None]
@@ -280,6 +293,8 @@ def _moe_quant_offload(
     group_sizes: jnp.ndarray,   # [E] i32
     act,
     dtype,
+    mesh: Optional[Mesh] = None,
+    tp: int = 1,
 ) -> jnp.ndarray:
     """Expert FFN with the tail experts' W4 banks in pinned host memory.
 
@@ -289,8 +304,15 @@ def _moe_quant_offload(
     pair to a DMA of exactly that expert's bytes; reference semantics:
     on-demand reload, linear.rs:110-116).  NSO slots bound the unrolled
     transfer count: at most min(n_offload, R) distinct offloaded experts
-    can be routed in a step."""
-    from jax.sharding import SingleDeviceSharding
+    can be routed in a step.
+
+    Under TP (``tp > 1``) the host banks are tp-sharded (see
+    offload_expert_banks), each device DMAs only ITS shard of the routed
+    experts' tiles, and the whole FFN (resident grouped GEMM + offloaded
+    dots) runs in one shard_map with a single trailing psum — the
+    analogue of the reference's per-rank ``num_experts_offload_per_rank``
+    (models/mod.rs:445)."""
+    from jax.sharding import NamedSharding, SingleDeviceSharding
 
     from candle_vllm_tpu.ops.pallas.quant_matmul import dequant_w4_jnp
     from candle_vllm_tpu.ops.quant import grouped_quant_matmul
@@ -303,8 +325,35 @@ def _moe_quant_offload(
     E = group_sizes.shape[0]
     E_res = E - n_off
     R = xs.shape[0]
-    host = SingleDeviceSharding(jax.devices()[0], memory_kind="pinned_host")
-    dev = SingleDeviceSharding(jax.devices()[0], memory_kind="device")
+    if mesh is None:
+        host = SingleDeviceSharding(
+            jax.devices()[0], memory_kind="pinned_host"
+        )
+        dev = SingleDeviceSharding(jax.devices()[0], memory_kind="device")
+    else:
+        host = NamedSharding(mesh, P(), memory_kind="pinned_host")
+        dev = NamedSharding(mesh, P(), memory_kind="device")
+
+    # routed offloaded experts: fixed NSO slots (padding slots replicate
+    # bank row 0 with an empty range)
+    NSO = min(n_off, R)
+    off_sizes = group_sizes[E_res:]
+    (sel,) = jnp.nonzero(off_sizes > 0, size=NSO, fill_value=0)
+    sel = sel.astype(jnp.int32)
+    cs = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(group_sizes).astype(jnp.int32)]
+    )
+    valid = jnp.arange(NSO) < jnp.sum(off_sizes > 0)
+    lo = jnp.where(valid, cs[E_res + sel], 0)
+    hi = jnp.where(valid, cs[E_res + sel + 1], 0)
+    rows = jnp.arange(R, dtype=jnp.int32)
+    sel_h = jax.device_put(sel, host)
+
+    if tp > 1 and mesh is not None:
+        return _moe_quant_offload_tp(
+            xs, p, group_sizes[:E_res], sel_h, lo, hi, NSO, E_res,
+            act, dtype, mesh,
+        )
 
     # resident part: rows routed to offloaded experts sit at the sorted
     # tail, outside every resident group range -> contribute zero here
@@ -321,26 +370,10 @@ def _moe_quant_offload(
         g = jnp.zeros((R, OUT), jnp.float32)
         u = jnp.zeros((R, OUT), jnp.float32)
 
-    # routed offloaded experts: fixed NSO slots (padding slots replicate
-    # bank row 0 with an empty range)
-    NSO = min(n_off, R)
-    off_sizes = group_sizes[E_res:]
-    (sel,) = jnp.nonzero(off_sizes > 0, size=NSO, fill_value=0)
-    sel = sel.astype(jnp.int32)
-    cs = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(group_sizes).astype(jnp.int32)]
-    )
-    valid = jnp.arange(NSO) < jnp.sum(off_sizes > 0)
-    lo = jnp.where(valid, cs[E_res + sel], 0)
-    hi = jnp.where(valid, cs[E_res + sel + 1], 0)
-    rows = jnp.arange(R, dtype=jnp.int32)
-
     def fetch(name, i_h):
         bank = p(name)
         row = jax.lax.dynamic_slice_in_dim(bank, i_h, 1, axis=0)
         return jax.device_put(row, dev)[0]
-
-    sel_h = jax.device_put(sel, host)
     ws = []
     for j in range(NSO):
         i_h = sel_h[j]
@@ -375,4 +408,114 @@ def _moe_quant_offload(
         ).astype(dtype)
         y = y + jnp.where(mask, jnp.dot(h, wd,
                           preferred_element_type=jnp.float32), 0.0)
+    return y.astype(dtype)
+
+
+def _moe_quant_offload_tp(
+    xs: jnp.ndarray,            # [R, hidden] rows sorted by expert
+    p,                          # name -> bank lookup
+    gs_res: jnp.ndarray,        # [E_res] i32 resident group sizes
+    sel_h: jnp.ndarray,         # [NSO] routed-offloaded ids (pinned host)
+    lo: jnp.ndarray,            # [NSO] sorted-row range starts
+    hi: jnp.ndarray,            # [NSO] sorted-row range ends
+    NSO: int,
+    E_res: int,
+    act,
+    dtype,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """TP twin of the offloaded expert FFN (reference per-rank offload,
+    models/mod.rs:445 + expert sharding distributed.rs:108-203).
+
+    Stage A (GSPMD level): each routed offloaded expert's packed tiles
+    are host->HBM DMA'd with their tp sharding intact — every device
+    moves only its 1/tp of the bytes.  Stage B: ONE shard_map runs the
+    column-parallel resident+offloaded gate/up, local activation, and
+    row-parallel down with a single psum, so no bank (resident or
+    offloaded) is ever replicated in HBM."""
+    from jax.sharding import NamedSharding
+
+    from candle_vllm_tpu.ops.pallas.quant_matmul import dequant_w4_jnp
+    from candle_vllm_tpu.ops.quant import grouped_quant_matmul
+
+    SP_CQ = P(None, "tp", None, None)   # gate/up qweight: OUT-tile shard
+    SP_CS = P(None, None, "tp")         # gate/up scales: OUT shard
+    SP_RQ = P(None, None, "tp", None)   # down qweight: IN shard
+    SP_RS = P(None, "tp", None)         # down scales: IN-group shard
+
+    def fetch(name, spec, i_h):
+        row = jax.lax.dynamic_slice_in_dim(p(name), i_h, 1, axis=0)
+        return jax.device_put(
+            row, NamedSharding(mesh, spec, memory_kind="device")
+        )[0]
+
+    def bank(name, spec):
+        return jnp.stack(
+            [fetch(name, spec, sel_h[j]) for j in range(NSO)]
+        )
+
+    ogq = bank("gate_proj.qweight_offload", SP_CQ)
+    ogs = bank("gate_proj.scales_offload", SP_CS)
+    ouq = bank("up_proj.qweight_offload", SP_CQ)
+    ous = bank("up_proj.scales_offload", SP_CS)
+    odq = bank("down_proj.qweight_offload", SP_RQ)
+    ods = bank("down_proj.scales_offload", SP_RS)
+
+    if E_res > 0:
+        res = (
+            p("gate_proj.qweight"), p("gate_proj.scales"),
+            p("up_proj.qweight"), p("up_proj.scales"),
+            p("down_proj.qweight"), p("down_proj.scales"),
+        )
+        res_specs = (SP_CQ, SP_CS, SP_CQ, SP_CS, SP_RQ, SP_RS)
+    else:
+        res, res_specs = (), ()
+
+    def local_body(xs_, ogq_, ogs_, ouq_, ous_, odq_, ods_,
+                   gs_res_, lo_, hi_, *res_):
+        R = xs_.shape[0]
+        if E_res > 0:
+            gq, gs, uq, us, dq, dsc = res_
+            g = grouped_quant_matmul(xs_, gq, gs, gs_res_).astype(
+                jnp.float32
+            )
+            u = grouped_quant_matmul(xs_, uq, us, gs_res_).astype(
+                jnp.float32
+            )
+        else:
+            g = jnp.zeros((R, ogs_.shape[-1]), jnp.float32)
+            u = jnp.zeros((R, ogs_.shape[-1]), jnp.float32)
+        rows = jnp.arange(R, dtype=jnp.int32)
+        masks = []
+        for j in range(NSO):
+            wg = dequant_w4_jnp(ogq_[j], ogs_[j]).astype(xs_.dtype)
+            wu = dequant_w4_jnp(ouq_[j], ous_[j]).astype(xs_.dtype)
+            mask = ((rows >= lo_[j]) & (rows < hi_[j]))[:, None]
+            g = g + jnp.where(mask, jnp.dot(
+                xs_, wg, preferred_element_type=jnp.float32), 0.0)
+            u = u + jnp.where(mask, jnp.dot(
+                xs_, wu, preferred_element_type=jnp.float32), 0.0)
+            masks.append(mask)
+        h = (act(g) * u).astype(dtype)
+        if E_res > 0:
+            y = grouped_quant_matmul(h, dq, dsc, gs_res_).astype(
+                jnp.float32
+            )
+        else:
+            y = jnp.zeros((R, ods_.shape[-1]), jnp.float32)
+        for j in range(NSO):
+            wd = dequant_w4_jnp(odq_[j], ods_[j]).astype(dtype)
+            y = y + jnp.where(masks[j], jnp.dot(
+                h, wd, preferred_element_type=jnp.float32), 0.0)
+        return jax.lax.psum(y, "tp")
+
+    rep2 = P(None, None)
+    y = jax.shard_map(
+        local_body,
+        mesh=mesh,
+        in_specs=(rep2, SP_CQ, SP_CS, SP_CQ, SP_CS, SP_RQ, SP_RS,
+                  P(None), P(None), P(None)) + res_specs,
+        out_specs=rep2,
+        check_vma=False,
+    )(xs, ogq, ogs, ouq, ous, odq, ods, gs_res, lo, hi, *res)
     return y.astype(dtype)

@@ -633,7 +633,9 @@ def quantize_moe_banks(params: Params, fuse_gate_up: bool = True) -> Params:
     return out
 
 
-def offload_expert_banks(params: Params, n_offload: int) -> Params:
+def offload_expert_banks(
+    params: Params, n_offload: int, mesh=None
+) -> Params:
     """Move the LAST ``n_offload`` experts of every quantized expert bank
     into pinned host memory (keys gain an ``_offload`` suffix).  The MoE
     forward DMAs only the routed offloaded experts' W4 tiles to HBM
@@ -642,14 +644,55 @@ def offload_expert_banks(params: Params, n_offload: int) -> Params:
     (models/mod.rs:445, linear.rs:110-116).  Serves MoE checkpoints whose
     expert bytes exceed HBM.
 
+    Under a ``mesh`` with tp>1 each host bank is placed with the SAME
+    tp PartitionSpec as its resident twin (reference: per-rank offload —
+    each rank hosts only its shard), so the per-expert host->HBM DMA
+    moves 1/tp of the tiles per device.  Banks whose sharded dim does not
+    divide tp stay replicated on host (mirroring ShardingPlan.apply's
+    all-or-none per-layer gate, which models/moe.py re-derives).
+
     Requires separate (unfused) quantized banks — quantize with
     ``moe_fuse_gate_up=False``."""
     import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
     from jax.sharding import SingleDeviceSharding
 
     if n_offload <= 0:
         return params
-    host = SingleDeviceSharding(jax.devices()[0], memory_kind="pinned_host")
+    tp = mesh.shape.get("tp", 1) if mesh is not None else 1
+
+    # all-or-none per layer (same gate as ShardingPlan.apply and
+    # models/moe.py): one non-divisible bank drops the whole layer's
+    # host banks to replicated
+    layer_ok: Dict[str, bool] = {}
+    if mesh is not None and tp > 1:
+        from candle_vllm_tpu.parallel.sharding import param_spec
+
+        for name, arr in params.items():
+            if not (".experts." in name
+                    and name.endswith((".qweight", ".scales"))):
+                continue
+            layer = name.split(".experts.")[0]
+            spec = param_spec(name)
+            ok = all(
+                arr.shape[d] % tp == 0
+                for d, axes in enumerate(spec)
+                if axes is not None
+            )
+            layer_ok[layer] = layer_ok.get(layer, True) and ok
+
+    def host_sharding(name, arr):
+        if mesh is None:
+            return SingleDeviceSharding(
+                jax.devices()[0], memory_kind="pinned_host"
+            )
+        spec = P()
+        if tp > 1 and layer_ok.get(name.split(".experts.")[0], False):
+            from candle_vllm_tpu.parallel.sharding import param_spec
+
+            spec = param_spec(name)
+        return NamedSharding(mesh, spec, memory_kind="pinned_host")
+
     out = dict(params)
     for name in list(params):
         if not (".experts." in name
@@ -666,7 +709,9 @@ def offload_expert_banks(params: Params, n_offload: int) -> Params:
             f"num_experts_offload={n_offload} must be < num_experts={E}"
         )
         out[name] = arr[: E - n_offload]
-        out[name + "_offload"] = jax.device_put(arr[E - n_offload:], host)
+        out[name + "_offload"] = jax.device_put(
+            arr[E - n_offload:], host_sharding(name, arr)
+        )
     return out
 
 

@@ -89,6 +89,80 @@ def test_offload_forward_matches_resident(n_off):
     )
 
 
+def test_offload_tp4_forward_matches_resident():
+    """Expert offload under tp=4 (reference: PER-RANK offload,
+    num_experts_offload_per_rank models/mod.rs:445): host banks are
+    tp-sharded so each device hosts+fetches 1/4 of the tiles, and the
+    forward matches the fully-resident unsharded one."""
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    from candle_vllm_tpu.parallel.sharding import ShardingPlan, make_mesh
+
+    cfg = moe_cfg()
+    base, qparams = _quantized(cfg)
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(0, 512, size=12).tolist()
+    kh, kd = base.kv_cache_spec()
+    step = make_inputs(cfg, prompt)
+    kv = allocate_kv_pages(2, 32, PAGE, kh, kd, dtype=jnp.float32)
+    ref_logits, _ = base.forward(qparams, kv, step)
+
+    mesh = make_mesh(tp_size=4)
+    plan = ShardingPlan(mesh)
+    cfg2 = moe_cfg(n_offload=2)
+    off = offload_expert_banks(qparams, 2, mesh=mesh)
+    sharded = plan.apply(off)
+    # host banks: pinned_host AND 1/4 of the bytes per device
+    hosted = [n for n in sharded if n.endswith("_offload")]
+    assert len(hosted) == 2 * 6
+    for n in hosted:
+        arr = sharded[n]
+        assert arr.sharding.memory_kind == "pinned_host", n
+        shard_bytes = arr.addressable_shards[0].data.nbytes
+        assert shard_bytes * 4 == arr.nbytes, (n, arr.shape)
+
+    model2 = get_model(cfg2, mesh=mesh)
+    kh2, kd2 = model2.kv_cache_spec()
+    skv = [
+        jax.device_put(p, plan.kv_pages_sharding())
+        for p in allocate_kv_pages(2, 32, PAGE, kh2, kd2,
+                                   dtype=jnp.float32)
+    ]
+    got_logits, _ = jax.jit(model2.forward)(sharded, skv, step)
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(ref_logits), rtol=2e-2,
+        atol=2e-2,
+    )
+
+
+def test_offload_engine_tp2_generates():
+    """End-to-end: LLMEngine with a mesh + expert offload serves, with
+    host banks tp-sharded."""
+    if len(jax.devices()) < 2:
+        pytest.skip("need 2 devices")
+    from candle_vllm_tpu.config import ParallelConfig
+    from candle_vllm_tpu.engine.llm_engine import LLMEngine
+    from candle_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = moe_cfg(n_offload=2)
+    cache = CacheConfig(block_size=8, num_gpu_blocks=32, num_cpu_blocks=0)
+    sched = SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=128,
+                            max_model_len=128, enable_prefix_caching=False)
+    eng = LLMEngine(cfg, cache, sched, ParallelConfig(tp_size=2), seed=0,
+                    quantization="w4a16")
+    bank = eng.params[
+        "model.layers.0.mlp.experts.gate_proj.qweight_offload"
+    ]
+    assert bank.sharding.memory_kind == "pinned_host"
+    assert bank.addressable_shards[0].data.nbytes * 2 == bank.nbytes
+
+    rng = np.random.default_rng(13)
+    ps = [rng.integers(0, 512, size=9).tolist()]
+    out = eng.generate(ps, SamplingParams(temperature=0.0, max_tokens=5))
+    assert len(out[0].outputs[0].token_ids) == 5
+    assert out[0].finished
+
+
 def test_offload_engine_serves_beyond_hbm_budget():
     """Engine E2E: a synthetic MoE whose full expert bytes exceed a
     configured 'HBM' budget still serves, with device-resident expert
