@@ -620,10 +620,17 @@ def load_gguf(
     dtype=None,
     quantize: Optional[str] = "w4a16",
     mmproj: Optional[str] = "auto",
+    fuse_moe_gate_up: bool = True,
 ):
     """Returns (ModelConfig, params dict).  Tensors stream one at a time:
     dequantized to f32 then (by default) re-quantized into the native
     W4A16/int8 layout so Q4_K checkpoints stay ~4-bit in HBM.
+
+    ``fuse_moe_gate_up=False`` re-quantizes gate/up expert banks
+    SEPARATELY on narrow 256-wide tiles — required for TP (a fused
+    [gate|up] OUT dim cannot column-shard scale-aligned; the separate
+    banks take models/moe.py's shard_map path) and for expert CPU
+    offload.  The server sets this automatically for tp>1 / offload.
 
     ``mmproj="auto"`` discovers an ``mmproj*.gguf`` vision tower next to
     the model file and merges it (reference: pipeline.rs:259-330)."""
@@ -695,11 +702,35 @@ def load_gguf(
             g_b = pending_banks.pop(f"{p}.experts.gate_proj", None)
             u_b = pending_banks.pop(f"{p}.experts.up_proj", None)
             gu = pending_banks.pop(f"{p}.experts.gate_up_proj", None)
+            dn = pending_banks.pop(f"{p}.experts.down_proj", None)
+            if not fuse_moe_gate_up and gu is not None and g_b is None:
+                half = gu.shape[2] // 2
+                g_b, u_b = gu[..., :half], gu[..., half:]
+                gu = None
+            if not fuse_moe_gate_up:
+                # separate 256-wide-tile banks: TP-shardable scale-aligned
+                # (parallel/sharding.py expert rules) and offload-capable
+                quantizable = (
+                    g_b is not None and u_b is not None and dn is not None
+                    and not (g_b.shape[1] % DEFAULT_GROUP)
+                    and not (g_b.shape[2] % 256)
+                    and not (dn.shape[1] % DEFAULT_GROUP)
+                    and not (dn.shape[2] % 256)
+                )
+                if quantizable:
+                    for t, bank in (("gate_proj", g_b), ("up_proj", u_b),
+                                    ("down_proj", dn)):
+                        qw, s = quantize_expert_bank(bank, tile_out=256)
+                        params[f"{p}.experts.{t}.qweight"] = jnp.asarray(qw)
+                        params[f"{p}.experts.{t}.scales"] = jnp.asarray(
+                            s, jnp.bfloat16
+                        )
+                    continue
             if gu is None and g_b is not None and u_b is not None:
                 gu = np.concatenate([g_b, u_b], axis=2)
-            dn = pending_banks.pop(f"{p}.experts.down_proj", None)
             quantizable = (
-                gu is not None and dn is not None
+                fuse_moe_gate_up
+                and gu is not None and dn is not None
                 and not (gu.shape[1] % DEFAULT_GROUP)
                 and not (gu.shape[2] % (2 * QTILE_OUT))
                 and not (dn.shape[1] % DEFAULT_GROUP)

@@ -109,7 +109,10 @@ def build_engine(args):
         from candle_vllm_tpu.models.gguf import load_gguf
 
         cfg, gguf_params = load_gguf(
-            args.gguf, dtype=dtype, quantize=args.isq or "w4a16"
+            args.gguf, dtype=dtype, quantize=args.isq or "w4a16",
+            # separate banks: TP needs scale-aligned column shards and
+            # offload needs per-expert gate/up splits
+            fuse_moe_gate_up=(args.tp <= 1 and not args.num_experts_offload),
         )
         from candle_vllm_tpu.models.gguf import GGUFFile
         from candle_vllm_tpu.utils.tokenizer import tokenizer_from_gguf_metadata

@@ -770,6 +770,82 @@ def test_gguf_moe_twin(tmp_path):
     _gen_smoke(config, params, vocab)
 
 
+def test_gguf_moe_separate_banks_for_tp(tmp_path):
+    """``fuse_moe_gate_up=False`` re-quantizes gate/up expert banks
+    separately on 256-wide tiles (TP-shardable scale-aligned, PARITY gap:
+    fused GGUF banks replicate under TP) and matches the fused load."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(8)
+    hidden, vocab, heads, kv = 256, 64, 4, 2
+    hd = hidden // heads
+    E, k, moe_I = 4, 2, 256
+
+    def lin(i, o):
+        return rng.standard_normal((o, i)).astype(np.float32) * 0.05
+
+    tensors = [
+        ("token_embd.weight", *_t_f32(rng.standard_normal((vocab, hidden)) * 0.05)),
+        ("output_norm.weight", *_t_f32(np.ones(hidden))),
+        ("output.weight", *_t_f32(lin(hidden, vocab))),
+    ]
+    for i in range(1):
+        tensors += [
+            (f"blk.{i}.attn_norm.weight", *_t_f32(np.ones(hidden))),
+            (f"blk.{i}.ffn_norm.weight", *_t_f32(np.ones(hidden))),
+            (f"blk.{i}.attn_q.weight", *_t_f32(lin(hidden, heads * hd))),
+            (f"blk.{i}.attn_k.weight", *_t_f32(lin(hidden, kv * hd))),
+            (f"blk.{i}.attn_v.weight", *_t_f32(lin(hidden, kv * hd))),
+            (f"blk.{i}.attn_output.weight", *_t_f32(lin(heads * hd, hidden))),
+            (f"blk.{i}.attn_q_norm.weight", *_t_f32(np.ones(hd))),
+            (f"blk.{i}.attn_k_norm.weight", *_t_f32(np.ones(hd))),
+            (f"blk.{i}.ffn_gate_exps.weight",
+             *_t_f32(rng.standard_normal((E, moe_I, hidden)) * 0.05)),
+            (f"blk.{i}.ffn_up_exps.weight",
+             *_t_f32(rng.standard_normal((E, moe_I, hidden)) * 0.05)),
+            (f"blk.{i}.ffn_down_exps.weight",
+             *_t_f32(rng.standard_normal((E, hidden, moe_I)) * 0.05)),
+            (f"blk.{i}.ffn_gate_inp.weight", *_t_f32(lin(hidden, E))),
+        ]
+    meta = {
+        "general.architecture": _meta_str("qwen3moe"),
+        "qwen3moe.embedding_length": _meta_u32(hidden),
+        "qwen3moe.feed_forward_length": _meta_u32(64),
+        "qwen3moe.block_count": _meta_u32(1),
+        "qwen3moe.attention.head_count": _meta_u32(heads),
+        "qwen3moe.attention.head_count_kv": _meta_u32(kv),
+        "qwen3moe.attention.layer_norm_rms_epsilon": _meta_f32(1e-5),
+        "qwen3moe.context_length": _meta_u32(256),
+        "qwen3moe.vocab_size": _meta_u32(vocab),
+        "qwen3moe.rope.freq_base": _meta_f32(10000.0),
+        "qwen3moe.expert_count": _meta_u32(E),
+        "qwen3moe.expert_used_count": _meta_u32(k),
+        "qwen3moe.expert_feed_forward_length": _meta_u32(moe_I),
+    }
+    path = tmp_path / "moe256.gguf"
+    write_gguf(str(path), meta, tensors)
+
+    cfg_f, p_fused = gguf.load_gguf(str(path), dtype=jnp.float32)
+    assert "model.layers.0.mlp.experts.gate_up_proj.qweight" in p_fused
+    cfg_s, p_sep = gguf.load_gguf(
+        str(path), dtype=jnp.float32, fuse_moe_gate_up=False
+    )
+    gq = p_sep["model.layers.0.mlp.experts.gate_proj.qweight"]
+    assert "model.layers.0.mlp.experts.gate_up_proj.qweight" not in p_sep
+    # 256-wide tiles: tile axis divides common tp sizes
+    assert gq.shape[1] == moe_I // 256
+    assert p_sep["model.layers.0.mlp.experts.up_proj.qweight"].shape == gq.shape
+    # separate banks can host-offload (fused refuse)
+    from candle_vllm_tpu.ops.quant import offload_expert_banks
+
+    off = offload_expert_banks(dict(p_sep), 1)
+    assert any(n.endswith("_offload") for n in off)
+
+    ta = _gen_smoke(cfg_f, p_fused, vocab)
+    tb = _gen_smoke(cfg_s, p_sep, vocab)
+    assert ta == tb, (ta, tb)
+
+
 def test_gguf_mla_twin(tmp_path):
     """deepseek2 GGUF: MLA projections + first-k-dense + MoE layers load
     and the model generates."""
