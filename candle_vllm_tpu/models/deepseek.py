@@ -177,11 +177,21 @@ class DeepseekForCausalLM(LlamaForCausalLM):
             m.decoder_sparse_step <= 1 or (i + 1) % m.decoder_sparse_step == 0
         )
 
-    def _mlp_block(self, params, prefix, h, layer_idx):
+    def _mlp_block(self, params, prefix, h, layer_idx,
+                   norm_w=None, norm_eps: float = 1e-6, residual=None):
         if self.is_moe_layer(layer_idx):
-            return moe_ffn(h, params, prefix, self.config.moe,
-                           self.config.hidden_act, mesh=self.mesh)
-        return mlp(h, params, prefix, self.config.hidden_act)
+            if norm_w is not None:
+                from candle_vllm_tpu.ops.norms import rms_norm
+
+                h = rms_norm(h, norm_w, norm_eps)
+            y = moe_ffn(h, params, prefix, self.config.moe,
+                        self.config.hidden_act, mesh=self.mesh)
+            if residual is not None:
+                y = (y.astype(jnp.float32)
+                     + residual.astype(jnp.float32)).astype(y.dtype)
+            return y
+        return mlp(h, params, prefix, self.config.hidden_act,
+                   norm_w=norm_w, norm_eps=norm_eps, residual=residual)
 
     def _attn(self, params: Params, a: str, x, cos_sin, kv_pages, step):
         c = self.config

@@ -29,21 +29,53 @@ from candle_vllm_tpu.ops.rope import RopeSpec, apply_rope, compute_cos_sin
 Params = Dict[str, jnp.ndarray]
 
 
-def linear(x: jnp.ndarray, params: Params, prefix: str) -> jnp.ndarray:
+def linear(x: jnp.ndarray, params: Params, prefix: str,
+           norm_w: Optional[jnp.ndarray] = None, norm_eps: float = 1e-6,
+           residual: Optional[jnp.ndarray] = None,
+           rope_cs=None) -> jnp.ndarray:
     """y = x @ W (+ b).  Weights are stored input-major ([in, out]) so the
     matmul needs no transpose; quantized weights dispatch on the aux
-    entries present under ``prefix`` (see ops/quant.py)."""
+    entries present under ``prefix`` (see ops/quant.py).
+
+    ``norm_w``/``residual``/``rope_cs`` fuse an RMSNorm prologue /
+    residual-add / full-width rope epilogue into the quantized decode
+    kernel (XLA fusions otherwise)."""
     qweight = params.get(f"{prefix}.qweight")
+    b = params.get(f"{prefix}.bias")
     if qweight is not None:
         from candle_vllm_tpu.ops.quant import quantized_matmul
 
-        y = quantized_matmul(x, params, prefix)
-    else:
-        w = params[f"{prefix}.weight"]
-        y = jnp.dot(x, w)
-    b = params.get(f"{prefix}.bias")
+        y = quantized_matmul(x, params, prefix, norm_w=norm_w,
+                             norm_eps=norm_eps,
+                             residual=residual if b is None else None,
+                             rope_cs=rope_cs if b is None else None)
+        if b is not None:
+            if rope_cs is not None:
+                from candle_vllm_tpu.ops.pallas.quant_matmul import (
+                    _rope_full_jnp,
+                )
+
+                y = _rope_full_jnp(y + b.astype(y.dtype),
+                                   rope_cs[0], rope_cs[1])
+            else:
+                y = y + b.astype(y.dtype)
+            if residual is not None:
+                y = (y.astype(jnp.float32)
+                     + residual.astype(jnp.float32)).astype(y.dtype)
+        return y
+    if norm_w is not None:
+        x = rms_norm(x, norm_w, norm_eps)
+    w = params[f"{prefix}.weight"]
+    y = jnp.dot(x, w)
     if b is not None:
         y = y + b.astype(y.dtype)
+    if rope_cs is not None:
+        from candle_vllm_tpu.ops.pallas.quant_matmul import _rope_full_jnp
+
+        y = _rope_full_jnp(y, rope_cs[0], rope_cs[1])
+    if residual is not None:
+        y = (y.astype(jnp.float32)
+             + residual.astype(jnp.float32)).astype(y.dtype)
     return y
 
 
@@ -63,8 +95,11 @@ def _has_linear(params: Params, prefix: str) -> bool:
     return f"{prefix}.weight" in params or f"{prefix}.qweight" in params
 
 
-def _try_fused_mlp(x: jnp.ndarray, params: Params,
-                   prefix: str) -> Optional[jnp.ndarray]:
+def _try_fused_mlp(x: jnp.ndarray, params: Params, prefix: str,
+                   norm_w: Optional[jnp.ndarray] = None,
+                   norm_eps: float = 1e-6,
+                   residual: Optional[jnp.ndarray] = None,
+                   ) -> Optional[jnp.ndarray]:
     """Decode-path W4A16 MLP megakernel: down(silu(gate)*up) in ONE
     pallas_call with continuous weight streaming (no inter-kernel
     bubble between the gate_up and down weight streams).  Requires the
@@ -99,33 +134,53 @@ def _try_fused_mlp(x: jnp.ndarray, params: Params,
         return None
     from candle_vllm_tpu.ops.pallas.fused_mlp import fused_mlp_w4
 
+    b = params.get(f"{prefix}.down_proj.bias")
     y = fused_mlp_w4(x.astype(jnp.bfloat16), gu_q,
                      gu_s.astype(jnp.bfloat16), dn_q,
-                     dn_s.astype(jnp.bfloat16))
-    b = params.get(f"{prefix}.down_proj.bias")
-    return y if b is None else y + b.astype(y.dtype)
+                     dn_s.astype(jnp.bfloat16), norm_w=norm_w,
+                     norm_eps=norm_eps,
+                     residual=residual if b is None else None)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+        if residual is not None:
+            y = (y.astype(jnp.float32)
+                 + residual.astype(jnp.float32)).astype(y.dtype)
+    return y
 
 
-def mlp(x: jnp.ndarray, params: Params, prefix: str, hidden_act: str) -> jnp.ndarray:
+def mlp(x: jnp.ndarray, params: Params, prefix: str, hidden_act: str,
+        norm_w: Optional[jnp.ndarray] = None, norm_eps: float = 1e-6,
+        residual: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Gated MLP (reference: models/layers/mlp.rs gate/up/down; packed
-    gate_up supported like the reference's MergedColumn layout)."""
+    gate_up supported like the reference's MergedColumn layout).
+
+    ``norm_w``/``residual`` fuse the pre-MLP RMSNorm / post-MLP residual
+    into the decode megakernel (or the first/last projection kernels)."""
     act = _act(hidden_act)
     if _has_linear(params, f"{prefix}.gate_up_proj"):
         if hidden_act in ("silu", "swish"):
-            fused = _try_fused_mlp(x, params, prefix)
+            fused = _try_fused_mlp(x, params, prefix, norm_w=norm_w,
+                                   norm_eps=norm_eps, residual=residual)
             if fused is not None:
                 return fused
-        gu = linear(x, params, f"{prefix}.gate_up_proj")
+        gu = linear(x, params, f"{prefix}.gate_up_proj",
+                    norm_w=norm_w, norm_eps=norm_eps)
         inter = gu.shape[-1] // 2
         gate, up = gu[:, :inter], gu[:, inter:]
     elif not _has_linear(params, f"{prefix}.gate_proj"):
         # non-gated MLP (Phi2 fc1/fc2, mapped to up/down at load)
+        if norm_w is not None:
+            x = rms_norm(x, norm_w, norm_eps)
         up = linear(x, params, f"{prefix}.up_proj")
-        return linear(act(up), params, f"{prefix}.down_proj")
+        return linear(act(up), params, f"{prefix}.down_proj",
+                      residual=residual)
     else:
+        if norm_w is not None:
+            x = rms_norm(x, norm_w, norm_eps)
         gate = linear(x, params, f"{prefix}.gate_proj")
         up = linear(x, params, f"{prefix}.up_proj")
-    return linear(act(gate) * up, params, f"{prefix}.down_proj")
+    return linear(act(gate) * up, params, f"{prefix}.down_proj",
+                  residual=residual)
 
 
 def can_fuse_layer_tail(x: jnp.ndarray, params: Params, p: str,
@@ -411,24 +466,61 @@ def attention_block(
     mesh: Optional[Mesh] = None,
     skip_o: bool = False,
     qkv: Optional[jnp.ndarray] = None,
+    norm_w: Optional[jnp.ndarray] = None,
+    norm_eps: float = 1e-6,
+    residual: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full attention sublayer (reference: layers/attention.rs:28-754):
     qkv projections, optional per-head QK-norm, rope, paged attention,
     output projection (skipped with ``skip_o`` when the caller fuses it
     into the layer megakernel; a precomputed ``qkv`` comes from the
-    previous layer's megakernel phase 4)."""
+    previous layer's megakernel phase 4).
+
+    ``norm_w`` fuses the input RMSNorm into the qkv kernel prologue and
+    ``residual`` the residual-add into the o_proj epilogue (``x`` is the
+    PRE-norm input then, and the first return value is residual + o)."""
     T = x.shape[0]
     spec = layer.attn
     H, K, D = spec.num_q_heads, spec.num_kv_heads, spec.head_dim
 
     q_width = H * D * (2 if layer.attn_output_gate else 1)
+    rope_fused = False
     if qkv is not None or _has_linear(params, f"{prefix}.qkv_proj"):
         if qkv is None:
-            qkv = linear(x, params, f"{prefix}.qkv_proj")
+            rcs = None
+            if (
+                layer.use_rope and not rope.interleaved
+                and rope.rotary_dim == D == 128
+                and params.get(f"{prefix}.q_norm.weight") is None
+                and not layer.attn_output_gate
+                and not layer.qk_l2_norm
+            ):
+                # full-width rope rides the qkv kernel epilogue: q and k
+                # columns rotate, v columns pass through via c=1/s=0
+                # (removes the 2 apply_rope XLA fusions — 23 us/layer,
+                # tools/abl_r4c.py)
+                rope_fused = True
+                cos, sin = cos_sin
+                c2 = jnp.concatenate([cos, cos], -1)       # [T, D]
+                s2 = jnp.concatenate([-sin, sin], -1)
+                KD = K * D
+                c_full = jnp.concatenate(
+                    [jnp.tile(c2, (1, H + K)),
+                     jnp.ones((T, KD), c2.dtype)], axis=1)
+                s_full = jnp.concatenate(
+                    [jnp.tile(s2, (1, H + K)),
+                     jnp.zeros((T, KD), s2.dtype)], axis=1)
+                rcs = (c_full, s_full)
+            qkv = linear(x, params, f"{prefix}.qkv_proj",
+                         norm_w=norm_w, norm_eps=norm_eps, rope_cs=rcs)
         q = qkv[:, :q_width]
         k = qkv[:, q_width : q_width + K * D].reshape(T, K, D)
         v = qkv[:, q_width + K * D :].reshape(T, K, D)
     else:
+        if norm_w is not None:
+            # separate q/k/v projections: one XLA norm beats 3 in-kernel
+            # recomputes
+            x = rms_norm(x, norm_w, norm_eps)
         q = linear(x, params, f"{prefix}.q_proj")
         k = linear(x, params, f"{prefix}.k_proj").reshape(T, K, D)
         v = linear(x, params, f"{prefix}.v_proj").reshape(T, K, D)
@@ -464,7 +556,7 @@ def attention_block(
         k = (kf * jax.lax.rsqrt(
             jnp.sum(kf * kf, -1, keepdims=True) + 1e-6)).astype(k.dtype)
 
-    if layer.use_rope:
+    if layer.use_rope and not rope_fused:
         cos, sin = cos_sin
         q = apply_rope(q, cos, sin, rope)
         k = apply_rope(k, cos, sin, rope)
@@ -485,7 +577,7 @@ def attention_block(
     if skip_o:
         # caller fuses o_proj into the layer megakernel (fused_layer.py)
         return out, kv_pages
-    out = linear(out, params, f"{prefix}.o_proj")
+    out = linear(out, params, f"{prefix}.o_proj", residual=residual)
     return out, kv_pages
 
 

@@ -164,10 +164,15 @@ class LlamaForCausalLM:
         return jax.jit(init)(jax.random.PRNGKey(seed))
 
     def _mlp_block(
-        self, params: Params, prefix: str, h: jnp.ndarray, layer_idx: int
+        self, params: Params, prefix: str, h: jnp.ndarray, layer_idx: int,
+        norm_w: Optional[jnp.ndarray] = None, norm_eps: float = 1e-6,
+        residual: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """Dense MLP; MoE models override per layer."""
-        return mlp(h, params, prefix, self.config.hidden_act)
+        """Dense MLP; MoE models override per layer.  ``norm_w`` /
+        ``residual`` fuse the pre-norm / residual-add into the decode
+        kernels (models/layers.py mlp)."""
+        return mlp(h, params, prefix, self.config.hidden_act,
+                   norm_w=norm_w, norm_eps=norm_eps, residual=residual)
 
     def kv_cache_spec(self) -> Tuple[int, int]:
         """(num_kv_heads, head_dim) the KV cache must be allocated with.
@@ -319,11 +324,30 @@ class LlamaForCausalLM:
                 x = self._layer_inject(x, i, step)
                 continue
             fused_qkv = None
-            h = self._norm(params, x, f"{p}.input_layernorm")
-            attn_out, pages = attention_block(
-                h, params, f"{p}.self_attn", spec, rope, cs,
-                kv_pages[i], step, mesh=self.mesh,
+            pa = params.get(f"{p}.post_self_attn_layernorm.weight")
+            # plain pre-norm transformer block: the input RMSNorm fuses
+            # into the qkv kernel prologue and the residual-add into the
+            # o_proj epilogue — the XLA glue fusions between pallas calls
+            # measured ~46 us/layer of the decode step (tools/abl_r4c.py)
+            plain_glue = (
+                c.norm_type != "layernorm" and not c.norm_unit_offset
+                and not c.parallel_block and not c.sandwich_norms
             )
+            if plain_glue:
+                h = x  # unused; norm rides the qkv kernel
+                attn_out, pages = attention_block(
+                    x, params, f"{p}.self_attn", spec, rope, cs,
+                    kv_pages[i], step, mesh=self.mesh,
+                    norm_w=params[f"{p}.input_layernorm.weight"],
+                    norm_eps=c.rms_norm_eps,
+                    residual=x if pa is None else None,
+                )
+            else:
+                h = self._norm(params, x, f"{p}.input_layernorm")
+                attn_out, pages = attention_block(
+                    h, params, f"{p}.self_attn", spec, rope, cs,
+                    kv_pages[i], step, mesh=self.mesh,
+                )
             new_pages.append(pages)
             if c.parallel_block:
                 # Phi2: attn and MLP both read the same normed input and
@@ -350,17 +374,26 @@ class LlamaForCausalLM:
                 # GLM4-dense ships extra norms on the sublayer OUTPUTS
                 # (reference: glm4.rs:103,182 post_self_attn_layernorm /
                 # post_mlp_layernorm) — presence-driven like qk-norm
-                pa = params.get(f"{p}.post_self_attn_layernorm.weight")
                 if pa is not None:
                     attn_out = rms_norm(attn_out, pa, c.rms_norm_eps,
                                         add_unit_offset=uo)
-                x = x + attn_out
-                h = self._norm(params, x, f"{p}.post_attention_layernorm")
-                m = self._mlp_block(params, f"{p}.mlp", h, i)
+                # with plain_glue and no GLM output norm the residual
+                # already rode the o_proj epilogue
+                x = attn_out if (plain_glue and pa is None) else x + attn_out
                 pm = params.get(f"{p}.post_mlp_layernorm.weight")
-                if pm is not None:
-                    m = rms_norm(m, pm, c.rms_norm_eps, add_unit_offset=uo)
-                x = x + m
+                if plain_glue and pm is None:
+                    x = self._mlp_block(
+                        params, f"{p}.mlp", x, i,
+                        norm_w=params[f"{p}.post_attention_layernorm.weight"],
+                        norm_eps=c.rms_norm_eps, residual=x,
+                    )
+                else:
+                    h = self._norm(params, x, f"{p}.post_attention_layernorm")
+                    m = self._mlp_block(params, f"{p}.mlp", h, i)
+                    if pm is not None:
+                        m = rms_norm(m, pm, c.rms_norm_eps,
+                                     add_unit_offset=uo)
+                    x = x + m
             x = self._layer_inject(x, i, step)
 
         x = self._norm(params, x, "model.norm")

@@ -67,9 +67,22 @@ class QwenMoeForCausalLM(LlamaForCausalLM):
         return shapes
 
     def _mlp_block(
-        self, params: Params, prefix: str, h: jnp.ndarray, layer_idx: int
+        self, params: Params, prefix: str, h: jnp.ndarray, layer_idx: int,
+        norm_w=None, norm_eps: float = 1e-6, residual=None,
     ) -> jnp.ndarray:
         if not self.is_moe_layer(layer_idx):
-            return super()._mlp_block(params, prefix, h, layer_idx)
-        return moe_ffn(h, params, prefix, self.config.moe,
-                       self.config.hidden_act, mesh=self.mesh)
+            return super()._mlp_block(params, prefix, h, layer_idx,
+                                      norm_w=norm_w, norm_eps=norm_eps,
+                                      residual=residual)
+        # MoE layers: norm/residual stay XLA ops (the routed grouped GEMM
+        # has no single prologue/epilogue site)
+        if norm_w is not None:
+            from candle_vllm_tpu.ops.norms import rms_norm
+
+            h = rms_norm(h, norm_w, norm_eps)
+        y = moe_ffn(h, params, prefix, self.config.moe,
+                    self.config.hidden_act, mesh=self.mesh)
+        if residual is not None:
+            y = (y.astype(jnp.float32)
+                 + residual.astype(jnp.float32)).astype(y.dtype)
+        return y

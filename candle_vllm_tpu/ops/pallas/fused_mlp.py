@@ -134,23 +134,31 @@ def _kernel(
     gu_shi_ref,      # [2*n_gu, H/g, TOH] bf16 (per-tile hi planes)
     dn_slo_ref,      # [n_dn_tiles*n_chunks, CH/g, TOH] bf16 (per-step)
     dn_shi_ref,      # [n_dn_tiles*n_chunks, CH/g, TOH] bf16
-    # HBM (manual DMA)
-    gu_q_ref,        # [2*I/TO, H, TO/2] int8
-    dn_q_ref,        # [H/TO, I, TO/2] int8
-    # outputs / scratch
-    out_ref,         # [T, H]
-    h_ref,           # [T, I] f32 scratch (intermediate activations)
-    acc_ref,         # [T, TO] f32 scratch (down accumulator)
-    gbuf,            # [2, H, TO/2] int8 gate tiles
-    ubuf,            # [2, H, TO/2] int8 up tiles
-    dbuf,            # [2, CH, TO/2] int8 down chunks
-    gsem, usem, dsem,
-    *,
+    *rest,
+    # (nw_ref [1, H] if has_norm) (res_ref [T, H] if has_res)
+    # HBM: gu_q [2*I/TO, H, TO/2] int8, dn_q [H/TO, I, TO/2] int8
+    # outputs/scratch: out_ref [T, H], h_ref [T, I] f32,
+    #   acc_ref [T, TO] f32, (xn_ref [T, H] bf16 if has_norm),
+    #   gbuf/ubuf [2, H, TO/2] int8, dbuf [2, CH, TO/2] int8, 3 dma sems
     TO: int,
     CH: int,
     n_chunks: int,
     T: int,
+    has_norm: bool = False,
+    has_res: bool = False,
+    norm_eps: float = 1e-6,
 ):
+    nw_ref = res_ref = xn_ref = None
+    rest = list(rest)
+    if has_norm:
+        nw_ref = rest.pop(0)
+    if has_res:
+        res_ref = rest.pop(0)
+    gu_q_ref, dn_q_ref, out_ref, h_ref, acc_ref = rest[:5]
+    rest = rest[5:]
+    if has_norm:
+        xn_ref = rest.pop(0)
+    gbuf, ubuf, dbuf, gsem, usem, dsem = rest
     i = pl.program_id(0)
     n_gu = n_gu_ref[0]
     n_total = pl.num_programs(0)
@@ -195,6 +203,19 @@ def _kernel(
     def _warm():
         start(0)
 
+    if has_norm:
+        # fused RMSNorm prologue (once, overlapped with the first DMA):
+        # removes the XLA post-attention-norm fusion before the MLP
+        @pl.when(i == 0)
+        def _normalize():
+            xf = x_ref[...].astype(jnp.float32)
+            rr = jax.lax.rsqrt(
+                jnp.mean(xf * xf, axis=1, keepdims=True) + norm_eps
+            )
+            xn_ref[...] = (
+                xf * rr * nw_ref[...].astype(jnp.float32)
+            ).astype(xn_ref.dtype)
+
     @pl.when(i + 1 < n_total)
     def _prefetch():
         start(i + 1)
@@ -206,7 +227,7 @@ def _kernel(
         g, u = gu_dma(slot, i)
         g.wait()
         u.wait()
-        x = x_ref[...]
+        x = xn_ref[...] if has_norm else x_ref[...]
         zero = jnp.zeros((T, TO), jnp.float32)
         gate = _w4_tile_matmul(
             x, gbuf[slot], gu_slo_ref[i].astype(jnp.float32),
@@ -237,12 +258,14 @@ def _kernel(
 
         @pl.when(chunk == n_chunks - 1)
         def _flush():
-            out_ref[:, pl.ds(tile * TO, TO)] = acc_ref[...].astype(
-                out_ref.dtype
-            )
+            r = acc_ref[...]
+            if res_ref is not None:
+                # fused residual epilogue (x + mlp_out per column tile)
+                r = r + res_ref[:, pl.ds(tile * TO, TO)].astype(jnp.float32)
+            out_ref[:, pl.ds(tile * TO, TO)] = r.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "norm_eps"))
 def fused_mlp_w4(
     x: jnp.ndarray,       # [T, H] bf16 (T <= 8)
     gu_q: jnp.ndarray,    # [2*I/TO, H, TO/2] int8
@@ -251,6 +274,9 @@ def fused_mlp_w4(
     dn_s: jnp.ndarray,    # [I/g, H]
     *,
     interpret: bool | None = None,
+    norm_w: jnp.ndarray | None = None,   # [H] fused RMSNorm prologue
+    norm_eps: float = 1e-6,
+    residual: jnp.ndarray | None = None,  # [T, H] fused epilogue add
 ) -> jnp.ndarray:
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -277,36 +303,61 @@ def fused_mlp_w4(
     Tp = max(8, T)
     if Tp != T:
         x = jnp.pad(x, ((0, Tp - T), (0, 0)))
+        if residual is not None:
+            residual = jnp.pad(residual, ((0, Tp - T), (0, 0)))
     x = x.astype(jnp.bfloat16)
+    has_norm = norm_w is not None
+    has_res = residual is not None
 
+    in_specs = [
+        pl.BlockSpec((Tp, H), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # gu_s lo
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # gu_s hi
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # dn_s lo
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # dn_s hi
+    ]
+    extra_inputs = []
+    if has_norm:
+        in_specs.append(pl.BlockSpec(
+            (1, H), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+        ))
+        extra_inputs.append(norm_w.astype(jnp.bfloat16).reshape(1, H))
+    if has_res:
+        in_specs.append(pl.BlockSpec(
+            (Tp, H), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+        ))
+        extra_inputs.append(residual)
+    in_specs += [
+        pl.BlockSpec(memory_space=pl.ANY),       # gu_q HBM
+        pl.BlockSpec(memory_space=pl.ANY),       # dn_q HBM
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((Tp, I), jnp.float32),
+        pltpu.VMEM((Tp, TO), jnp.float32),
+    ]
+    if has_norm:
+        scratch_shapes.append(pltpu.VMEM((Tp, H), jnp.bfloat16))
+    scratch_shapes += [
+        pltpu.VMEM((2, H, TOH), jnp.int8),
+        pltpu.VMEM((2, H, TOH), jnp.int8),
+        pltpu.VMEM((2, CH, TOH), jnp.int8),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_total,),
-        in_specs=[
-            pl.BlockSpec((Tp, H), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # gu_s lo
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # gu_s hi
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # dn_s lo
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # dn_s hi
-            pl.BlockSpec(memory_space=pl.ANY),       # gu_q HBM
-            pl.BlockSpec(memory_space=pl.ANY),       # dn_q HBM
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((Tp, H), lambda i, *_: (0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((Tp, I), jnp.float32),
-            pltpu.VMEM((Tp, TO), jnp.float32),
-            pltpu.VMEM((2, H, TOH), jnp.int8),
-            pltpu.VMEM((2, H, TOH), jnp.int8),
-            pltpu.VMEM((2, CH, TOH), jnp.int8),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, TO=TO, CH=CH, n_chunks=n_chunks, T=Tp),
+        functools.partial(_kernel, TO=TO, CH=CH, n_chunks=n_chunks, T=Tp,
+                          has_norm=has_norm, has_res=has_res,
+                          norm_eps=norm_eps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tp, H), x.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -328,6 +379,7 @@ def fused_mlp_w4(
           .reshape(n_chunks, CH // GROUP, n_dn_tiles, 2, TOH)
           .transpose(3, 2, 0, 1, 4)
           .reshape(2, n_dn_tiles * n_chunks, CH // GROUP, TOH)),
+        *extra_inputs,
         gu_q,
         dn_q,
     )

@@ -61,7 +61,9 @@ def _nacc(ng: int) -> int:
 
 
 def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
-            has_zoff: bool, TI: int):
+            has_zoff: bool, TI: int, has_norm: bool = False,
+            has_res: bool = False, has_rope: bool = False,
+            norm_eps: float = 1e-6):
     # w4 scales (and zoffs) arrive as SEPARATE lo/hi half-tile blocks:
     # Mosaic cannot sublane-broadcast a row sliced at a lane offset
     # < 512 (vector.broadcast "Invalid input layout" for narrow tiles),
@@ -71,9 +73,19 @@ def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
         sh_ref, *rest = rest
     z_lo_ref = z_hi_ref = None
     if has_zoff and w4:
-        z_lo_ref, z_hi_ref, out_ref, acc_ref = rest
+        z_lo_ref, z_hi_ref, *rest = rest
     elif has_zoff:
-        _, out_ref, acc_ref = rest  # int8+zoff: handled by dequant path
+        _, *rest = rest  # int8+zoff: handled by dequant path
+    nw_ref = res_ref = xn_ref = None
+    rc_ref = rs_ref = prm_ref = None
+    if has_norm:
+        nw_ref, *rest = rest
+    if has_rope:
+        rc_ref, rs_ref, prm_ref, *rest = rest
+    if has_res:
+        res_ref, *rest = rest
+    if has_norm:
+        out_ref, acc_ref, xn_ref = rest
     else:
         out_ref, acc_ref = rest
     i = pl.program_id(1)
@@ -83,8 +95,29 @@ def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    if has_norm:
+        # fused RMSNorm prologue: normalize the resident activations ONCE
+        # (first grid step) into a VMEM scratch; every later (o, i) step
+        # reads the normalized rows.  Removes the XLA norm fusion (and
+        # its ~6-9 us launch + activation round-trip) per projection —
+        # the glue between pallas calls measured ~46 us/layer of the
+        # decode step (tools/abl_r4c.py).
+        @pl.when((pl.program_id(0) == 0) & (i == 0))
+        def _normalize():
+            xf = x_ref[...].astype(jnp.float32)
+            rr = jax.lax.rsqrt(
+                jnp.mean(xf * xf, axis=1, keepdims=True) + norm_eps
+            )
+            xn_ref[...] = (
+                xf * rr * nw_ref[...].astype(jnp.float32)
+            ).astype(xn_ref.dtype)
+
+        x_src = xn_ref
+    else:
+        x_src = x_ref
+
     p = qw_ref[0]                  # [TI, TO/2] (w4) | [TI, TO] (int8)
-    x = x_ref[:, pl.ds(i * TI, TI)]   # resident activations, aligned slice
+    x = x_src[:, pl.ds(i * TI, TI)]   # resident activations, aligned slice
     T = x.shape[0]
     ng = TI // group
     NACC = _nacc(ng)
@@ -130,7 +163,10 @@ def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
 
         @pl.when(i == ni - 1)
         def _flush_a8():
-            out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+            r = acc_ref[...]
+            if res_ref is not None:
+                r = r + res_ref[...].astype(jnp.float32)
+            out_ref[...] = r.astype(out_ref.dtype)
 
         return
     if w4:
@@ -203,7 +239,24 @@ def _kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int,
 
     @pl.when(i == ni - 1)
     def _flush():
-        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+        # fused epilogues: rope rotation (qkv projections — removes the
+        # per-layer XLA apply_rope fusions, measured 23 us/layer of the
+        # decode step, tools/abl_r4c.py) and the residual add, landing
+        # here instead of in separate XLA fusions after the kernel
+        r = acc_ref[...]
+        if rc_ref is not None:
+            # rotate-half as one tiny MXU dot with the block-diagonal
+            # swap matrix P (prm_ref): rope(y) = y*c + (y@P)*s, where
+            # c=1 / s=0 columns (v rows, past-rotary dims) pass through
+            sw = jax.lax.dot_general(
+                r, prm_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            r = (r * rc_ref[...].astype(jnp.float32)
+                 + sw * rs_ref[...].astype(jnp.float32))
+        if res_ref is not None:
+            r = r + res_ref[...].astype(jnp.float32)
+        out_ref[...] = r.astype(out_ref.dtype)
 
 
 def _prefill_kernel(x_ref, qw_ref, s_ref, *rest, w4: bool, group: int):
@@ -361,7 +414,33 @@ def dequant_int8_jnp(qweight: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     return w.reshape(n_in, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("w4", "interpret"))
+@functools.lru_cache(maxsize=8)
+def _rope_swap_matrix_np(TO: int):
+    """Block-diagonal rotate-half swap: one 128-wide swap block per head
+    column group (head_dim == rotary_dim == 128 gate at the caller)."""
+    import numpy as np
+
+    P = np.zeros((TO, TO), np.float32)
+    for b in range(0, TO, 128):
+        for j in range(64):
+            P[b + 64 + j, b + j] = 1.0
+            P[b + j, b + 64 + j] = 1.0
+    return P
+
+
+def _rope_full_jnp(out, c_full, s_full):
+    """XLA twin of the kernel rope epilogue (prefill / fallback)."""
+    T, OUT = out.shape
+    z = out.astype(jnp.float32).reshape(T, OUT // 128, 128)
+    sw = jnp.concatenate([z[..., 64:], z[..., :64]], axis=-1)
+    r = (z * c_full.astype(jnp.float32).reshape(T, OUT // 128, 128)
+         + sw * s_full.astype(jnp.float32).reshape(T, OUT // 128, 128))
+    return r.reshape(T, OUT).astype(out.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w4", "interpret", "norm_eps")
+)
 def quant_matmul_pallas(
     x: jnp.ndarray,        # [T, IN] bf16/f32
     qweight: jnp.ndarray,  # [OUT/TO, IN, TO/2] int8 (w4) | [OUT/TO, IN, TO]
@@ -370,6 +449,10 @@ def quant_matmul_pallas(
     *,
     w4: bool = True,
     interpret: bool | None = None,
+    norm_w: jnp.ndarray | None = None,   # [IN] fused RMSNorm prologue
+    norm_eps: float = 1e-6,
+    residual: jnp.ndarray | None = None,  # [T, OUT] fused epilogue add
+    rope_cs: tuple | None = None,  # (c_full, s_full) [T, OUT] epilogue rope
 ) -> jnp.ndarray:
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -380,11 +463,21 @@ def quant_matmul_pallas(
     group = IN // scales.shape[0]
 
     if T > PREFILL_T_THRESHOLD:
-        # prefill: MXU-bound — dequant each weight tile once into VMEM
-        # and sweep T tiles against it (see _prefill_kernel)
-        return _quant_matmul_prefill(
+        # prefill: MXU-bound — the per-launch glue the decode fusion
+        # removes is amortized over T here, so norm/residual stay XLA ops
+        if norm_w is not None:
+            from candle_vllm_tpu.ops.norms import rms_norm
+
+            x = rms_norm(x, norm_w, norm_eps)
+        out = _quant_matmul_prefill(
             x, qweight, scales, zoffs, w4=w4, interpret=interpret
         )
+        if rope_cs is not None:
+            out = _rope_full_jnp(out, rope_cs[0], rope_cs[1])
+        if residual is not None:
+            out = (out.astype(jnp.float32)
+                   + residual.astype(jnp.float32)).astype(out.dtype)
+        return out
 
     # deepest contiguous input pass that fits VMEM; fewer grid steps
     # pipeline better (measured 916 GB/s at TI=4096, TO=512).  The scales
@@ -398,15 +491,36 @@ def quant_matmul_pallas(
         if IN % t == 0 and ((t // group) % 8 == 0 or t == IN):
             TI = t
             break
+    import os as _os
+
+    rope_post = res_post = None
+    if rope_cs is not None and (
+        TO % 128
+        or (w4 and zoffs is None and _os.environ.get("CVT_W4A8") == "1")
+    ):
+        # shapes/paths the kernel epilogue can't rotate: rope (and the
+        # residual, which must follow it) move after the kernel
+        rope_post, rope_cs = rope_cs, None
+        res_post, residual = residual, None
+
     Tp = max(8, T)
     if Tp != T:
         x = jnp.pad(x, ((0, Tp - T), (0, 0)))
+        if residual is not None:
+            residual = jnp.pad(residual, ((0, Tp - T), (0, 0)))
+        if rope_cs is not None:
+            rope_cs = tuple(
+                jnp.pad(r, ((0, Tp - T), (0, 0))) for r in rope_cs
+            )
     out_dtype = x.dtype
     x = x.astype(jnp.bfloat16)
 
     TOH = TO // 2 if w4 else TO
     grid = (n_tiles, IN // TI)
     has_zoff = zoffs is not None
+    has_norm = norm_w is not None
+    has_res = residual is not None
+    has_rope = rope_cs is not None
     scale_spec = pl.BlockSpec(
         (TI // group, TOH), lambda o, i: (i, o), memory_space=pltpu.VMEM
     )
@@ -443,16 +557,42 @@ def quant_matmul_pallas(
         else:
             inputs.append(zoffs.astype(jnp.bfloat16))
             in_specs.append(in_specs[2])
+    if has_norm:
+        inputs.append(norm_w.astype(jnp.bfloat16).reshape(1, IN))
+        in_specs.append(pl.BlockSpec(
+            (1, IN), lambda o, i: (0, 0), memory_space=pltpu.VMEM
+        ))
+    if has_rope:
+        out_block = pl.BlockSpec(
+            (Tp, TO), lambda o, i: (0, o), memory_space=pltpu.VMEM
+        )
+        inputs += [
+            rope_cs[0].astype(jnp.float32),
+            rope_cs[1].astype(jnp.float32),
+            jnp.asarray(_rope_swap_matrix_np(TO)),
+        ]
+        in_specs += [out_block, out_block, pl.BlockSpec(
+            (TO, TO), lambda o, i: (0, 0), memory_space=pltpu.VMEM
+        )]
+    if has_res:
+        inputs.append(residual)
+        in_specs.append(pl.BlockSpec(
+            (Tp, TO), lambda o, i: (0, o), memory_space=pltpu.VMEM
+        ))
+    scratch_shapes = [pltpu.VMEM((Tp, TO), jnp.float32)]
+    if has_norm:
+        scratch_shapes.append(pltpu.VMEM((Tp, IN), jnp.bfloat16))
     out = pl.pallas_call(
         functools.partial(_kernel, w4=w4, group=group, has_zoff=has_zoff,
-                          TI=TI),
+                          TI=TI, has_norm=has_norm, has_res=has_res,
+                          has_rope=has_rope, norm_eps=norm_eps),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (Tp, TO), lambda o, i: (0, o), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((Tp, OUT), out_dtype),
-        scratch_shapes=[pltpu.VMEM((Tp, TO), jnp.float32)],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             # wide tiles (CVT_TILE_OUT=2048: 8MB qweight blocks, double
@@ -461,4 +601,10 @@ def quant_matmul_pallas(
         ),
         interpret=interpret,
     )(*inputs)
-    return out[:T]
+    out = out[:T]
+    if rope_post is not None:
+        out = _rope_full_jnp(out, rope_post[0][:T], rope_post[1][:T])
+        if res_post is not None:
+            out = (out.astype(jnp.float32)
+                   + res_post[:T].astype(jnp.float32)).astype(out.dtype)
+    return out

@@ -805,15 +805,40 @@ def dequantize(params: Params, prefix: str) -> jnp.ndarray:
     return w
 
 
-def quantized_matmul(x: jnp.ndarray, params: Params, prefix: str) -> jnp.ndarray:
-    """x @ dequant(W): Pallas fused kernel on TPU, jnp dequant elsewhere."""
+def quantized_matmul(
+    x: jnp.ndarray, params: Params, prefix: str,
+    norm_w: Optional[jnp.ndarray] = None, norm_eps: float = 1e-6,
+    residual: Optional[jnp.ndarray] = None,
+    rope_cs: Optional[tuple] = None,
+) -> jnp.ndarray:
+    """x @ dequant(W): Pallas fused kernel on TPU, jnp dequant elsewhere.
+
+    ``norm_w``/``residual``/``rope_cs`` fuse the RMSNorm prologue /
+    residual-add epilogue / full-width rope rotation INTO the decode
+    kernel — the inter-op XLA glue (one fusion launch + activation
+    round-trip each, apply_rope alone 23 us/layer) measured ~46 us/layer
+    of the decode step (tools/abl_r4c.py)."""
     if jax.default_backend() == "tpu":
         from candle_vllm_tpu.ops.pallas.quant_matmul import quant_matmul_pallas
 
         qw = params[f"{prefix}.qweight"]
         s = params[f"{prefix}.scales"]
         return quant_matmul_pallas(
-            x, qw, s, params.get(f"{prefix}.qzeros"), w4=_is_w4(qw, s)
+            x, qw, s, params.get(f"{prefix}.qzeros"), w4=_is_w4(qw, s),
+            norm_w=norm_w, norm_eps=norm_eps, residual=residual,
+            rope_cs=rope_cs,
         )
+    if norm_w is not None:
+        from candle_vllm_tpu.ops.norms import rms_norm
+
+        x = rms_norm(x, norm_w, norm_eps)
     w = dequantize(params, prefix)
-    return jnp.dot(x, w.astype(x.dtype))
+    y = jnp.dot(x, w.astype(x.dtype))
+    if rope_cs is not None:
+        from candle_vllm_tpu.ops.pallas.quant_matmul import _rope_full_jnp
+
+        y = _rope_full_jnp(y, rope_cs[0], rope_cs[1])
+    if residual is not None:
+        y = (y.astype(jnp.float32)
+             + residual.astype(jnp.float32)).astype(y.dtype)
+    return y
