@@ -30,9 +30,35 @@ import numpy as np
 
 CONFIGS = {
     # name: (hidden, inter, layers, heads, kv_heads, head_dim, vocab,
-    #        quant, baseline_tok_s)
+    #        quant, baseline_tok_s[, extra ModelConfig kwargs])
+    # baselines: reference README.md:88-104 (Hopper 80G, 1 req) — note
+    # Hopper has 3.35 TB/s HBM vs v5e 0.82; sol_fraction is the
+    # per-chip-fair number, vs_baseline the absolute one.
     "8b_w4a16": (4096, 14336, 32, 32, 8, 128, 128256, "w4a16", 171.0),
     "1p6b_bf16": (2048, 8192, 24, 16, 8, 128, 32768, None, 119.0),
+    # Mistral 7B Marlin (README.md:89: 190): llama arch, 32k vocab
+    "mistral7b_w4a16": (4096, 14336, 32, 32, 8, 128, 32768, "w4a16",
+                        190.0),
+    # Qwen3 8B Q4K (README.md:91: 154): qk-norm (disables the fused
+    # rope epilogue), 151k vocab
+    "qwen3_8b_w4a16": (4096, 12288, 36, 32, 8, 128, 151936, "w4a16",
+                       154.0,
+                       {"architecture": "Qwen3ForCausalLM",
+                        "use_qk_norm": True}),
+    # Gemma2 9B Marlin (README.md:98: 130): sandwich norms, softcap,
+    # head_dim 256, 256k vocab
+    "gemma2_9b_w4a16": (3584, 14336, 42, 16, 8, 256, 256000, "w4a16",
+                        130.0,
+                        {"architecture": "Gemma2ForCausalLM",
+                         "attn_logit_softcapping": 30.0,
+                         "logit_softcapping": 30.0,
+                         "query_pre_attn_scalar": 256,
+                         "sandwich_norms": True,
+                         "norm_unit_offset": True,
+                         "scale_embeddings": True,
+                         "sliding_window": 4096,
+                         "sliding_window_pattern": 2,
+                         "hidden_act": "gelu_pytorch_tanh"}),
 }
 
 
@@ -76,8 +102,10 @@ def main() -> None:
     from candle_vllm_tpu.models.types import StepInput
     from candle_vllm_tpu.ops.kv_cache import INVALID_SLOT, allocate_kv_pages
 
-    hidden, inter, layers, heads, kv_heads, head_dim, vocab, quant, baseline = \
-        CONFIGS[args.config]
+    spec = CONFIGS[args.config]
+    hidden, inter, layers, heads, kv_heads, head_dim, vocab, quant, \
+        baseline = spec[:9]
+    extra = spec[9] if len(spec) > 9 else {}
     PAGE = args.page_size
     CTX = args.ctx
     DECODE_STEPS = args.decode_steps
@@ -92,6 +120,7 @@ def main() -> None:
         vocab_size=vocab,
         max_model_len=4096,
         dtype=jnp.bfloat16,
+        **extra,
     )
     model = get_model(cfg)
     if quant:
