@@ -1,29 +1,43 @@
-"""Benchmark: single-request decode tok/s on the real TPU chip.
+"""Benchmark: decode tok/s on the real TPU chip (single-request + aggregate).
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 Default config is the north-star metric (BASELINE.json): an 8B-class
-W4A16 model (4-bit fused dequant+matmul Pallas kernels, int8 lm_head),
-1k-token context, single-request greedy decode.  ``--config 1p6b_bf16``
-benches the bf16 dense path instead.
+W4A16 model (4-bit fused dequant+matmul Pallas kernels, w4 lm_head),
+**4k-token context / 1k-class output** — matching the reference's
+headline config (README.md:88: "input 4k, output 1k"; rounds 1-4
+measured at 1k ctx, VERDICT r4 weak #1) — single-request greedy decode,
+plus an 8-way continuous-batching aggregate window (VERDICT r4 weak #2).
 
 Methodology (see .claude/skills/verify/SKILL.md — the axon tunnel's
-block_until_ready returns early): the decode loop runs entirely on-device
-(lax.fori_loop feeding each sampled token into the next step's paged
-forward — the TPU analogue of the reference's CUDA-graph decode replay,
-backend/graph.rs), and wall-clock is measured by differencing two loop
-lengths with forced host fetches.
+block_until_ready returns early):
+
+* kernel path: the decode loop runs entirely on-device (lax.fori_loop
+  feeding each sampled token into the next step's paged forward — the
+  TPU analogue of the reference's CUDA-graph decode replay,
+  backend/graph.rs), and wall-clock is measured by differencing two
+  loop lengths with forced host fetches.
+* engine path, rate model: serving throughput at K=8 micro-steps per
+  dispatch, tok_per_call / max(device_call, host_call) — the pipelined
+  engine overlaps host+RTT with device compute, so the tunnel wall
+  clock cannot see device time at K=8.
+* engine path, WALL CLOCK (VERDICT r4 weak #4): the same engine runs a
+  K=64 dispatch variant (per-request decode_steps raises device time to
+  ~0.5 s/call >> RTT), and two call-count windows are differenced with
+  the host-fetch at each step() — a direct wall-clock engine rate that
+  needs no model of the tunnel.
 
 vs_baseline compares against the reference's matching headline number
-(README.md:88: LLaMa-8B Marlin W4A16 171 tok/s, BF16 119 tok/s on
-Hopper 80G) — raw tok/s ratio; notes carry the chip's speed-of-light
-context (weight bytes / HBM bandwidth).
+(README.md:88: LLaMa-8B Marlin W4A16 171 tok/s @ input 4k / output 1k,
+BF16 119 tok/s on Hopper 80G) — raw tok/s ratio; notes carry the chip's
+speed-of-light context (weight bytes + ctx KV bytes / HBM bandwidth).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -36,6 +50,9 @@ CONFIGS = {
     # per-chip-fair number, vs_baseline the absolute one.
     "8b_w4a16": (4096, 14336, 32, 32, 8, 128, 128256, "w4a16", 171.0),
     "1p6b_bf16": (2048, 8192, 24, 16, 8, 128, 32768, None, 119.0),
+    # CPU smoke-test config (PALLAS_AXON_POOL_IPS= python bench.py
+    # --config tiny_bf16 --ctx 128 ...) — not a reported metric
+    "tiny_bf16": (256, 512, 2, 4, 2, 64, 1024, None, 119.0),
     # Mistral 7B Marlin (README.md:89: 190): llama arch, 32k vocab
     "mistral7b_w4a16": (4096, 14336, 32, 32, 8, 128, 32768, "w4a16",
                         190.0),
@@ -75,23 +92,35 @@ def init_quantized_params(model, method, key):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="8b_w4a16", choices=sorted(CONFIGS))
-    ap.add_argument("--ctx", type=int, default=1024)
+    ap.add_argument("--ctx", type=int, default=4096,
+                    help="prompt length; the baseline metric is 4k in / "
+                         "1k out (reference README.md:88)")
     ap.add_argument("--decode-steps", type=int, default=256)
     ap.add_argument("--engine-steps", type=int, default=128)
     ap.add_argument("--skip-engine", action="store_true")
     ap.add_argument("--skip-kernel", action="store_true",
                     help="skip the device-loop kernel-path timing")
+    ap.add_argument("--kv-dtype", default="auto",
+                    choices=["auto", "fp8", "int8", "int4", "turbo3"],
+                    help="engine KV-cache tier (auto = model dtype bf16). "
+                         "Quantized tiers run engine-only (the raw kernel "
+                         "loop allocates bf16 pages); the wall-clock K=64 "
+                         "engine window carries the number")
     ap.add_argument("--block-size", type=int, default=128,
                     help="engine KV block size (TPU page DMA wants >=128; "
                          "16-token vLLM-style blocks cost ~30%% decode)")
     ap.add_argument("--page-size", type=int, default=128,
                     help="kernel-path KV page size (attention DMA "
                          "granularity sweep)")
-    ap.add_argument("--concurrency", type=int, default=0,
+    ap.add_argument("--concurrency", type=int, default=8,
                     help="also measure AGGREGATE decode tok/s with N "
                          "concurrent requests (N<=8 shares the single-"
                          "request T=8 decode bucket, so the weight "
-                         "stream amortizes N ways)")
+                         "stream amortizes N ways); 0 disables")
+    ap.add_argument("--wallclock-steps", type=int, default=64,
+                    help="micro-steps per dispatch for the wall-clock "
+                         "engine window (device time/call >> tunnel RTT "
+                         "makes the rate directly visible); 0 disables")
     args = ap.parse_args()
 
     import jax
@@ -109,6 +138,12 @@ def main() -> None:
     PAGE = args.page_size
     CTX = args.ctx
     DECODE_STEPS = args.decode_steps
+    WC = args.wallclock_steps
+    # model length: ctx + room for every decode window (serving 640,
+    # wall-clock 2 reps x 10 calls x WC, reservation slack)
+    decode_budget = max(3 * args.engine_steps + 256,
+                        (2 + 20) * WC + WC, DECODE_STEPS + 512)
+    mml = -(-(CTX + decode_budget) // 1024) * 1024
     cfg = ModelConfig(
         architecture="LlamaForCausalLM",
         hidden_size=hidden,
@@ -118,7 +153,7 @@ def main() -> None:
         num_key_value_heads=kv_heads,
         head_dim=head_dim,
         vocab_size=vocab,
-        max_model_len=4096,
+        max_model_len=mml,
         dtype=jnp.bfloat16,
         **extra,
     )
@@ -127,11 +162,6 @@ def main() -> None:
         params = init_quantized_params(model, quant, jax.random.PRNGKey(0))
     else:
         params = model.init_params(seed=0)
-    n_pages = cfg.max_model_len // PAGE
-    kv_pages = allocate_kv_pages(
-        cfg.num_hidden_layers, n_pages + 2, PAGE, cfg.num_key_value_heads,
-        cfg.head_dim, dtype=cfg.dtype, pad_head_dim_to=128,
-    )
     param_bytes = sum(
         int(np.prod(p.shape)) * p.dtype.itemsize for p in params.values()
     )
@@ -139,38 +169,51 @@ def main() -> None:
     stream_bytes = param_bytes - int(
         np.prod(params["model.embed_tokens.weight"].shape)
     ) * 2
+    # KV bytes the decode attention streams per token at this context
+    # (the part of the step that GROWS with ctx — at 4k it is ~0.5 GB
+    # and no longer hidden behind the weight stream)
+    from candle_vllm_tpu.config import CacheConfig
 
-    maxp = n_pages
-    page_table = np.arange(1, maxp + 1, dtype=np.int32)[None, :]
+    kv_tok_bytes = CacheConfig.kv_bytes_per_token(cfg, args.kv_dtype)
+    kv_stream_bytes = kv_tok_bytes * CTX
+
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, cfg.vocab_size, size=CTX).astype(np.int32)
 
-    # ---- prefill (one chunk) --------------------------------------------
-    S = 8
-    pt = np.zeros((S, maxp), np.int32)
-    pt[0] = page_table[0]
-    positions = np.arange(CTX, dtype=np.int32)
-    slot = page_table[0, positions // PAGE] * PAGE + positions % PAGE
-    cu = np.zeros(S + 1, np.int32)
-    cu[1:] = CTX
-    kv_lens = np.zeros(S, np.int32)
-    kv_lens[0] = CTX
-    prefill_step = StepInput(
-        token_ids=jnp.asarray(prompt),
-        positions=jnp.asarray(positions),
-        slot_mapping=jnp.asarray(slot),
-        kv_lens=jnp.asarray(kv_lens),
-        page_tables=jnp.asarray(pt),
-        cu_q_lens=jnp.asarray(cu),
-        logits_idx=jnp.full(S, CTX - 1, dtype=jnp.int32),
-    )
-    fwd = jax.jit(model.forward, donate_argnums=(1,))
-    logits, kv_pages = fwd(params, kv_pages, prefill_step)
-    first_tok = int(np.asarray(jnp.argmax(logits[0])))
     ttft = toks_per_s = None
-    kv_warm = logits2 = None
+    if not args.skip_kernel and args.kv_dtype == "auto":
+        n_pages = -(-(CTX + DECODE_STEPS + 32) // PAGE)
+        pad = 128 if jax.default_backend() == "tpu" else 1
+        kv_pages = allocate_kv_pages(
+            cfg.num_hidden_layers, n_pages + 2, PAGE, cfg.num_key_value_heads,
+            cfg.head_dim, dtype=cfg.dtype, pad_head_dim_to=pad,
+        )
+        maxp = n_pages
+        page_table = np.arange(1, maxp + 1, dtype=np.int32)[None, :]
 
-    if not args.skip_kernel:
+        # ---- prefill (one chunk) ----------------------------------------
+        S = 8
+        pt = np.zeros((S, maxp), np.int32)
+        pt[0] = page_table[0]
+        positions = np.arange(CTX, dtype=np.int32)
+        slot = page_table[0, positions // PAGE] * PAGE + positions % PAGE
+        cu = np.zeros(S + 1, np.int32)
+        cu[1:] = CTX
+        kv_lens = np.zeros(S, np.int32)
+        kv_lens[0] = CTX
+        prefill_step = StepInput(
+            token_ids=jnp.asarray(prompt),
+            positions=jnp.asarray(positions),
+            slot_mapping=jnp.asarray(slot),
+            kv_lens=jnp.asarray(kv_lens),
+            page_tables=jnp.asarray(pt),
+            cu_q_lens=jnp.asarray(cu),
+            logits_idx=jnp.full(S, CTX - 1, dtype=jnp.int32),
+        )
+        fwd = jax.jit(model.forward, donate_argnums=(1,))
+        logits, kv_pages = fwd(params, kv_pages, prefill_step)
+        first_tok = int(np.asarray(jnp.argmax(logits[0])))
+
         # TTFT via loop differencing (a single dispatch+fetch through the
         # axon tunnel carries ~0.8 s of round-trip that a co-located host
         # doesn't pay; see .claude/skills/verify/SKILL.md)
@@ -195,7 +238,7 @@ def main() -> None:
         logits2, kv_pages = fwd(params, kv_pages, prefill_step)
         _ = np.asarray(logits2[0, 0])
 
-        # ---- device-resident greedy decode loop -----------------------------
+        # ---- device-resident greedy decode loop -------------------------
         pt_j = jnp.asarray(pt)
 
         def decode_loop(params, kv_pages, tok0, start_pos, n):
@@ -246,31 +289,41 @@ def main() -> None:
 
         dt = max(d_long - d_short, 1e-9) / DECODE_STEPS
         toks_per_s = 1.0 / dt
+        del kv_pages, kv_warm, logits, logits2  # free HBM for engine KV
+    elif not args.skip_kernel:
+        print(f"[bench] kv-dtype={args.kv_dtype}: raw kernel loop is "
+              "bf16-paged; engine wall-clock carries the number",
+              file=sys.stderr)
 
     # ---- engine-path decode (what serving users actually get) -----------
     # Drives LLMEngine.step(): scheduler + input build + jitted step +
     # host token fetch per step (reference harness: examples/benchmark.py
     # measures the same serving path).
     engine_tok_s = engine_ttft_ms = engine_ttft_cold_ms = agg_tok_s = None
+    wallclock_tok_s = None
+    rates = host_ms = None
     if not args.skip_engine:
-        del kv_pages, kv_warm, logits, logits2  # free HBM for engine KV
-        from candle_vllm_tpu.config import CacheConfig, SchedulerConfig
+        from candle_vllm_tpu.config import SchedulerConfig
         from candle_vllm_tpu.engine.llm_engine import LLMEngine
         from candle_vllm_tpu.sampling_params import SamplingParams
 
         bs = args.block_size
-        n_blocks = (CTX + args.engine_steps + 256) // bs + 8
-        if args.concurrency:
-            n_blocks *= args.concurrency + 1
+        per_agg = (CTX + 3 * args.engine_steps + 320) // bs + 2
+        n_blocks = max(args.concurrency * per_agg, mml // bs + 6) \
+            + mml // bs + 8
         eng = LLMEngine(
             cfg,
             CacheConfig(block_size=bs, num_gpu_blocks=n_blocks,
-                        num_cpu_blocks=0),
-            SchedulerConfig(max_model_len=cfg.max_model_len,
-                            enable_prefix_caching=False),
+                        num_cpu_blocks=0, kv_cache_dtype=args.kv_dtype),
+            SchedulerConfig(max_model_len=mml,
+                            enable_prefix_caching=False,
+                            decode_steps=max(WC, 8)),
             params=params,
         )
+        # serving requests run the production K=8 dispatch; the scheduler's
+        # K only sets the ceiling (wall-clock request raises to K=WC)
         sp = SamplingParams(temperature=0.0, ignore_eos=True,
+                            decode_steps=8,
                             max_tokens=3 * args.engine_steps + 256)
         eng.add_request("bench", prompt_token_ids=list(prompt), sampling_params=sp)
         # measure the tunnel round-trip so the serving numbers can be
@@ -298,11 +351,12 @@ def main() -> None:
         # therefore measures max(host, rtt) per call and cannot see the
         # device time at all once rtt > device_step.  The co-located
         # serving rate is tokens_per_call / max(device_call, host_call):
-        # device_call from the device-resident kernel loop above,
+        # device_call from the device-resident kernel loop above (or the
+        # K=64 wall-clock window below when the kernel loop is skipped),
         # host_call = wall/call - rtt (the only part a co-located host
         # would keep).  Both components are reported for audit.
-        rates = []
-        host_ms = []
+        rates = []          # (tokens_per_call, host_call) pairs, resolved
+        host_ms = []        # after the wall-clock window provides a rate
         for _rep in range(3):
             n0 = seq.get_output_len()
             n_calls = 0
@@ -318,15 +372,65 @@ def main() -> None:
             tokens_per_call = produced / max(n_calls, 1)
             host_call = max(d_eng / max(n_calls, 1) - rtt, 1e-9)
             host_ms.append(host_call * 1e3)
-            device_call = (
-                tokens_per_call / toks_per_s if toks_per_s else 0.0
-            )
-            rates.append(tokens_per_call / max(device_call, host_call))
-        engine_tok_s = sorted(rates)[1]
+            rates.append((tokens_per_call, host_call))
         eng.abort_request("bench")
         eng.step()  # flush any in-flight pipelined dispatch
         while eng.has_unfinished_requests():
             eng.step()
+
+        # ---- wall-clock engine window (K=WC micro-steps/dispatch) ------
+        # Device time per call (~WC x 7.5 ms) dwarfs the tunnel RTT and
+        # the host work, so differencing two call-count windows measures
+        # the true serving rate directly — no rate model, no RTT
+        # adjustment (VERDICT r4 weak #4).  Every step() ends in a host
+        # fetch of the sampled tokens (CLAUDE.md tunnel-timing rule).
+        if WC:
+            sp_wc = SamplingParams(temperature=0.0, ignore_eos=True,
+                                   decode_steps=WC,
+                                   max_tokens=23 * WC)
+            eng.add_request("wc", prompt_token_ids=list(prompt),
+                            sampling_params=sp_wc)
+            eng.step()  # prefill (bucket already compiled)
+            wseq = eng._groups["wc"].get_seqs()[0]
+            for _ in range(2):  # compile + warm the K=WC dispatch
+                eng.step()
+            wc_rates = []
+            for _rep in range(2):
+                n0 = wseq.get_output_len()
+                t0 = time.time()
+                for _ in range(2):
+                    eng.step()
+                d_short = time.time() - t0
+                tok_short = wseq.get_output_len() - n0
+                t0 = time.time()
+                for _ in range(8):
+                    eng.step()
+                d_long = time.time() - t0
+                tok_long = wseq.get_output_len() - n0 - tok_short
+                if tok_long > tok_short and d_long > d_short:
+                    wc_rates.append(
+                        (tok_long - tok_short) / (d_long - d_short)
+                    )
+            if wc_rates:
+                wallclock_tok_s = max(wc_rates)
+            eng.abort_request("wc")
+            eng.step()
+            while eng.has_unfinished_requests():
+                eng.step()
+
+        # resolve the K=8 serving rate model: device_call from the kernel
+        # loop, falling back to the wall-clock window for quantized-KV
+        # runs where the bf16 kernel loop is skipped
+        device_rate = toks_per_s or wallclock_tok_s
+        resolved = []
+        for tokens_per_call, host_call in rates:
+            device_call = (
+                tokens_per_call / device_rate if device_rate else 0.0
+            )
+            resolved.append(tokens_per_call / max(device_call, host_call))
+        rates = resolved
+        engine_tok_s = sorted(rates)[1] if rates else None
+
         # warm TTFT: a second same-shape prompt hits compiled buckets —
         # what a production request actually sees after --warmup
         # (reference TTFT numbers are warm: examples/benchmark.py)
@@ -344,7 +448,8 @@ def main() -> None:
         # ---- aggregate throughput at N concurrent requests ----------
         # N <= 8 requests share ONE T=8 decode dispatch (the same bucket
         # the single request pads), so device time/step is ~unchanged
-        # and the weight stream amortizes N ways.
+        # and the weight stream amortizes N ways — continuous batching is
+        # the framework's actual value proposition (VERDICT r4 weak #2).
         agg_tok_s = None
         if args.concurrency:
             N = args.concurrency
@@ -379,7 +484,7 @@ def main() -> None:
                 # loop timed, so device_call = per-seq tokens / kernel
                 # rate
                 device_call = (
-                    (per_call / N) / toks_per_s if toks_per_s else 0.0
+                    (per_call / N) / device_rate if device_rate else 0.0
                 )
                 agg_rates.append(per_call / max(device_call, host_call))
             agg_tok_s = sorted(agg_rates)[1]
@@ -387,10 +492,13 @@ def main() -> None:
                 eng.abort_request(f"agg{r}")
 
     hbm_bw = 819e9  # v5e
-    sol_toks = hbm_bw / stream_bytes
-    headline = toks_per_s if toks_per_s is not None else (engine_tok_s or 0.0)
+    sol_toks = hbm_bw / (stream_bytes + kv_stream_bytes)
+    headline = toks_per_s if toks_per_s is not None else (
+        wallclock_tok_s if wallclock_tok_s is not None else (engine_tok_s or 0.0)
+    )
+    kv_tag = "" if args.kv_dtype == "auto" else f"_{args.kv_dtype}kv"
     result = {
-        "metric": f"decode_tok_s_1req_{args.config}_{CTX//1024}k_ctx",
+        "metric": f"decode_tok_s_1req_{args.config}_{CTX//1024}k_ctx{kv_tag}",
         "value": round(headline, 2),
         "unit": "tok/s",
         "vs_baseline": round(headline / baseline, 3),
@@ -398,16 +506,23 @@ def main() -> None:
             "sol_tok_s_v5e": round(sol_toks, 1),
             "sol_fraction": round(headline / sol_toks, 3),
             "stream_bytes": stream_bytes,
+            "kv_stream_bytes_at_ctx": kv_stream_bytes,
             "param_bytes": param_bytes,
-            "ttft_ms_1k_prompt": round(ttft * 1e3, 1) if ttft else None,
+            "ttft_ms_prompt": round(ttft * 1e3, 1) if ttft else None,
+            "ctx": CTX,
+            "kv_dtype": args.kv_dtype,
             "engine_decode_tok_s": round(engine_tok_s, 2) if engine_tok_s else None,
+            "engine_wallclock_tok_s": round(wallclock_tok_s, 2)
+            if wallclock_tok_s else None,
+            "engine_wallclock_steps": WC or None,
             "engine_decode_runs": [round(r, 2) for r in rates]
-            if not args.skip_engine else None,
+            if rates else None,
             "engine_host_ms_per_dispatch": [round(h, 1) for h in host_ms]
-            if not args.skip_engine else None,
+            if host_ms else None,
             "engine_rate_model": "tok_per_call/max(device_call,host_call); "
-            "device from kernel loop, host=wall/call-RTT (pipelined decode "
-            "overlaps device with host+RTT)"
+            "device from kernel loop (or K=64 wall-clock window), "
+            "host=wall/call-RTT (pipelined decode overlaps device with "
+            "host+RTT); engine_wallclock_tok_s is the model-free check"
             if not args.skip_engine else None,
             "engine_agg_tok_s": round(agg_tok_s, 1) if agg_tok_s else None,
             "engine_agg_concurrency": args.concurrency or None,
