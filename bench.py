@@ -117,7 +117,7 @@ def main() -> None:
                          "concurrent requests (N<=8 shares the single-"
                          "request T=8 decode bucket, so the weight "
                          "stream amortizes N ways); 0 disables")
-    ap.add_argument("--wallclock-steps", type=int, default=64,
+    ap.add_argument("--wallclock-steps", type=int, default=128,
                     help="micro-steps per dispatch for the wall-clock "
                          "engine window (device time/call >> tunnel RTT "
                          "makes the rate directly visible); 0 disables")
@@ -142,7 +142,7 @@ def main() -> None:
     # model length: ctx + room for every decode window (serving 640,
     # wall-clock 2 reps x 10 calls x WC, reservation slack)
     decode_budget = max(3 * args.engine_steps + 256,
-                        (2 + 20) * WC + WC, DECODE_STEPS + 512)
+                        (2 + 24) * WC + WC, DECODE_STEPS + 512)
     mml = -(-(CTX + decode_budget) // 1024) * 1024
     cfg = ModelConfig(
         architecture="LlamaForCausalLM",
@@ -300,7 +300,7 @@ def main() -> None:
     # host token fetch per step (reference harness: examples/benchmark.py
     # measures the same serving path).
     engine_tok_s = engine_ttft_ms = engine_ttft_cold_ms = agg_tok_s = None
-    wallclock_tok_s = None
+    wallclock_tok_s = wallclock_adj_tok_s = None
     rates = host_ms = None
     if not args.skip_engine:
         from candle_vllm_tpu.config import SchedulerConfig
@@ -387,7 +387,7 @@ def main() -> None:
         if WC:
             sp_wc = SamplingParams(temperature=0.0, ignore_eos=True,
                                    decode_steps=WC,
-                                   max_tokens=23 * WC)
+                                   max_tokens=26 * WC)
             eng.add_request("wc", prompt_token_ids=list(prompt),
                             sampling_params=sp_wc)
             eng.step()  # prefill (bucket already compiled)
@@ -395,6 +395,7 @@ def main() -> None:
             for _ in range(2):  # compile + warm the K=WC dispatch
                 eng.step()
             wc_rates = []
+            wc_adj = []
             for _rep in range(2):
                 n0 = wseq.get_output_len()
                 t0 = time.time()
@@ -411,8 +412,18 @@ def main() -> None:
                     wc_rates.append(
                         (tok_long - tok_short) / (d_long - d_short)
                     )
+                    # each call's fetch pays ONE tunnel RTT a co-located
+                    # host would not (the [K,2,S] token fetch is
+                    # latency-bound); subtracting it is the only
+                    # model-dependent term left
+                    per_call = (d_long - d_short) / 6
+                    tok_call = (tok_long - tok_short) / 6
+                    wc_adj.append(
+                        tok_call / max(per_call - rtt, 1e-9)
+                    )
             if wc_rates:
                 wallclock_tok_s = max(wc_rates)
+                wallclock_adj_tok_s = max(wc_adj)
             eng.abort_request("wc")
             eng.step()
             while eng.has_unfinished_requests():
@@ -421,7 +432,7 @@ def main() -> None:
         # resolve the K=8 serving rate model: device_call from the kernel
         # loop, falling back to the wall-clock window for quantized-KV
         # runs where the bf16 kernel loop is skipped
-        device_rate = toks_per_s or wallclock_tok_s
+        device_rate = toks_per_s or wallclock_adj_tok_s or wallclock_tok_s
         resolved = []
         for tokens_per_call, host_call in rates:
             device_call = (
@@ -514,6 +525,8 @@ def main() -> None:
             "engine_decode_tok_s": round(engine_tok_s, 2) if engine_tok_s else None,
             "engine_wallclock_tok_s": round(wallclock_tok_s, 2)
             if wallclock_tok_s else None,
+            "engine_wallclock_rtt_adj_tok_s": round(wallclock_adj_tok_s, 2)
+            if wallclock_adj_tok_s else None,
             "engine_wallclock_steps": WC or None,
             "engine_decode_runs": [round(r, 2) for r in rates]
             if rates else None,

@@ -12,6 +12,7 @@ checkpoints stay ~4-bit end-to-end.
 from __future__ import annotations
 
 import os
+import re
 import struct
 from typing import Any, BinaryIO, Dict, Iterator, List, Optional, Tuple
 
@@ -107,6 +108,23 @@ class GGUFFile:
             base = (base + align - 1) // align * align
             for name, dims, ttype, offset in infos:
                 self.tensors[name] = (dims, ttype, base + offset, path)
+
+    def read_raw(self, name: str) -> Tuple[List[int], int, bytes]:
+        """(dims ggml-order, ggml_type, raw block bytes) — the native
+        bits, for format-preserving conversion (convert_q4k_tensor)."""
+        dims, ttype, offset, shard = self.tensors[name]
+        n = int(np.prod(dims))
+        per = {
+            GGML_F32: (1, 4), GGML_F16: (1, 2),
+            GGML_Q4_0: (32, 18), GGML_Q4_1: (32, 20),
+            GGML_Q5_0: (32, 22), GGML_Q5_1: (32, 24), GGML_Q8_0: (32, 34),
+            GGML_Q2_K: (256, 84), GGML_Q3_K: (256, 110),
+            GGML_Q4_K: (256, 144), GGML_Q5_K: (256, 176),
+            GGML_Q6_K: (256, 210),
+        }[ttype]
+        with open(shard, "rb") as f:
+            f.seek(offset)
+            return self.tensors[name][0], ttype, f.read(n // per[0] * per[1])
 
     def read_tensor(self, name: str) -> np.ndarray:
         """Dequantized tensor, numpy shape = reversed ggml dims
@@ -369,6 +387,250 @@ def _dequant_q6_k(buf: bytes, n: int) -> np.ndarray:
             out[:, e1 : e1 + 32] = q1 * s1
             out[:, e3 : e3 + 32] = q3 * s3
     return out.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# K-quant ENCODERS (f32 -> ggml block bytes).  Used by converter tooling
+# and the quantization quality gate (tools/quant_quality.py) to bound the
+# gguf->w4a16 re-quantization chain: the reference executes Q4K blocks
+# natively (QLinear over ggml types, src/openai/models/linear.rs:417)
+# while this repo re-quantizes them into the fused W4A16 kernel layout,
+# so the double-quantization error must be measured, not assumed.  The
+# fits are plain minmax/absmax; ggml's rmse search would only tighten
+# them, so a gate that passes here is conservative.
+# ---------------------------------------------------------------------------
+
+
+def encode_q4_k(x: np.ndarray) -> bytes:
+    """f32 [n] (n % 256 == 0) -> Q4_K blocks (144 bytes / 256 elems):
+    per 32-elem sub-block an unsigned 4-bit grid  d*ls*q - dmin*lm  with
+    6-bit sub-scales ls/lm against per-block f16 d/dmin (the exact
+    layout _dequant_q4_k / _unpack_q4k_scales read back)."""
+    n = x.size
+    assert n % 256 == 0, "q4_k needs 256-element super-blocks"
+    xb = np.asarray(x, np.float32).reshape(-1, 8, 32)
+    nb = xb.shape[0]
+    m = np.maximum(-xb.min(-1), 0.0)            # [nb, 8] sub-block offsets
+    s = np.maximum(xb.max(-1) + m, 0.0) / 15.0  # [nb, 8] sub-block scales
+    # quantize q against the f16-rounded super-scales the decoder will use
+    d = (s.max(-1) / 63.0).astype(np.float16).astype(np.float32)    # [nb]
+    dmin = (m.max(-1) / 63.0).astype(np.float16).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ls = np.where(d[:, None] > 0, np.rint(s / d[:, None]), 0)
+        lm = np.where(dmin[:, None] > 0, np.rint(m / dmin[:, None]), 0)
+    ls = np.clip(ls, 0, 63).astype(np.uint8)
+    lm = np.clip(lm, 0, 63).astype(np.uint8)
+    eff_s = d[:, None] * ls                     # [nb, 8] dequant scale
+    eff_m = dmin[:, None] * lm
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.rint((xb + eff_m[..., None]) / eff_s[..., None])
+    q = np.where(eff_s[..., None] > 0, q, 0)
+    q = np.clip(q, 0, 15).astype(np.uint8)
+    sc = np.empty((nb, 12), np.uint8)
+    sc[:, 0:4] = (ls[:, 0:4] & 63) | ((ls[:, 4:8] >> 4) << 6)
+    sc[:, 4:8] = (lm[:, 0:4] & 63) | ((lm[:, 4:8] >> 4) << 6)
+    sc[:, 8:12] = (ls[:, 4:8] & 0xF) | ((lm[:, 4:8] & 0xF) << 4)
+    qq = q.reshape(nb, 4, 64)
+    qs = (qq[:, :, :32] | (qq[:, :, 32:] << 4)).reshape(nb, 128)
+    out = np.empty((nb, 144), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = dmin.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 4:16] = sc
+    out[:, 16:144] = qs
+    return out.tobytes()
+
+
+def encode_q6_k(x: np.ndarray) -> bytes:
+    """f32 [n] (n % 256 == 0) -> Q6_K blocks (210 bytes / 256 elems):
+    per 16-elem group a signed 6-bit grid  d*sc*q  with int8 group
+    scales against a per-block f16 d (layout of _dequant_q6_k)."""
+    n = x.size
+    assert n % 256 == 0, "q6_k needs 256-element super-blocks"
+    xb = np.asarray(x, np.float32).reshape(-1, 16, 16)
+    nb = xb.shape[0]
+    s = np.abs(xb).max(-1) / 31.0               # [nb, 16] group scales
+    d = (s.max(-1) / 127.0).astype(np.float16).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sc = np.where(d[:, None] > 0, np.rint(s / d[:, None]), 0)
+    sc = np.clip(sc, 0, 127).astype(np.int8)
+    eff = d[:, None] * sc                       # [nb, 16]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.rint(xb / eff[..., None])
+    q = np.where(eff[..., None] > 0, q, 0)
+    q = (np.clip(q, -32, 31) + 32).astype(np.uint8)     # [nb, 16, 16]
+    q = q.reshape(nb, 2, 4, 32)                 # [nb, half, quarter, l]
+    ql = np.empty((nb, 2, 2, 32), np.uint8)
+    ql[:, :, 0] = (q[:, :, 0] & 0xF) | ((q[:, :, 2] & 0xF) << 4)
+    ql[:, :, 1] = (q[:, :, 1] & 0xF) | ((q[:, :, 3] & 0xF) << 4)
+    qh = (
+        (q[:, :, 0] >> 4)
+        | ((q[:, :, 1] >> 4) << 2)
+        | ((q[:, :, 2] >> 4) << 4)
+        | ((q[:, :, 3] >> 4) << 6)
+    )                                           # [nb, 2, 32]
+    out = np.empty((nb, 210), np.uint8)
+    out[:, 0:128] = ql.reshape(nb, 128)
+    out[:, 128:192] = qh.reshape(nb, 64)
+    out[:, 192:208] = sc.view(np.uint8)
+    out[:, 208:210] = d.astype(np.float16)[:, None].view(np.uint8)
+    return out.tobytes()
+
+
+def convert_q4k_tensor(
+    raw: bytes, n_out: int, n_in: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Q4_K block bytes ([out, in] row-major, blocks along IN) -> the
+    fused-kernel NATIVE asymmetric layout, losslessly:
+
+        (qweight [out/TO, in, TO/2] int8 tile-contiguous,
+         scales  [in/32, out] f32,
+         zoffs   [in/32, out] f32)   with  w = (nibble-8)*s - zoff.
+
+    A Q4_K sub-block is w = d*ls*q - dmin*lm with q in [0,15] per 32
+    input elements — exactly a group-32 asymmetric grid, so s = d*ls,
+    zoff = dmin*lm - 8*s maps every stored value onto the kernel's
+    (nibble-8)*s - zoff form with NO re-quantization.  This is the TPU
+    analogue of the reference executing ggml blocks natively (QLinear,
+    src/openai/models/linear.rs:417; attention-rs qmatmul): serving
+    quality == checkpoint quality, vs the measured-lossy dequant->
+    w4a16 chain (tools/quant_quality.py gguf_q4k_requant row).  Costs
+    4x the scale rows of group-128 w4a16 (+0.094 B/elem vs native Q4K's
+    0.5625 B/elem stream)."""
+    from candle_vllm_tpu.ops.quant import (
+        pack_int4, pick_tile_out, tile_packed_w4,
+    )
+
+    assert n_in % 256 == 0
+    nsb = n_in // 256
+    blk = np.frombuffer(raw, np.uint8).reshape(n_out, nsb, 144)
+    d = blk[:, :, 0:2].copy().view(np.float16).astype(np.float32)[..., 0]
+    dmin = blk[:, :, 2:4].copy().view(np.float16).astype(np.float32)[..., 0]
+    ls, lm = _unpack_q4k_scales(blk[:, :, 4:16].reshape(-1, 12))
+    ls = ls.reshape(n_out, nsb, 8)
+    lm = lm.reshape(n_out, nsb, 8)
+    qs = blk[:, :, 16:144]                       # [out, nsb, 128]
+    q = np.empty((n_out, nsb, 256), np.uint8)
+    for c in range(4):  # chunk c: lo nibbles -> elems c*64.., hi -> +32
+        b = qs[:, :, c * 32 : (c + 1) * 32]
+        q[:, :, c * 64 : c * 64 + 32] = b & 0xF
+        q[:, :, c * 64 + 32 : c * 64 + 64] = b >> 4
+    s = (d[..., None] * ls).reshape(n_out, n_in // 32)    # [out, in/32]
+    m = (dmin[..., None] * lm).reshape(n_out, n_in // 32)
+    signed = (
+        q.reshape(n_out, n_in).astype(np.int16) - 8
+    ).astype(np.int8).T                                   # [in, out]
+    to = pick_tile_out(n_out)
+    packed = tile_packed_w4(pack_int4(np.ascontiguousarray(signed), to), to)
+    scales = np.ascontiguousarray(s.T)                    # [in/32, out]
+    zoffs = np.ascontiguousarray((m - 8.0 * s).T)
+    return packed, scales, zoffs
+
+
+def write_gguf(path: str, metadata: Dict[str, Any], tensors) -> None:
+    """Minimal GGUF v3 writer (converter + quality-gate tooling; the
+    byte layout GGUFFile parses back — reference writes via the gguf
+    crate in its convert tooling).
+
+    ``metadata``: {key: int | float | str} — typed u32/f32/string by the
+    Python value.  ``tensors``: iterable of ``(name, hf_shape,
+    ggml_type, data_bytes)``; dims are written ggml-order (reversed HF
+    shape) and data 32-byte aligned."""
+    import struct
+
+    def w_str(s: str) -> bytes:
+        b = s.encode()
+        return struct.pack("<Q", len(b)) + b
+
+    tensors = list(tensors)
+    out = struct.pack("<IIQQ", GGUF_MAGIC, 3, len(tensors), len(metadata))
+    for key, val in metadata.items():
+        if isinstance(val, bool):
+            out += w_str(key) + struct.pack("<IB", 7, int(val))
+        elif isinstance(val, int):
+            out += w_str(key) + struct.pack("<II", 4, val)
+        elif isinstance(val, float):
+            out += w_str(key) + struct.pack("<If", 6, val)
+        else:
+            out += w_str(key) + struct.pack("<I", 8) + w_str(str(val))
+    offset = 0
+    infos = b""
+    aligned = []
+    for name, hf_shape, ttype, data in tensors:
+        dims = list(reversed(hf_shape))
+        infos += w_str(name)
+        infos += struct.pack("<I", len(dims))
+        infos += struct.pack(f"<{len(dims)}Q", *dims)
+        infos += struct.pack("<IQ", ttype, offset)
+        offset += (len(data) + 31) // 32 * 32
+        aligned.append(data + b"\0" * ((-len(data)) % 32))
+    out += infos
+    out += b"\0" * ((-len(out)) % 32)
+    out += b"".join(aligned)
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+def hf_to_gguf_name(hf_name: str) -> Optional[str]:
+    """Inverse of map_gguf_name for the dense-llama tensor families
+    (converter direction); None for names with no GGUF counterpart."""
+    rev_top = {v: k for k, v in _NAME_MAP.items()}
+    if hf_name in rev_top:
+        return rev_top[hf_name]
+    m = re.match(r"model\.layers\.(\d+)\.(.+)", hf_name)
+    if m:
+        rev_blk = {v: k for k, v in _BLK_MAP.items()}
+        base = rev_blk.get(m.group(2))
+        return f"blk.{m.group(1)}.{base}" if base else None
+    return None
+
+
+def write_gguf_from_params(
+    path: str,
+    config,
+    params: Dict[str, Any],
+    ggml_type: int = GGML_Q4_K,
+) -> None:
+    """Encode a dense-llama param dict (flat HF names, [in, out] device
+    layout) into a synthetic GGUF checkpoint: every 2D projection whose
+    input dim fits 256-element super-blocks is K-quant encoded at
+    ``ggml_type``; embeddings and norms stay f32.  Used by the quality
+    gate to measure the full gguf -> load_gguf -> w4a16 serving chain
+    against the same model's f32 baseline."""
+    enc = {GGML_Q4_K: encode_q4_k, GGML_Q6_K: encode_q6_k}[ggml_type]
+    tensors = []
+    for name, p in params.items():
+        gname = hf_to_gguf_name(name)
+        if gname is None:
+            raise ValueError(f"no GGUF name for {name}")
+        arr = np.asarray(p, np.float32)
+        if arr.ndim == 2 and "embed_tokens" not in name:
+            arr = np.ascontiguousarray(arr.T)  # [in,out] -> HF [out,in]
+        if (
+            arr.ndim == 2
+            and "embed_tokens" not in name
+            and arr.shape[1] % 256 == 0
+        ):
+            tensors.append((gname, arr.shape, ggml_type,
+                            enc(arr.reshape(-1))))
+        else:
+            tensors.append((gname, arr.shape, GGML_F32, arr.tobytes()))
+    head_dim = config.head_dim or (
+        config.hidden_size // config.num_attention_heads
+    )
+    meta = {
+        "general.architecture": "llama",
+        "llama.embedding_length": config.hidden_size,
+        "llama.feed_forward_length": config.intermediate_size,
+        "llama.block_count": config.num_hidden_layers,
+        "llama.attention.head_count": config.num_attention_heads,
+        "llama.attention.head_count_kv": config.num_key_value_heads,
+        "llama.attention.key_length": head_dim,
+        "llama.attention.layer_norm_rms_epsilon": float(config.rms_norm_eps),
+        "llama.context_length": config.max_model_len,
+        "llama.vocab_size": config.vocab_size,
+        "llama.rope.freq_base": float(config.rope_theta),
+    }
+    write_gguf(path, meta, tensors)
 
 
 # ---------------------------------------------------------------------------
@@ -670,6 +932,33 @@ def load_gguf(
             if base not in _IGNORABLE and gname not in _IGNORABLE:
                 unmapped.append(gname)
             continue
+        if (
+            quantize == "w4a16"
+            and os.environ.get("CVT_GGUF_EXACT", "1") != "0"
+            and name.endswith(".weight")
+            and name != "lm_head.weight"      # pad_vocab_out path owns it
+            and "embed_tokens" not in name
+            and ".linear_attn." not in name   # f32 fixups required
+            and ".experts." not in name       # bank grouped-GEMM layout
+            and ".conv1d." not in name
+        ):
+            dims, ttype, _, _ = g.tensors[gname]
+            if (
+                ttype == GGML_Q4_K
+                and len(dims) == 2
+                and dims[0] % 256 == 0        # ggml dim0 = input (blocks)
+                and dims[1] % 256 == 0        # out: kernel tile gate
+            ):
+                # NATIVE-format execution: map Q4_K blocks losslessly
+                # onto the kernel's asymmetric group-32 layout — no
+                # dequant->requant chain (CVT_GGUF_EXACT=0 restores it)
+                _, _, rawb = g.read_raw(gname)
+                qw, s, z = convert_q4k_tensor(rawb, dims[1], dims[0])
+                prefix = name[: -len(".weight")]
+                params[f"{prefix}.qweight"] = jnp.asarray(qw)
+                params[f"{prefix}.scales"] = jnp.asarray(s, jnp.bfloat16)
+                params[f"{prefix}.qzeros"] = jnp.asarray(z, jnp.bfloat16)
+                continue
         arr = g.read_tensor(gname)  # [out, in] f32
         arr = _gguf_tensor_fixup(name, arr, config)
         if arr.ndim == 2 and "embed_tokens" not in name \

@@ -151,6 +151,137 @@ def test_q6_k_matches_scalar_oracle():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_encode_q4_k_roundtrip():
+    """encode_q4_k -> dequant recovers the input within the 4-bit grid
+    (sub-block step = range/15, plus 6-bit scale quantization)."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(4 * 256).astype(np.float32)
+    raw = gguf.encode_q4_k(x)
+    assert len(raw) == 4 * 144
+    dec = gguf._dequant_q4_k(raw, x.size)
+    # scalar spec oracle agrees with the vectorized decode on our bytes
+    np.testing.assert_allclose(dec, scalar_dequant_q4_k(raw), rtol=1e-5,
+                               atol=1e-6)
+    err = np.abs(dec - x)
+    step = (x.reshape(-1, 32).max(1) - np.minimum(
+        x.reshape(-1, 32).min(1), 0)) / 15.0
+    assert err.max() <= step.repeat(32).max() * 0.75 + 1e-3
+    assert err.mean() < 0.12
+    cos = float(np.dot(dec, x) / (np.linalg.norm(dec) * np.linalg.norm(x)))
+    assert cos > 0.995
+
+
+def test_encode_q6_k_roundtrip():
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal(3 * 256).astype(np.float32)
+    raw = gguf.encode_q6_k(x)
+    assert len(raw) == 3 * 210
+    dec = gguf._dequant_q6_k(raw, x.size)
+    np.testing.assert_allclose(dec, scalar_dequant_q6_k(raw), rtol=1e-5,
+                               atol=1e-6)
+    err = np.abs(dec - x)
+    assert err.mean() < 0.04
+    cos = float(np.dot(dec, x) / (np.linalg.norm(dec) * np.linalg.norm(x)))
+    assert cos > 0.999
+
+
+def test_encode_q4_k_grid_exact():
+    """Values already ON the 4-bit grid round-trip exactly (no drift in
+    the scale packing): build x from known ls/lm/q via the dequant
+    formula, encode, decode, compare."""
+    rng = np.random.default_rng(9)
+    d, dmin = np.float32(0.02), np.float32(0.01)
+    ls = rng.integers(17, 63, size=8)
+    lm = rng.integers(0, 8, size=8)
+    q = rng.integers(0, 16, size=(8, 32))
+    # force q=0 and q=15 present per sub-block so minmax lands on the
+    # same grid endpoints
+    q[:, 0], q[:, 1] = 0, 15
+    x = (d * ls[:, None] * q - dmin * lm[:, None]).astype(np.float32)
+    dec = gguf._dequant_q4_k(gguf.encode_q4_k(x.reshape(-1)), 256)
+    np.testing.assert_allclose(dec, x.reshape(-1), rtol=2e-2, atol=2e-3)
+
+
+def test_convert_q4k_tensor_exact():
+    """The native-format path (convert_q4k_tensor) represents every
+    Q4_K value exactly in the kernel's asymmetric group-32 layout —
+    max error is bf16 rounding of the scale/zoff planes (~0.4% of the
+    scale term), vs ~half a 4-bit grid step for the requant chain."""
+    import jax.numpy as jnp
+
+    from candle_vllm_tpu.ops.quant import dequantize
+
+    rng = np.random.default_rng(11)
+    n_out, n_in = 256, 512
+    x = rng.standard_normal(n_out * n_in).astype(np.float32)
+    raw = gguf.encode_q4_k(x)
+    container = gguf._dequant_q4_k(raw, x.size).reshape(n_out, n_in)
+
+    qw, s, z = gguf.convert_q4k_tensor(raw, n_out, n_in)
+    assert s.shape == (n_in // 32, n_out) and z.shape == s.shape
+    params = {
+        "t.qweight": jnp.asarray(qw),
+        "t.scales": jnp.asarray(s, jnp.bfloat16),
+        "t.zoffs_unused": jnp.asarray(0.0),
+        "t.qzeros": jnp.asarray(z, jnp.bfloat16),
+    }
+    served = np.asarray(dequantize(params, "t"), np.float32).T  # [out, in]
+    scale_mag = np.repeat(np.abs(s.T), 32, axis=1) * 16 + np.abs(
+        np.repeat(z.T, 32, axis=1)
+    )
+    assert np.all(np.abs(served - container) <= scale_mag * 2 ** -8 + 1e-6)
+    # exact f32 planes -> bit-exact match with the container dequant
+    params["t.scales"] = jnp.asarray(s, jnp.float32)
+    params["t.qzeros"] = jnp.asarray(z, jnp.float32)
+    served32 = np.asarray(dequantize(params, "t"), np.float32).T
+    np.testing.assert_allclose(served32, container, rtol=1e-5, atol=1e-6)
+
+
+def test_gguf_q4k_native_load(tmp_path):
+    """load_gguf(quantize='w4a16') takes the exact path for Q4_K
+    projections (qzeros planes present) and the engine generates."""
+    import jax.numpy as jnp
+
+    from candle_vllm_tpu.config import (
+        CacheConfig, ModelConfig, SchedulerConfig,
+    )
+    from candle_vllm_tpu.engine.llm_engine import LLMEngine
+    from candle_vllm_tpu.models.registry import get_model
+    from candle_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = ModelConfig(
+        architecture="LlamaForCausalLM", hidden_size=512,
+        intermediate_size=1024, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=8, head_dim=128,
+        vocab_size=2048, max_model_len=256, dtype=jnp.float32,
+    )
+    params0 = get_model(cfg).init_params(seed=0)
+    path = tmp_path / "chain.gguf"
+    gguf.write_gguf_from_params(str(path), cfg, params0,
+                                ggml_type=gguf.GGML_Q4_K)
+    config, params = gguf.load_gguf(str(path), dtype=jnp.float32,
+                                    quantize="w4a16", mmproj=None)
+    assert "model.layers.0.mlp.gate_proj.qzeros" in params
+    assert "model.layers.0.self_attn.o_proj.qzeros" in params
+    # group-32 scale planes (in/32 rows)
+    assert params["model.layers.0.mlp.gate_proj.scales"].shape[0] == \
+        512 // 32
+    # lm_head stays on the pad_vocab_out requant path
+    assert not any(k == "lm_head.qzeros" for k in params)
+    eng = LLMEngine(
+        config,
+        CacheConfig(block_size=8, num_gpu_blocks=32, num_cpu_blocks=0),
+        SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=128,
+                        prefill_chunk_size=64, max_model_len=256),
+        params=params, seed=0,
+    )
+    out = eng.generate(
+        [np.random.default_rng(5).integers(0, 2048, size=9).tolist()],
+        SamplingParams(temperature=0.0, max_tokens=4),
+    )
+    assert len(out[0].outputs[0].token_ids) == 4
+
+
 def test_name_mapping():
     assert gguf.map_gguf_name("token_embd.weight") == "model.embed_tokens.weight"
     assert (
