@@ -147,16 +147,22 @@ class LLMEngine:
         if cache_config.kv_cache_dtype == "turbo3":
             # turbo3 needs 128-lane-aligned bitplane segments and a plain
             # paged layout; MLA latent caches and odd head shapes fall back
-            # (the reference auto-falls back for MLA too, README.md note)
+            # (the reference auto-falls back for MLA too, README.md note).
+            # Under TP each shard must hold whole lane-aligned bitplane
+            # blocks, so the alignment gate is PER-SHARD: K*D % (1024*tp)
+            # (caught by the r5 multichip dryrun — the plane-major layout
+            # cannot split a 128-byte lane across devices).
             import dataclasses as _dc
 
             D = model_config.head_dim or (
                 model_config.hidden_size // model_config.num_attention_heads
             )
             K = model_config.num_key_value_heads
+            tp = parallel_config.tp_size if parallel_config else 1
+            local_kd = (max(K, tp) // tp) * D
             if getattr(model_config, "kv_lora_rank", None):
                 cache_config = _dc.replace(cache_config, kv_cache_dtype="int8")
-            elif model_config.has_hetero_kv or K * D % 1024 or D % 128:
+            elif model_config.has_hetero_kv or local_kd % 1024 or D % 128:
                 cache_config = _dc.replace(cache_config, kv_cache_dtype="int4")
         self.model_config = model_config
         self.cache_config = cache_config
@@ -317,7 +323,8 @@ class LLMEngine:
                     cache_config.block_size,
                     kv_heads,
                     kv_head_dim,
-                    sharding=self.plan.kv_pages_sharding() if self.plan else None,
+                    sharding=self.plan.kv_pages_sharding(turbo3=True)
+                    if self.plan else None,
                 )
             elif self.kv_int4:
                 from candle_vllm_tpu.ops.kv_cache import (

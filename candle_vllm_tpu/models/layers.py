@@ -407,7 +407,15 @@ def paged_attention_with_write(
     )
 
     head = P(None, tp_axis, None)
-    pages_spec = P(None, None, tp_axis, None)
+    # turbo3 pages are plane-major [P, planes, ps, 128]: each shard holds
+    # a complete local bitplane block (2bit|1bit|nibble planes of its
+    # K/tp heads — the engine gates turbo3 on K*D % (1024*tp) so the
+    # per-shard plane count is integral); all other layouts carry the
+    # head/plane dim at position 2
+    pages_spec = (
+        P(None, tp_axis, None, None) if spec.kv3
+        else P(None, None, tp_axis, None)
+    )
     rep1 = P(None)
 
     if quantized:

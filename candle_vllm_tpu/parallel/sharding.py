@@ -119,8 +119,13 @@ class ShardingPlan:
     def sharding(self, name: str) -> NamedSharding:
         return NamedSharding(self.mesh, self.spec(name))
 
-    def kv_pages_sharding(self) -> NamedSharding:
-        # [num_pages, page_size, 2*K, head_dim] — KV heads sharded over tp
+    def kv_pages_sharding(self, turbo3: bool = False) -> NamedSharding:
+        # [num_pages, page_size, 2*K, head_dim] — KV heads sharded over tp.
+        # turbo3 pages are plane-major [num_pages, planes, page_size, 128]:
+        # shard the PLANES dim so each device owns its heads' complete
+        # bitplane block (models/layers.py pages_spec must match)
+        if turbo3:
+            return NamedSharding(self.mesh, P(None, "tp", None, None))
         return NamedSharding(self.mesh, P(None, None, "tp", None))
 
     def _fits(self, shape: Tuple[int, ...], spec: P) -> bool:
