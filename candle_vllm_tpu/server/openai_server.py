@@ -336,6 +336,7 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
     # stream_parser.rs strip_reasoning_blocks / mask_tool_envelopes;
     # conversation history handling in conversation/mod.rs)
     from candle_vllm_tpu.tools.parser import (
+        detect_prefilled_reasoning,
         mask_tool_envelopes,
         strip_reasoning_blocks,
     )
@@ -406,8 +407,8 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
         return await _stream_chat(
             request, state, request_id, prompt_ids, sp, req, mm=mm,
             forced_tool=forced_tool,
-            start_in_thinking=prompt.rstrip().endswith(
-                state.tool_family.think_open
+            start_in_thinking=detect_prefilled_reasoning(
+                prompt, state.tool_family
             ),
         )
 

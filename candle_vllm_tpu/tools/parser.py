@@ -234,6 +234,15 @@ def parse_payload(text: str, family: ToolFamily) -> List[ToolCall]:
     return calls
 
 
+def detect_prefilled_reasoning(prompt: str, family: ToolFamily) -> bool:
+    """True when the rendered generation prompt already ends with the
+    family's think-OPEN marker (modulo trailing whitespace) — the stream
+    then begins INSIDE reasoning and only a close marker will arrive
+    (reference: detect_prefilled_reasoning_end_marker,
+    stream_parser.rs — incl. the trailing-whitespace arm)."""
+    return prompt.rstrip().endswith(family.think_open)
+
+
 def parse_complete(
     text: str, family: ToolFamily
 ) -> Tuple[str, Optional[str], List[ToolCall]]:

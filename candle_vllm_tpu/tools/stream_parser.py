@@ -406,6 +406,28 @@ class StreamToolParser:
         self.tool_calls: List[ToolCall] = []
         self.errors: List[str] = []
         self._streamer: Optional[_JsonCallStreamer] = None
+        # ``` code-fence parity across the CONTENT stream: a tool start
+        # marker inside an open fence is documentation, not a call
+        # (reference: incremental code-block tracking in normal mode +
+        # code_block_state_not_corrupted_by_tool_buffer)
+        self._fence_ticks = 0
+        self._fence_carry = 0  # trailing backtick run carried to next chunk
+
+    def in_code_block(self) -> bool:
+        return self._fence_ticks % 2 == 1
+
+    def _update_fences(self, s: str) -> None:
+        """Count disjoint ``` fences, carrying split backtick runs."""
+        if self._fence_carry:
+            s = "`" * self._fence_carry + s
+            self._fence_carry = 0
+        import re as _re
+
+        for m in _re.finditer(r"`+", s):
+            L = len(m.group())
+            self._fence_ticks += L // 3
+            if m.end() == len(s):
+                self._fence_carry = L % 3
 
     def _tool_names(self) -> Optional[set]:
         if self.tools is None:
@@ -467,6 +489,13 @@ class StreamToolParser:
                 hits.append((i, m))
         if hits:
             i, m = min(hits)
+            self._update_fences(text[:i])
+            if m == self.family.start and self.in_code_block():
+                # the start marker sits inside an open ``` fence: it is
+                # literal content (model-written documentation), not a
+                # call — pass it through and keep scanning
+                events.append(StreamEventOut("content", text[: i + len(m)]))
+                return text[i + len(m):]
             if i > 0:
                 events.append(StreamEventOut("content", text[:i]))
             rest = text[i + len(m):]
@@ -482,6 +511,7 @@ class StreamToolParser:
         emit = text[: len(text) - hold] if hold else text
         self.pending = text[len(text) - hold:] if hold else ""
         if emit:
+            self._update_fences(emit)
             events.append(StreamEventOut("content", emit))
         return ""
 
@@ -581,7 +611,12 @@ class StreamToolParser:
             sc is not None and sc.emitted_any
         ):
             # false positive: flush the raw markup back as content
-            # (reference: StreamResult::FlushBuffer)
+            # (reference: StreamResult::FlushBuffer).  The flushed text
+            # joins the content stream, so fence parity must include it
+            # (reference: resync_reasoning_and_code_block_state after a
+            # buffering exit); reasoning markers inside it stay literal —
+            # state returns to normal regardless.
+            self._update_fences(payload)
             events.append(
                 StreamEventOut(
                     "content",
