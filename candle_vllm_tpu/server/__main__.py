@@ -28,6 +28,21 @@ def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("candle-vllm-tpu server")
     p.add_argument("--model-dir", help="local HF model directory (config.json + safetensors)")
     p.add_argument("--gguf", help="local GGUF checkpoint (Q4_K/Q6_K/Q8_0/F16)")
+    # hub download arm (reference: --m/--f/--hf-token, main.rs +
+    # pipeline.rs:520-702 download_model/download_gguf_model)
+    p.add_argument("--m", dest="model_id", default=None,
+                   help="HF hub model id (org/name); downloads config + "
+                        "safetensors into the local cache, or — with "
+                        "--f — a GGUF file set")
+    p.add_argument("--f", dest="weight_file", default=None,
+                   help="GGUF filename (or subfolder) inside the --m repo")
+    p.add_argument("--revision", default="main",
+                   help="hub revision/branch for --m")
+    p.add_argument("--hf-token", default=None,
+                   help="hub access token (default: HF_TOKEN env or "
+                        "~/.cache/huggingface/token)")
+    p.add_argument("--hf-token-path", default=None,
+                   help="file containing the hub access token")
     p.add_argument("--dummy-model", choices=sorted(DUMMY_PRESETS),
                    help="random-weight model for testing/benchmarks")
     p.add_argument("--served-name", default=None)
@@ -104,6 +119,21 @@ def build_engine(args):
     from candle_vllm_tpu.utils.tokenizer import load_tokenizer
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    if getattr(args, "model_id", None):
+        from candle_vllm_tpu.models.hub import download_gguf, resolve_model
+
+        if args.weight_file:
+            args.gguf = download_gguf(
+                args.model_id, args.weight_file, revision=args.revision,
+                token=args.hf_token, token_path=args.hf_token_path,
+            )
+        else:
+            args.model_dir = resolve_model(
+                args.model_id, revision=args.revision,
+                token=args.hf_token, token_path=args.hf_token_path,
+            )
+            if args.served_name is None:
+                args.served_name = args.model_id
     gguf_params = None
     if args.gguf:
         from candle_vllm_tpu.models.gguf import load_gguf
