@@ -117,6 +117,10 @@ def main() -> None:
                          "concurrent requests (N<=8 shares the single-"
                          "request T=8 decode bucket, so the weight "
                          "stream amortizes N ways); 0 disables")
+    ap.add_argument("--spec-demo", action="store_true",
+                    help="also measure speculative (ngram) decode on a "
+                         "cyclic prompt — acceptance is data-dependent, "
+                         "so this is a labeled demo, not the headline")
     ap.add_argument("--wallclock-steps", type=int, default=128,
                     help="micro-steps per dispatch for the wall-clock "
                          "engine window (device time/call >> tunnel RTT "
@@ -502,6 +506,61 @@ def main() -> None:
             for r in range(N):
                 eng.abort_request(f"agg{r}")
 
+    # ---- speculative decode demo (opt-in, labeled) -------------------
+    spec_tok_s = spec_adj_tok_s = spec_accept = spec_tpd = None
+    if args.spec_demo:
+        from candle_vllm_tpu.config import SchedulerConfig
+        from candle_vllm_tpu.engine.llm_engine import LLMEngine
+        from candle_vllm_tpu.sampling_params import SamplingParams
+
+        if not args.skip_engine:
+            del eng
+        else:
+            probe = jax.jit(lambda x: x + 1)
+            _ = np.asarray(probe(jnp.zeros(8)))
+            t0 = time.time()
+            for _ in range(5):
+                _ = np.asarray(probe(jnp.zeros(8)))
+            rtt = (time.time() - t0) / 5
+        bs = args.block_size
+        eng2 = LLMEngine(
+            cfg,
+            CacheConfig(block_size=bs, num_gpu_blocks=mml // bs + 8,
+                        num_cpu_blocks=0, kv_cache_dtype=args.kv_dtype),
+            SchedulerConfig(max_model_len=mml,
+                            enable_prefix_caching=False,
+                            speculative="ngram", spec_draft_len=31),
+            params=params,
+        )
+        cyc = rng.integers(0, cfg.vocab_size, size=64).astype(np.int32)
+        prompt3 = np.tile(cyc, -(-CTX // 64))[:CTX]
+        sp3 = SamplingParams(temperature=0.0, ignore_eos=True,
+                             max_tokens=1500)
+        eng2.add_request("spec", prompt_token_ids=list(prompt3),
+                         sampling_params=sp3)
+        sseq = eng2._groups["spec"].get_seqs()[0]
+        eng2.step()  # prefill
+        for _ in range(6):  # compile decode + verify-chunk variants
+            eng2.step()
+        d0, a0 = eng2.stats.spec_drafted, eng2.stats.spec_accepted
+        n0 = sseq.get_output_len()
+        n_calls = 0
+        t0 = time.time()
+        while (sseq.get_output_len() - n0 < 512
+               and eng2.has_unfinished_requests()):
+            eng2.step()
+            n_calls += 1
+        d_spec = time.time() - t0
+        produced = sseq.get_output_len() - n0
+        if produced and n_calls:
+            spec_tok_s = produced / d_spec
+            spec_adj_tok_s = produced / max(d_spec - rtt * n_calls, 1e-9)
+            spec_tpd = produced / n_calls
+        drafted = eng2.stats.spec_drafted - d0
+        if drafted:
+            spec_accept = (eng2.stats.spec_accepted - a0) / drafted
+        eng2.abort_request("spec")
+
     hbm_bw = 819e9  # v5e
     sol_toks = hbm_bw / (stream_bytes + kv_stream_bytes)
     headline = toks_per_s if toks_per_s is not None else (
@@ -542,6 +601,13 @@ def main() -> None:
             "engine_ttft_ms": round(engine_ttft_ms, 1) if engine_ttft_ms else None,
             "engine_ttft_cold_ms": round(engine_ttft_cold_ms, 1)
             if engine_ttft_cold_ms else None,
+            "spec_demo_tok_s": round(spec_tok_s, 1) if spec_tok_s else None,
+            "spec_demo_rtt_adj_tok_s": round(spec_adj_tok_s, 1)
+            if spec_adj_tok_s else None,
+            "spec_demo_accept_rate": round(spec_accept, 3)
+            if spec_accept is not None else None,
+            "spec_demo_tokens_per_dispatch": round(spec_tpd, 2)
+            if spec_tpd else None,
             "tunnel_rtt_ms_adjusted": True,
             "backend": jax.default_backend(),
             "reference_baseline_tok_s": baseline,

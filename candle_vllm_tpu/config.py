@@ -753,6 +753,14 @@ class SchedulerConfig:
     # never idles between decode dispatches.  Token delivery to streams
     # lags one dispatch.  CVT_PIPELINE=0 disables at runtime.
     pipeline_decode: bool = True
+    # speculative decoding (beyond-reference; engine/spec.py): "ngram"
+    # fills the decode bucket's padding rows with prompt-lookup drafts
+    # and verifies them in one dispatch — up to spec_draft_len + 1
+    # tokens per weight pass, bit-identical to greedy decode.  Applies
+    # to single-sequence greedy penalty-free steps; None disables.
+    speculative: Optional[str] = None
+    spec_draft_len: int = 7
+    spec_ngram: int = 3
 
     def __post_init__(self) -> None:
         # the step token budget is authoritative; chunks can never exceed it

@@ -444,6 +444,13 @@ class LLMEngine:
             ))
         )
         self._pending: Optional["_PendingStep"] = None
+        # speculative decoding (opt-in; engine/spec.py): prompt-lookup
+        # drafts verified in the decode bucket's padding rows
+        self._spec = scheduler_config.speculative
+        # draft window caps at 63: verify rows ride the T=8..64 token
+        # buckets at ~constant device cost (weight-bound rows)
+        self._spec_draft = max(1, min(int(scheduler_config.spec_draft_len), 63))
+        self._spec_ngram = max(1, int(scheduler_config.spec_ngram))
 
     # -- the single-dispatch device step -----------------------------------
     def _device_step(
@@ -770,6 +777,16 @@ class LLMEngine:
             return False
         if self.scheduler.waiting or self.scheduler.swapped:
             return False  # admit / swap-in via a normal scheduler pass
+        if self._spec and len(prev.row_seqs) == 1:
+            # a draftable lone sequence should take the speculative
+            # path next step instead of chaining 1-token micro-steps
+            from candle_vllm_tpu.engine.spec import ngram_draft
+
+            if ngram_draft(
+                prev.row_seqs[0].get_token_ids(),
+                self._spec_draft, self._spec_ngram,
+            ):
+                return False
         K = prev.n_steps
         max_len = self.scheduler_config.max_model_len
         for i, seq in enumerate(prev.row_seqs):
@@ -951,6 +968,29 @@ class LLMEngine:
             for sg in sched_out.scheduled
             for sid, q in sg.token_chunks.items()
         ]
+        # speculative decode: a lone greedy decode row with an n-gram
+        # draft runs as a verify chunk instead (engine/spec.py); falls
+        # through to the normal path when no draft matches
+        if (
+            self._spec
+            and len(sched_rows) == 1
+            and sched_rows[0][2] == 1
+            and not sched_out.blocks_to_copy
+            and not hasattr(self.model, "make_caches")
+            and not getattr(self.model, "has_dsa", False)
+        ):
+            g0, seq0, _ = sched_rows[0]
+            sp0 = g0.sampling_params
+            if (
+                sp0.is_greedy
+                and not sp0.has_penalties
+                and sp0.n == 1
+                and len(g0.seqs) == 1
+                and seq0.num_computed_tokens == seq0.get_len() - 1
+            ):
+                out = self._spec_step(sched_out, g0, seq0, step_start)
+                if out is not None:
+                    return out
         if sched_rows:
             # latency-sensitive requests can cap the fused micro-steps
             # (decode_steps=1 restores per-token streaming cadence); the
@@ -1176,6 +1216,132 @@ class LLMEngine:
             decode_tokens=n_accepted if n_steps > 1 else n_decode,
             step_time=time.monotonic() - step_start,
             preempted=len(sched_out.preempted),
+        )
+        return self._collect_outputs(finished_groups, sched_out)
+
+    # -- speculative decode (engine/spec.py) --------------------------------
+    def _spec_step(self, sched_out, group, seq, step_start):
+        """Verify prompt-lookup drafts in ONE dispatch: the decode
+        bucket's T=8 rows are weight-bound padding anyway, so feeding
+        [last_token, d1..dk] as a causal chunk and reading logits at
+        every row costs exactly one decode step and nets 1..k+1 tokens.
+        Greedy acceptance reproduces the sequential argmax chain
+        bit-exactly.  Returns None to fall back to the normal path
+        (no draft / no room).  Beyond the reference's scope — the one
+        structural lever past the single-request weight-stream wall."""
+        from candle_vllm_tpu.engine.spec import ngram_draft
+        from candle_vllm_tpu.ops.kv_cache import INVALID_SLOT
+
+        draft = ngram_draft(
+            seq.get_token_ids(), self._spec_draft, self._spec_ngram
+        )
+        if not draft:
+            return None
+        L = 1 + len(draft)
+        if seq.get_len() + L > self.scheduler_config.max_model_len:
+            return None
+        if not self.block_engine.allocate_extend_for_chunk(
+            seq, seq.get_len() - 1 + L
+        ):
+            return None
+
+        page = self.cache_config.block_size
+        from candle_vllm_tpu.engine.input_builder import (
+            _SEQ_BUCKETS, _TOKEN_BUCKETS, bucket,
+        )
+
+        T = bucket(L, _TOKEN_BUCKETS)
+        S = bucket(L, _SEQ_BUCKETS)  # one logits row per verify position
+        maxp = (
+            self.scheduler_config.max_model_len + page - 1
+        ) // page
+        start = seq.num_computed_tokens
+        q_toks = [seq.get_token_ids()[-1]] + list(draft)
+        token_ids = np.zeros(T, np.int32)
+        token_ids[:L] = q_toks
+        positions = np.zeros(T, np.int32)
+        positions[:L] = np.arange(start, start + L)
+        bids = np.asarray(self.block_engine.get_block_ids(seq), np.int32)
+        slots = np.full(T, INVALID_SLOT, np.int32)
+        slots[:L] = bids[positions[:L] // page] * page + positions[:L] % page
+        kv_lens = np.zeros(S, np.int32)
+        kv_lens[0] = start + L
+        pt = np.zeros((S, maxp), np.int32)
+        pt[0, : len(bids)] = bids
+        cu = np.full(S + 1, L, np.int32)
+        cu[0] = 0
+        # every chunk row's logits verify one draft position
+        logits_idx = np.minimum(np.arange(S, dtype=np.int32), L - 1)
+        step = StepInput(
+            token_ids=token_ids,
+            positions=positions,
+            slot_mapping=slots,
+            kv_lens=kv_lens,
+            page_tables=pt,
+            cu_q_lens=cu,
+            logits_idx=logits_idx,
+            decode_only=False,
+        )
+        sp = group.sampling_params
+        st = SamplingTensors.build(
+            [sp], [[]], self.model_config.vocab_size, pad_to=S,
+            positions=[seq.get_output_len()], sub_indices=[0],
+        )
+        wl = sp.logprobs or 0
+        want_logprobs = 0 if wl == 0 else (8 if wl <= 8 else 20)
+        packed, top_vals, top_ids, _nxt, self.kv_pages = self._jit_step(
+            self.params, self.kv_pages, step, _NO_COPY, _NO_COPY, st,
+            np.int32(self._step_counter),
+            want_logprobs=want_logprobs,
+            greedy_only=True,
+            penalties=False,
+            dsa_prefill=False,
+            n_steps=1,
+            do_copy=False,
+            emit_next=False,
+        )
+        self._step_counter += 1
+        packed = np.asarray(packed)          # [1, 2, S]
+        toks_out = packed[0, 0].astype(np.int64)
+        lps = packed[0, 1]
+        if want_logprobs:
+            top_vals = np.asarray(top_vals)
+            top_ids = np.asarray(top_ids)
+        a = 0
+        while a < len(draft) and int(toks_out[a]) == draft[a]:
+            a += 1
+        self.stats.spec_drafted += len(draft)
+        self.stats.spec_accepted += a
+
+        now = time.monotonic()
+        if group.metrics.get("first_token_time") is None:
+            group.metrics["first_token_time"] = now
+        appended = 0
+        for i in range(a + 1):
+            seq.num_computed_tokens += 1
+            seq.append_token(int(toks_out[i]), float(lps[i]))
+            appended += 1
+            if sp.logprobs and want_logprobs:
+                kk = min(sp.logprobs, top_ids.shape[2])
+                seq.output_logprobs.append(
+                    {
+                        "token": int(toks_out[i]),
+                        "logprob": float(lps[i]),
+                        "top": {
+                            int(top_ids[0, i, j]): float(top_vals[0, i, j])
+                            for j in range(kk)
+                        },
+                    }
+                )
+            self._maybe_finish(seq, group)
+            if seq.is_finished:
+                break
+        finished_groups = self.scheduler.free_finished()
+        self.stats.requests_finished += len(finished_groups)
+        self.stats.record_step(
+            prefill_tokens=0,
+            decode_tokens=appended,
+            step_time=time.monotonic() - step_start,
         )
         return self._collect_outputs(finished_groups, sched_out)
 

@@ -24,6 +24,10 @@ class EngineStats:
     requests_received: int = 0
     preemptions: int = 0
     step_time_total: float = 0.0
+    # speculative decoding acceptance (engine/spec.py): drafted vs
+    # accepted counts — acceptance rate is the lever's health metric
+    spec_drafted: int = 0
+    spec_accepted: int = 0
     _decode_window: Deque[Tuple[float, int]] = field(
         default_factory=collections.deque
     )

@@ -98,6 +98,15 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-requests", default=None, metavar="PATH",
                    help="append per-request lifecycle records (JSONL) to "
                         "PATH (reference: request logger)")
+    p.add_argument("--speculative", choices=["ngram"], default=None,
+                   help="speculative decoding (beyond-reference): "
+                        "prompt-lookup drafts verified in the decode "
+                        "bucket's padding rows; bit-identical to greedy "
+                        "decode, 1..N+1 tokens per weight pass")
+    p.add_argument("--spec-draft-len", type=int, default=7,
+                   help="max draft tokens per speculative dispatch "
+                        "(<= 63; larger windows ride the T=16/32/64 "
+                        "buckets at ~constant device cost)")
     p.add_argument("--warmup", action="store_true",
                    help="pre-compile common batch shapes before serving "
                         "(the analogue of the reference's CUDA-graph "
@@ -248,6 +257,8 @@ def build_engine(args):
         max_model_len=cfg.max_model_len,
         enable_prefix_caching=not args.disable_prefix_cache,
         preemption_mode=args.preemption_mode,
+        speculative=args.speculative,
+        spec_draft_len=args.spec_draft_len,
     )
     engine = LLMEngine(
         cfg, cache, sched, ParallelConfig(tp_size=args.tp),

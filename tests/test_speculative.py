@@ -1,0 +1,186 @@
+"""Speculative decoding (engine/spec.py): prompt-lookup drafts verified
+in the decode bucket's padding rows.  The load-bearing invariant is
+BIT-EXACT equality with plain greedy decode — every test runs the same
+request with speculation on and off and compares token ids."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from candle_vllm_tpu.config import CacheConfig, ModelConfig, SchedulerConfig
+from candle_vllm_tpu.engine.llm_engine import LLMEngine
+from candle_vllm_tpu.engine.spec import ngram_draft
+from candle_vllm_tpu.sampling_params import SamplingParams
+
+
+# ---------------------------------------------------------------------------
+# draft proposal
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_draft_basic_match():
+    toks = [1, 2, 3, 9, 8, 7, 1, 2, 3]
+    assert ngram_draft(toks, 4, ngram=3) == [9, 8, 7, 1]
+
+
+def test_ngram_draft_most_recent_occurrence_wins():
+    toks = [1, 2, 5, 0, 0, 1, 2, 6, 0, 1, 2]
+    assert ngram_draft(toks, 2, ngram=2) == [6, 0]
+
+
+def test_ngram_draft_gram_fallback():
+    # no trigram match; bigram matches
+    toks = [4, 7, 1, 2, 9, 9, 1, 2]
+    assert ngram_draft(toks, 3, ngram=3, min_ngram=2) == [9, 9, 1]
+
+
+def test_ngram_draft_no_match_and_short():
+    assert ngram_draft([1, 2, 3, 4], 4, ngram=3, min_ngram=2) == []
+    assert ngram_draft([5], 4) == []
+    assert ngram_draft([], 4) == []
+
+
+def test_ngram_draft_run_of_identical_tokens():
+    toks = [3, 3, 3, 3, 3]
+    assert ngram_draft(toks, 3, ngram=3) == [3, 3]
+
+
+# ---------------------------------------------------------------------------
+# engine equality
+# ---------------------------------------------------------------------------
+
+
+def _make_engine(spec, *, prefix_cache=False, seed=0):
+    cfg = ModelConfig(
+        architecture="LlamaForCausalLM", hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        vocab_size=128, max_model_len=512, dtype=jnp.float32,
+        eos_token_ids=[],
+    )
+    return LLMEngine(
+        cfg,
+        CacheConfig(block_size=8, num_gpu_blocks=128, num_cpu_blocks=0),
+        SchedulerConfig(
+            max_num_seqs=8, max_num_batched_tokens=256,
+            prefill_chunk_size=128, max_model_len=512,
+            enable_prefix_caching=prefix_cache,
+            speculative=spec,
+        ),
+        seed=seed,
+    )
+
+
+def _gen(eng, prompts, **kw):
+    sp = SamplingParams(temperature=0.0, ignore_eos=True,
+                        max_tokens=kw.pop("max_tokens", 48), **kw)
+    outs = eng.generate([list(p) for p in prompts], sp)
+    return [o.outputs[0].token_ids for o in outs]
+
+
+REPETITIVE = [11, 12, 13, 14] * 6 + [11, 12, 13]
+
+
+def test_spec_matches_greedy_on_repetitive_prompt():
+    base = _gen(_make_engine(None), [REPETITIVE])
+    eng = _make_engine("ngram")
+    got = _gen(eng, [REPETITIVE])
+    assert got == base
+    assert eng.stats.spec_drafted > 0
+
+
+def test_spec_matches_greedy_on_random_prompt():
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, 128, size=33).tolist()
+    base = _gen(_make_engine(None), [prompt])
+    got = _gen(_make_engine("ngram"), [prompt])
+    assert got == base
+
+
+def test_spec_acceptance_on_cycling_output():
+    """Greedy decode from tiny random weights settles into a cycle;
+    once it does, prompt-lookup drafts from the generated history hit
+    and acceptance must climb above zero (seeds chosen to cycle)."""
+    for seed in (0, 1, 2, 3):
+        eng = _make_engine("ngram", seed=seed)
+        base = _gen(_make_engine(None, seed=seed), [REPETITIVE],
+                    max_tokens=96)
+        got = _gen(eng, [REPETITIVE], max_tokens=96)
+        assert got == base
+        if eng.stats.spec_accepted > 0:
+            return
+    pytest.skip("no seed cycled within 96 tokens (engine equality held)")
+
+
+def test_spec_with_prefix_caching():
+    base = _gen(_make_engine(None, prefix_cache=True), [REPETITIVE])
+    got = _gen(_make_engine("ngram", prefix_cache=True), [REPETITIVE])
+    assert got == base
+
+
+def test_spec_respects_max_tokens():
+    base = _gen(_make_engine(None), [REPETITIVE], max_tokens=7)
+    got = _gen(_make_engine("ngram"), [REPETITIVE], max_tokens=7)
+    assert got == base
+    assert all(len(t) == 7 for t in got)
+
+
+def test_spec_stop_token_mid_draft():
+    """A stop token landing inside an accepted draft run must truncate
+    exactly where sequential decode would."""
+    base = _gen(_make_engine(None), [REPETITIVE], max_tokens=40)
+    stop_tok = base[0][len(base[0]) // 2]
+    sp = SamplingParams(temperature=0.0, max_tokens=40,
+                        stop_token_ids=[stop_tok])
+    b = _make_engine(None).generate([REPETITIVE], sp)[0].outputs[0]
+    g = _make_engine("ngram").generate([REPETITIVE], sp)[0].outputs[0]
+    assert g.token_ids == b.token_ids
+    assert g.finish_reason == b.finish_reason
+
+
+def test_spec_skipped_for_multi_request_batches():
+    """Two concurrent requests never take the spec path (batch rows are
+    real work, not padding) — outputs still match non-spec."""
+    rng = np.random.default_rng(5)
+    p2 = rng.integers(0, 128, size=21).tolist()
+    base = _gen(_make_engine(None), [REPETITIVE, p2])
+    got = _gen(_make_engine("ngram"), [REPETITIVE, p2])
+    assert got == base
+
+
+def test_spec_wide_draft_window_rides_bigger_buckets():
+    """spec_draft_len > 7 verifies through the T=16/32 buckets; output
+    equality must hold across the bucket boundary."""
+    cfg = ModelConfig(
+        architecture="LlamaForCausalLM", hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        vocab_size=128, max_model_len=512, dtype=jnp.float32,
+        eos_token_ids=[],
+    )
+    eng = LLMEngine(
+        cfg,
+        CacheConfig(block_size=8, num_gpu_blocks=128, num_cpu_blocks=0),
+        SchedulerConfig(
+            max_num_seqs=8, max_num_batched_tokens=256,
+            prefill_chunk_size=128, max_model_len=512,
+            enable_prefix_caching=False,
+            speculative="ngram", spec_draft_len=24,
+        ),
+        seed=0,
+    )
+    base = _gen(_make_engine(None), [REPETITIVE], max_tokens=96)
+    sp = SamplingParams(temperature=0.0, ignore_eos=True, max_tokens=96)
+    got = [o.outputs[0].token_ids
+           for o in eng.generate([list(REPETITIVE)], sp)]
+    assert got == base
+
+
+def test_spec_sampling_requests_fall_back():
+    """Non-greedy requests bypass speculation entirely and stay
+    seed-deterministic."""
+    sp = SamplingParams(temperature=0.8, seed=7, max_tokens=24,
+                        ignore_eos=True)
+    b = _make_engine(None).generate([REPETITIVE], sp)[0].outputs[0]
+    g = _make_engine("ngram").generate([REPETITIVE], sp)[0].outputs[0]
+    assert g.token_ids == b.token_ids
