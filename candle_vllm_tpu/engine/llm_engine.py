@@ -1220,122 +1220,221 @@ class LLMEngine:
         return self._collect_outputs(finished_groups, sched_out)
 
     # -- speculative decode (engine/spec.py) --------------------------------
-    def _spec_step(self, sched_out, group, seq, step_start):
-        """Verify prompt-lookup drafts in ONE dispatch: the decode
-        bucket's T=8 rows are weight-bound padding anyway, so feeding
-        [last_token, d1..dk] as a causal chunk and reading logits at
-        every row costs exactly one decode step and nets 1..k+1 tokens.
-        Greedy acceptance reproduces the sequential argmax chain
-        bit-exactly.  Returns None to fall back to the normal path
-        (no draft / no room).  Beyond the reference's scope — the one
-        structural lever past the single-request weight-stream wall."""
-        from candle_vllm_tpu.engine.spec import ngram_draft
+    def _device_spec_loop(
+        self,
+        params,
+        kv_pages,
+        hist,        # [HL] i32 token history (garbage beyond cur_len)
+        cur_len,     # [] i32
+        pt_row,      # [MAXP] i32 page table of the lone sequence
+        st,          # SamplingTensors (greedy rows)
+        key_idx,     # [] i32
+        *,
+        n_steps: int,
+        want_logprobs: int,
+    ):
+        """Device-resident speculative decode loop: each micro-step
+        PROPOSES drafts by n-gram lookup over the on-device history,
+        VERIFIES them in one 8-row causal chunk, and feeds the accepted
+        tokens back — no host round-trip anywhere in the chain.  The
+        worst case (no match, zero accepts) is one token per micro-step
+        at exactly the plain decode dispatch's cost; the best case is 8.
+        Greedy acceptance keeps outputs bit-exact vs sequential argmax."""
         from candle_vllm_tpu.ops.kv_cache import INVALID_SLOT
 
-        draft = ngram_draft(
-            seq.get_token_ids(), self._spec_draft, self._spec_ngram
+        D = 7                     # drafts per micro-step (T=8 bucket)
+        G = self._spec_ngram
+        page = self.cache_config.block_size
+        HL = hist.shape[0]
+        S = 8
+        win_idx = (
+            jnp.arange(HL - G, dtype=jnp.int32)[:, None]
+            + jnp.arange(G, dtype=jnp.int32)[None, :]
+        )                                                  # [HL-G, G]
+
+        def micro(k, carry):
+            kv_pages, hist, cur_len, out_pk, out_tv, out_ti, out_cnt = carry
+            # ---- propose: trailing G-gram lookup over the history ----
+            key_g = jax.lax.dynamic_slice(
+                hist, (jnp.maximum(cur_len - G, 0),), (G,)
+            )
+            windows = hist[win_idx]                        # [HL-G, G]
+            j_range = jnp.arange(HL - G, dtype=jnp.int32)
+            valid = j_range <= cur_len - G - 1             # earlier occurrence
+            match = (windows == key_g[None, :]).all(axis=1) & valid
+            # prefer the latest match whose continuation window is full
+            full = match & (j_range + G + D <= cur_len)
+            pick_full = jnp.max(jnp.where(full, j_range, -1))
+            pick_any = jnp.max(jnp.where(match, j_range, -1))
+            j = jnp.where(pick_full >= 0, pick_full, pick_any)
+            has = j >= 0
+            start_d = jnp.clip(
+                jnp.where(has, j + G, cur_len - 1), 0, HL - D
+            )
+            draft = jax.lax.dynamic_slice(hist, (start_d,), (D,))
+            # no-match fallback: repeat-last drafts (still exact; they
+            # simply fail verification and the step nets one token)
+            last = hist[jnp.maximum(cur_len - 1, 0)]
+            draft = jnp.where(has, draft, jnp.full((D,), last))
+
+            # ---- verify chunk: [last, d1..d7] at positions len-1.. ---
+            toks_in = jnp.concatenate([last[None], draft])  # [8]
+            pos = cur_len - 1 + jnp.arange(S, dtype=jnp.int32)
+            slots = pt_row[pos // page] * page + pos % page
+            s_k = StepInput(
+                token_ids=toks_in,
+                positions=pos,
+                slot_mapping=slots,
+                kv_lens=jnp.zeros(S, jnp.int32).at[0].set(cur_len - 1 + S),
+                page_tables=jnp.zeros(
+                    (S, pt_row.shape[0]), jnp.int32
+                ).at[0].set(pt_row),
+                cu_q_lens=jnp.full(S + 1, S, jnp.int32).at[0].set(0),
+                logits_idx=jnp.arange(S, dtype=jnp.int32),
+                decode_only=False,
+            )
+            logits, kv_pages = self.model.forward(params, kv_pages, s_k)
+            st_k = SamplingTensors(
+                temperature=st.temperature, top_k=st.top_k, top_p=st.top_p,
+                min_p=st.min_p, presence=st.presence, frequency=st.frequency,
+                repetition=st.repetition, last_tokens=st.last_tokens,
+                greedy=st.greedy, seeds=st.seeds,
+                seed_pos=st.seed_pos + k, seed_sub=st.seed_sub,
+            )
+            key = jax.random.fold_in(
+                jax.random.fold_in(self._base_key, key_idx), k
+            )
+            toks, lps = sample(
+                logits, st_k, key, greedy_only=True, penalties=False
+            )                                              # [S], [S]
+            # ---- accept: longest prefix where argmax chain == draft --
+            eq = (toks[: D] == draft).astype(jnp.int32)
+            acc = jnp.sum(jnp.cumprod(eq))
+            count = acc + 1
+            out_pk = out_pk.at[k].set(
+                jnp.stack([toks.astype(jnp.float32), lps])
+            )
+            out_cnt = out_cnt.at[k].set(count)
+            if want_logprobs:
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                tv, ti = jax.lax.top_k(logp, want_logprobs)
+                out_tv = out_tv.at[k].set(tv)
+                out_ti = out_ti.at[k].set(ti)
+            # ---- feed back: history gains the accepted run -----------
+            hist = jax.lax.dynamic_update_slice(
+                hist, toks.astype(jnp.int32), (cur_len,)
+            )
+            cur_len = cur_len + count
+            return kv_pages, hist, cur_len, out_pk, out_tv, out_ti, out_cnt
+
+        out_pk = jnp.zeros((n_steps, 2, S), jnp.float32)
+        out_tv = jnp.zeros((n_steps, S, max(want_logprobs, 1)), jnp.float32)
+        out_ti = jnp.zeros((n_steps, S, max(want_logprobs, 1)), jnp.int32)
+        out_cnt = jnp.zeros(n_steps, jnp.int32)
+        kv_pages, hist, cur_len, out_pk, out_tv, out_ti, out_cnt = (
+            jax.lax.fori_loop(
+                0, n_steps, micro,
+                (kv_pages, hist, cur_len, out_pk, out_tv, out_ti, out_cnt),
+            )
         )
-        if not draft:
+        if not want_logprobs:
+            out_tv = out_ti = None
+        return out_pk, out_tv, out_ti, out_cnt, kv_pages
+
+    def _spec_step(self, sched_out, group, seq, step_start):
+        """Dispatch the device-resident speculative loop
+        (_device_spec_loop): K micro-steps of propose+verify+feedback
+        entirely on device — the speculative analogue of the multi-token
+        decode dispatch, netting K..8K tokens per call at the same
+        device cost.  Returns None to fall back to the normal path
+        (no current n-gram match / no room / short history).  Beyond
+        the reference's scope — the one structural lever past the
+        single-request weight-stream wall."""
+        from candle_vllm_tpu.engine.spec import ngram_draft
+
+        # cheap host gate: only worth the chunk-shaped dispatches while
+        # the current text actually drafts (cycling/structured output);
+        # otherwise the pipelined multistep path is strictly better
+        if not ngram_draft(
+            seq.get_token_ids(), self._spec_draft, self._spec_ngram
+        ):
             return None
-        L = 1 + len(draft)
-        if seq.get_len() + L > self.scheduler_config.max_model_len:
+        K = max(1, self._multistep)
+        mml = self.scheduler_config.max_model_len
+        len0 = seq.get_len()
+        if len0 < self._spec_ngram + 2:
             return None
+        if len0 + 8 * K + 8 > mml:
+            return None  # tail of the context: normal path finishes
         if not self.block_engine.allocate_extend_for_chunk(
-            seq, seq.get_len() - 1 + L
+            seq, len0 + 8 * K
         ):
             return None
 
         page = self.cache_config.block_size
-        from candle_vllm_tpu.engine.input_builder import (
-            _SEQ_BUCKETS, _TOKEN_BUCKETS, bucket,
-        )
-
-        T = bucket(L, _TOKEN_BUCKETS)
-        S = bucket(L, _SEQ_BUCKETS)  # one logits row per verify position
-        maxp = (
-            self.scheduler_config.max_model_len + page - 1
-        ) // page
-        start = seq.num_computed_tokens
-        q_toks = [seq.get_token_ids()[-1]] + list(draft)
-        token_ids = np.zeros(T, np.int32)
-        token_ids[:L] = q_toks
-        positions = np.zeros(T, np.int32)
-        positions[:L] = np.arange(start, start + L)
+        maxp = (mml + page - 1) // page
+        HL = mml + 8 * K + 8
+        hist = np.zeros(HL, np.int32)
+        hist[:len0] = seq.get_token_ids()
         bids = np.asarray(self.block_engine.get_block_ids(seq), np.int32)
-        slots = np.full(T, INVALID_SLOT, np.int32)
-        slots[:L] = bids[positions[:L] // page] * page + positions[:L] % page
-        kv_lens = np.zeros(S, np.int32)
-        kv_lens[0] = start + L
-        pt = np.zeros((S, maxp), np.int32)
-        pt[0, : len(bids)] = bids
-        cu = np.full(S + 1, L, np.int32)
-        cu[0] = 0
-        # every chunk row's logits verify one draft position
-        logits_idx = np.minimum(np.arange(S, dtype=np.int32), L - 1)
-        step = StepInput(
-            token_ids=token_ids,
-            positions=positions,
-            slot_mapping=slots,
-            kv_lens=kv_lens,
-            page_tables=pt,
-            cu_q_lens=cu,
-            logits_idx=logits_idx,
-            decode_only=False,
-        )
+        pt_row = np.zeros(maxp, np.int32)
+        pt_row[: len(bids)] = bids
         sp = group.sampling_params
         st = SamplingTensors.build(
-            [sp], [[]], self.model_config.vocab_size, pad_to=S,
+            [sp], [[]], self.model_config.vocab_size, pad_to=8,
             positions=[seq.get_output_len()], sub_indices=[0],
         )
         wl = sp.logprobs or 0
         want_logprobs = 0 if wl == 0 else (8 if wl <= 8 else 20)
-        packed, top_vals, top_ids, _nxt, self.kv_pages = self._jit_step(
-            self.params, self.kv_pages, step, _NO_COPY, _NO_COPY, st,
+        if not hasattr(self, "_jit_spec"):
+            self._jit_spec = jax.jit(
+                self._device_spec_loop, donate_argnums=(1,),
+                static_argnames=("n_steps", "want_logprobs"),
+            )
+        out_pk, top_vals, top_ids, counts, self.kv_pages = self._jit_spec(
+            self.params, self.kv_pages, jnp.asarray(hist),
+            jnp.int32(len0), jnp.asarray(pt_row), st,
             np.int32(self._step_counter),
-            want_logprobs=want_logprobs,
-            greedy_only=True,
-            penalties=False,
-            dsa_prefill=False,
-            n_steps=1,
-            do_copy=False,
-            emit_next=False,
+            n_steps=K, want_logprobs=want_logprobs,
         )
         self._step_counter += 1
-        packed = np.asarray(packed)          # [1, 2, S]
-        toks_out = packed[0, 0].astype(np.int64)
-        lps = packed[0, 1]
+        out_pk = np.asarray(out_pk)          # [K, 2, 8]
+        counts = np.asarray(counts)          # [K]
         if want_logprobs:
             top_vals = np.asarray(top_vals)
             top_ids = np.asarray(top_ids)
-        a = 0
-        while a < len(draft) and int(toks_out[a]) == draft[a]:
-            a += 1
-        self.stats.spec_drafted += len(draft)
-        self.stats.spec_accepted += a
 
         now = time.monotonic()
         if group.metrics.get("first_token_time") is None:
             group.metrics["first_token_time"] = now
         appended = 0
-        for i in range(a + 1):
-            seq.num_computed_tokens += 1
-            seq.append_token(int(toks_out[i]), float(lps[i]))
-            appended += 1
-            if sp.logprobs and want_logprobs:
-                kk = min(sp.logprobs, top_ids.shape[2])
-                seq.output_logprobs.append(
-                    {
-                        "token": int(toks_out[i]),
-                        "logprob": float(lps[i]),
-                        "top": {
-                            int(top_ids[0, i, j]): float(top_vals[0, i, j])
-                            for j in range(kk)
-                        },
-                    }
-                )
-            self._maybe_finish(seq, group)
+        for k in range(K):
+            cnt = int(counts[k])
+            self.stats.spec_drafted += 7
+            self.stats.spec_accepted += cnt - 1
+            for i in range(cnt):
+                seq.num_computed_tokens += 1
+                tok = int(out_pk[k, 0, i])
+                seq.append_token(tok, float(out_pk[k, 1, i]))
+                appended += 1
+                if sp.logprobs and want_logprobs:
+                    kk = min(sp.logprobs, top_ids.shape[2])
+                    seq.output_logprobs.append(
+                        {
+                            "token": tok,
+                            "logprob": float(out_pk[k, 1, i]),
+                            "top": {
+                                int(top_ids[k, i, j]):
+                                float(top_vals[k, i, j])
+                                for j in range(kk)
+                            },
+                        }
+                    )
+                self._maybe_finish(seq, group)
+                if seq.is_finished:
+                    break
             if seq.is_finished:
-                break
+                break  # discard speculatively decoded tails
         finished_groups = self.scheduler.free_finished()
         self.stats.requests_finished += len(finished_groups)
         self.stats.record_step(

@@ -74,6 +74,8 @@ class EngineStats:
             "kv_usage": round(kv_usage, 4),
             "num_running": num_running,
             "num_waiting": num_waiting,
+            "spec_drafted": self.spec_drafted,
+            "spec_accepted": self.spec_accepted,
         }
 
     def prometheus(self, kv_usage: float, num_running: int, num_waiting: int) -> str:
