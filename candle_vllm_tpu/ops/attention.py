@@ -95,7 +95,7 @@ def ragged_paged_attention(
 
         return ragged_paged_attention_pallas(
             q, kv_pages, kv_lens, page_tables, cu_q_lens, spec=spec,
-            kv_scales=kv_scales, sinks=sinks,
+            kv_scales=kv_scales, sinks=sinks, decode_only=decode_only,
         )
     return _ragged_paged_attention_jnp(
         q, kv_pages, kv_lens, page_tables, cu_q_lens, spec=spec,

@@ -533,7 +533,9 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "bq", "interpret", "vmem_limit_bytes")
+    jax.jit,
+    static_argnames=("spec", "bq", "interpret", "vmem_limit_bytes",
+                     "decode_only"),
 )
 def ragged_paged_attention_pallas(
     q: jnp.ndarray,            # [T, H, D]
@@ -548,6 +550,7 @@ def ragged_paged_attention_pallas(
     bq: int = 64,
     interpret: bool | None = None,
     vmem_limit_bytes: int = 100 * 1024 * 1024,
+    decode_only: bool = False,
 ) -> jnp.ndarray:
     import dataclasses
 
@@ -570,7 +573,7 @@ def ragged_paged_attention_pallas(
         out = ragged_paged_attention_pallas(
             q, kv_pages, kv_lens, page_tables, cu_q_lens, kv_scales, sinks,
             spec=spec_p, bq=bq, interpret=interpret,
-            vmem_limit_bytes=vmem_limit_bytes,
+            vmem_limit_bytes=vmem_limit_bytes, decode_only=decode_only,
         )
         return out[..., :D]
     quantized = kv_scales is not None
@@ -589,7 +592,12 @@ def ragged_paged_attention_pallas(
     # the f32 sublane tiling minimum.
     import os
 
-    if T <= 8:
+    # decode-only batches of ANY width get the same shrink: with bq=8 a
+    # block's 8 rows span 8 DIFFERENT sequences, and each sequence's
+    # page loop runs the hb matrices over all 8 (7 masked) — O(bq) VPU
+    # waste per (seq, page-group) step that dominates aggregate decode
+    # (r5: 16-way aggregate collapsed 460 -> 257 tok/s before this)
+    if decode_only or T <= 8:
         bq_want = int(os.environ.get("CVT_ATTN_BQ", "8"))
         bq = min(bq, max(bq_want, -(-8 // G)))
     T_pad = pl.cdiv(T, bq) * bq
