@@ -117,10 +117,12 @@ def main() -> None:
                          "concurrent requests (N<=8 shares the single-"
                          "request T=8 decode bucket, so the weight "
                          "stream amortizes N ways); 0 disables")
-    ap.add_argument("--spec-demo", action="store_true",
+    ap.add_argument("--spec-demo", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="also measure speculative (ngram) decode on a "
                          "cyclic prompt — acceptance is data-dependent, "
-                         "so this is a labeled demo, not the headline")
+                         "so this is a labeled demo, not the headline "
+                         "(--no-spec-demo disables)")
     ap.add_argument("--wallclock-steps", type=int, default=128,
                     help="micro-steps per dispatch for the wall-clock "
                          "engine window (device time/call >> tunnel RTT "

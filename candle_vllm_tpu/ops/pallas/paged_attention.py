@@ -597,8 +597,11 @@ def ragged_paged_attention_pallas(
     # page loop runs the hb matrices over all 8 (7 masked) — O(bq) VPU
     # waste per (seq, page-group) step that dominates aggregate decode
     # (r5: 16-way aggregate collapsed 460 -> 257 tok/s before this)
+    # bq=2 default (r5 A/B): single-request 119-120 vs 118 (wash) and
+    # aggregate decode +23-32% (8-way turbo3 674 vs 549; 16-way 821 —
+    # the O(bq) masked rows per (seq, page-group) step dominate there)
     if decode_only or T <= 8:
-        bq_want = int(os.environ.get("CVT_ATTN_BQ", "8"))
+        bq_want = int(os.environ.get("CVT_ATTN_BQ", "2"))
         bq = min(bq, max(bq_want, -(-8 // G)))
     T_pad = pl.cdiv(T, bq) * bq
     if T_pad != T:
