@@ -106,9 +106,11 @@ def main() -> None:
                          "Quantized tiers run engine-only (the raw kernel "
                          "loop allocates bf16 pages); the wall-clock K=64 "
                          "engine window carries the number")
-    ap.add_argument("--block-size", type=int, default=128,
+    ap.add_argument("--block-size", type=int, default=256,
                     help="engine KV block size (TPU page DMA wants >=128; "
-                         "16-token vLLM-style blocks cost ~30%% decode)")
+                         "16-token vLLM-style blocks cost ~30%% decode; "
+                         "256 measured best for aggregate decode — r5 "
+                         "sweep: 16-way turbo3 871 vs 821 at 128)")
     ap.add_argument("--page-size", type=int, default=128,
                     help="kernel-path KV page size (attention DMA "
                          "granularity sweep)")
