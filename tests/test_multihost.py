@@ -30,7 +30,7 @@ from candle_vllm_tpu.parallel.multihost import (
 from candle_vllm_tpu.sampling_params import SamplingParams
 
 
-def make_engine():
+def make_engine(speculative=None):
     cfg = ModelConfig(
         architecture="LlamaForCausalLM",
         hidden_size=64,
@@ -39,14 +39,15 @@ def make_engine():
         num_attention_heads=4,
         num_key_value_heads=2,
         vocab_size=128,
-        max_model_len=128,
+        max_model_len=256,
         dtype=jnp.float32,
         eos_token_ids=[],
     )
     return LLMEngine(
         cfg,
-        CacheConfig(block_size=8, num_gpu_blocks=32, num_cpu_blocks=0),
-        SchedulerConfig(max_model_len=128, preemption_mode="recompute"),
+        CacheConfig(block_size=8, num_gpu_blocks=64, num_cpu_blocks=0),
+        SchedulerConfig(max_model_len=256, preemption_mode="recompute",
+                        speculative=speculative),
         seed=0,
     )
 
@@ -94,6 +95,55 @@ def test_request_bridge_lockstep():
     assert not t.is_alive()
     assert leader_tokens == follower_tokens
     assert len(leader_tokens) == 3
+
+
+def test_lockstep_with_speculative_decode():
+    """Speculative decode under multi-host lockstep: the per-step
+    spec-vs-multistep decision is a pure function of replicated state
+    (token history, block engine), so leader and follower must take the
+    SAME branch every step — a divergence would desync KV state and
+    hang real-pod collectives.  Cyclic prompt drives actual spec
+    dispatches (drafted > 0 asserted on both engines)."""
+    port = 19437
+    leader = make_engine(speculative="ngram")
+    follower = make_engine(speculative="ngram")
+
+    bridge = RequestBridge(port, num_followers=1)
+    follower_tokens = {}
+
+    def follower_main():
+        link = FollowerLink("127.0.0.1", port)
+
+        def on_step(outs):
+            for o in outs:
+                follower_tokens[o.request_id] = o.outputs[0].token_ids
+
+        link.run_engine_loop(follower, on_step=on_step)
+        link.close()
+
+    t = threading.Thread(target=follower_main)
+    t.start()
+    bridge.wait_for_followers()
+
+    rep = [11, 12, 13, 14] * 6 + [11, 12, 13]
+    sampling = {"temperature": 0.0, "max_tokens": 48, "ignore_eos": True}
+    leader.add_request("s0", prompt_token_ids=rep,
+                       sampling_params=SamplingParams(**sampling))
+    bridge.publish(IntakeEvent(kind="add", request_id="s0",
+                               prompt_token_ids=rep, sampling=sampling))
+    leader_tokens = {}
+    while leader.has_unfinished_requests():
+        bridge.publish(IntakeEvent(kind="step"))
+        for o in leader.step():
+            leader_tokens[o.request_id] = o.outputs[0].token_ids
+    bridge.close()
+    t.join(timeout=60)
+    assert not t.is_alive()
+    assert leader_tokens == follower_tokens
+    assert len(leader_tokens["s0"]) == 48
+    assert leader.stats.spec_drafted > 0
+    assert leader.stats.spec_drafted == follower.stats.spec_drafted
+    assert leader.stats.spec_accepted == follower.stats.spec_accepted
 
 
 _WORKER = r"""
