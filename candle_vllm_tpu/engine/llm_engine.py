@@ -1253,7 +1253,7 @@ class LLMEngine:
         )                                                  # [HL-G, G]
 
         def micro(k, carry):
-            kv_pages, hist, cur_len, out_pk, out_tv, out_ti, out_cnt = carry
+            kv_pages, hist, cur_len, out_pk, out_tv, out_ti = carry
             # ---- propose: trailing G-gram lookup over the history ----
             key_g = jax.lax.dynamic_slice(
                 hist, (jnp.maximum(cur_len - G, 0),), (G,)
@@ -1311,10 +1311,15 @@ class LLMEngine:
             eq = (toks[: D] == draft).astype(jnp.int32)
             acc = jnp.sum(jnp.cumprod(eq))
             count = acc + 1
+            # counts ride the packed array (row 2) so the host fetches
+            # ONE buffer per dispatch — each extra fetch pays a full
+            # tunnel/PCIe round-trip on the non-pipelined spec path
             out_pk = out_pk.at[k].set(
-                jnp.stack([toks.astype(jnp.float32), lps])
+                jnp.stack([
+                    toks.astype(jnp.float32), lps,
+                    jnp.full((S,), count, jnp.float32),
+                ])
             )
-            out_cnt = out_cnt.at[k].set(count)
             if want_logprobs:
                 logp = jax.nn.log_softmax(logits, axis=-1)
                 tv, ti = jax.lax.top_k(logp, want_logprobs)
@@ -1325,21 +1330,20 @@ class LLMEngine:
                 hist, toks.astype(jnp.int32), (cur_len,)
             )
             cur_len = cur_len + count
-            return kv_pages, hist, cur_len, out_pk, out_tv, out_ti, out_cnt
+            return kv_pages, hist, cur_len, out_pk, out_tv, out_ti
 
-        out_pk = jnp.zeros((n_steps, 2, S), jnp.float32)
+        out_pk = jnp.zeros((n_steps, 3, S), jnp.float32)
         out_tv = jnp.zeros((n_steps, S, max(want_logprobs, 1)), jnp.float32)
         out_ti = jnp.zeros((n_steps, S, max(want_logprobs, 1)), jnp.int32)
-        out_cnt = jnp.zeros(n_steps, jnp.int32)
-        kv_pages, hist, cur_len, out_pk, out_tv, out_ti, out_cnt = (
+        kv_pages, hist, cur_len, out_pk, out_tv, out_ti = (
             jax.lax.fori_loop(
                 0, n_steps, micro,
-                (kv_pages, hist, cur_len, out_pk, out_tv, out_ti, out_cnt),
+                (kv_pages, hist, cur_len, out_pk, out_tv, out_ti),
             )
         )
         if not want_logprobs:
             out_tv = out_ti = None
-        return out_pk, out_tv, out_ti, out_cnt, kv_pages
+        return out_pk, out_tv, out_ti, kv_pages
 
     def _spec_step(self, sched_out, group, seq, step_start):
         """Dispatch the device-resident speculative loop
@@ -1391,15 +1395,15 @@ class LLMEngine:
                 self._device_spec_loop, donate_argnums=(1,),
                 static_argnames=("n_steps", "want_logprobs"),
             )
-        out_pk, top_vals, top_ids, counts, self.kv_pages = self._jit_spec(
+        out_pk, top_vals, top_ids, self.kv_pages = self._jit_spec(
             self.params, self.kv_pages, jnp.asarray(hist),
             jnp.int32(len0), jnp.asarray(pt_row), st,
             np.int32(self._step_counter),
             n_steps=K, want_logprobs=want_logprobs,
         )
         self._step_counter += 1
-        out_pk = np.asarray(out_pk)          # [K, 2, 8]
-        counts = np.asarray(counts)          # [K]
+        out_pk = np.asarray(out_pk)          # [K, 3, 8] (row 2 = count)
+        counts = out_pk[:, 2, 0]             # [K]
         if want_logprobs:
             top_vals = np.asarray(top_vals)
             top_ids = np.asarray(top_ids)
