@@ -142,7 +142,8 @@ def main() -> None:
     spec = CONFIGS[args.config]
     hidden, inter, layers, heads, kv_heads, head_dim, vocab, quant, \
         baseline = spec[:9]
-    extra = spec[9] if len(spec) > 9 else {}
+    extra = dict(spec[9]) if len(spec) > 9 else {}
+    arch = extra.pop("architecture", "LlamaForCausalLM")
     PAGE = args.page_size
     CTX = args.ctx
     DECODE_STEPS = args.decode_steps
@@ -153,7 +154,7 @@ def main() -> None:
                         (2 + 24) * WC + WC, DECODE_STEPS + 512)
     mml = -(-(CTX + decode_budget) // 1024) * 1024
     cfg = ModelConfig(
-        architecture="LlamaForCausalLM",
+        architecture=arch,
         hidden_size=hidden,
         intermediate_size=inter,
         num_hidden_layers=layers,
@@ -612,9 +613,12 @@ def main() -> None:
             "engine_host_ms_per_dispatch": [round(h, 1) for h in host_ms]
             if host_ms else None,
             "engine_rate_model": "tok_per_call/max(device_call,host_call); "
-            "device from kernel loop (or K=64 wall-clock window), "
-            "host=wall/call-RTT (pipelined decode overlaps device with "
-            "host+RTT); engine_wallclock_tok_s is the model-free check"
+            "device from kernel loop (or the wall-clock window), "
+            "host=wall/call-RTT — NOTE the host-side profile "
+            "(tools/prof_host_r5.py) shows ~98% of that term is the "
+            "blocking fetch of the in-flight dispatch (device time), "
+            "true host work is ~4 ms/dispatch; engine_wallclock_tok_s "
+            "is the model-free check, engine_agg_tok_s is wall-based"
             if not args.skip_engine else None,
             "engine_agg_tok_s": round(agg_tok_s, 1) if agg_tok_s else None,
             "engine_agg_concurrency": args.concurrency or None,
