@@ -447,9 +447,13 @@ class LLMEngine:
         # speculative decoding (opt-in; engine/spec.py): prompt-lookup
         # drafts verified in the decode bucket's padding rows
         self._spec = scheduler_config.speculative
-        # draft window caps at 63: verify rows ride the T=8..64 token
-        # buckets at ~constant device cost (weight-bound rows)
-        self._spec_draft = max(1, min(int(scheduler_config.spec_draft_len), 63))
+        # draft window snaps DOWN to a bucket boundary (7/15/31/63
+        # drafts -> 8/16/32/64 verify rows riding the token buckets at
+        # ~constant device cost — rows are weight-bound and share the
+        # page stream)
+        want_d = max(1, min(int(scheduler_config.spec_draft_len), 63))
+        self._spec_draft = max(d for d in (7, 15, 31, 63) if d <= want_d) \
+            if want_d >= 7 else 7
         self._spec_ngram = max(1, int(scheduler_config.spec_ngram))
 
     # -- the single-dispatch device step -----------------------------------
@@ -1232,21 +1236,23 @@ class LLMEngine:
         *,
         n_steps: int,
         want_logprobs: int,
+        draft_len: int = 7,
     ):
         """Device-resident speculative decode loop: each micro-step
         PROPOSES drafts by n-gram lookup over the on-device history,
-        VERIFIES them in one 8-row causal chunk, and feeds the accepted
-        tokens back — no host round-trip anywhere in the chain.  The
-        worst case (no match, zero accepts) is one token per micro-step
-        at exactly the plain decode dispatch's cost; the best case is 8.
-        Greedy acceptance keeps outputs bit-exact vs sequential argmax."""
-        from candle_vllm_tpu.ops.kv_cache import INVALID_SLOT
-
-        D = 7                     # drafts per micro-step (T=8 bucket)
+        VERIFIES them in one (draft_len+1)-row causal chunk, and feeds
+        the accepted tokens back — no host round-trip anywhere in the
+        chain.  The worst case (no match, zero accepts) is one token
+        per micro-step at ~the plain decode dispatch's cost; the best
+        case is draft_len+1.  Wider windows ride the T=16/32/64 token
+        buckets at near-constant device cost (rows are weight-bound;
+        the page stream is shared across rows).  Greedy acceptance
+        keeps outputs bit-exact vs sequential argmax."""
+        D = draft_len             # drafts per micro-step (S = D+1 rows)
         G = self._spec_ngram
         page = self.cache_config.block_size
         HL = hist.shape[0]
-        S = 8
+        S = D + 1
         win_idx = (
             jnp.arange(HL - G, dtype=jnp.int32)[:, None]
             + jnp.arange(G, dtype=jnp.int32)[None, :]
@@ -1364,20 +1370,22 @@ class LLMEngine:
         ):
             return None
         K = max(1, self._multistep)
+        D = self._spec_draft
+        L = D + 1
         mml = self.scheduler_config.max_model_len
         len0 = seq.get_len()
         if len0 < self._spec_ngram + 2:
             return None
-        if len0 + 8 * K + 8 > mml:
+        if len0 + L * K + L > mml:
             return None  # tail of the context: normal path finishes
         if not self.block_engine.allocate_extend_for_chunk(
-            seq, len0 + 8 * K
+            seq, len0 + L * K
         ):
             return None
 
         page = self.cache_config.block_size
         maxp = (mml + page - 1) // page
-        HL = mml + 8 * K + 8
+        HL = mml + L * (K + 1)
         hist = np.zeros(HL, np.int32)
         hist[:len0] = seq.get_token_ids()
         bids = np.asarray(self.block_engine.get_block_ids(seq), np.int32)
@@ -1385,7 +1393,7 @@ class LLMEngine:
         pt_row[: len(bids)] = bids
         sp = group.sampling_params
         st = SamplingTensors.build(
-            [sp], [[]], self.model_config.vocab_size, pad_to=8,
+            [sp], [[]], self.model_config.vocab_size, pad_to=L,
             positions=[seq.get_output_len()], sub_indices=[0],
         )
         wl = sp.logprobs or 0
@@ -1393,13 +1401,13 @@ class LLMEngine:
         if not hasattr(self, "_jit_spec"):
             self._jit_spec = jax.jit(
                 self._device_spec_loop, donate_argnums=(1,),
-                static_argnames=("n_steps", "want_logprobs"),
+                static_argnames=("n_steps", "want_logprobs", "draft_len"),
             )
         out_pk, top_vals, top_ids, self.kv_pages = self._jit_spec(
             self.params, self.kv_pages, jnp.asarray(hist),
             jnp.int32(len0), jnp.asarray(pt_row), st,
             np.int32(self._step_counter),
-            n_steps=K, want_logprobs=want_logprobs,
+            n_steps=K, want_logprobs=want_logprobs, draft_len=D,
         )
         self._step_counter += 1
         out_pk = np.asarray(out_pk)          # [K, 3, 8] (row 2 = count)
@@ -1414,7 +1422,7 @@ class LLMEngine:
         appended = 0
         for k in range(K):
             cnt = int(counts[k])
-            self.stats.spec_drafted += 7
+            self.stats.spec_drafted += D
             self.stats.spec_accepted += cnt - 1
             for i in range(cnt):
                 seq.num_computed_tokens += 1
