@@ -550,8 +550,10 @@ def main() -> None:
         )
         cyc = rng.integers(0, cfg.vocab_size, size=64).astype(np.int32)
         prompt3 = np.tile(cyc, -(-CTX // 64))[:CTX]
+        # budget the whole context tail: at full acceptance a 31-draft
+        # window can emit ~256 tokens per warm-up dispatch
         sp3 = SamplingParams(temperature=0.0, ignore_eos=True,
-                             max_tokens=1500)
+                             max_tokens=max(mml - CTX - 64, 512))
         eng2.add_request("spec", prompt_token_ids=list(prompt3),
                          sampling_params=sp3)
         sseq = eng2._groups["spec"].get_seqs()[0]
