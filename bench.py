@@ -385,9 +385,9 @@ def main() -> None:
             d_eng = time.time() - t0
             produced = seq.get_output_len() - n0
             tokens_per_call = produced / max(n_calls, 1)
-            host_call = max(d_eng / max(n_calls, 1) - rtt, 1e-9)
-            host_ms.append(host_call * 1e3)
-            rates.append((tokens_per_call, host_call))
+            wall_call = d_eng / max(n_calls, 1)
+            host_ms.append(max(wall_call - rtt, 0.0) * 1e3)
+            rates.append((tokens_per_call, wall_call))
         eng.abort_request("bench")
         eng.step()  # flush any in-flight pipelined dispatch
         while eng.has_unfinished_requests():
@@ -450,11 +450,17 @@ def main() -> None:
         # runs where the bf16 kernel loop is skipped
         device_rate = toks_per_s or wallclock_adj_tok_s or wallclock_tok_s
         resolved = []
-        for tokens_per_call, host_call in rates:
-            device_call = (
-                tokens_per_call / device_rate if device_rate else 0.0
-            )
-            resolved.append(tokens_per_call / max(device_call, host_call))
+        for tokens_per_call, wall_call in rates:
+            if device_rate:
+                device_call = tokens_per_call / device_rate
+                resolved.append(
+                    tokens_per_call / max(device_call, wall_call - rtt)
+                )
+            else:
+                # no device estimate: raw wall is the honest bound (the
+                # pipelined wall ~= device once device > host+RTT;
+                # subtracting RTT here would OVERSTATE the rate)
+                resolved.append(tokens_per_call / wall_call)
         rates = resolved
         engine_tok_s = sorted(rates)[1] if rates else None
 
