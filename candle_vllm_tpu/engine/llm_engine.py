@@ -781,14 +781,17 @@ class LLMEngine:
             return False
         if self.scheduler.waiting or self.scheduler.swapped:
             return False  # admit / swap-in via a normal scheduler pass
-        if self._spec and len(prev.row_seqs) == 1:
-            # a draftable lone sequence should take the speculative
-            # path next step instead of chaining 1-token micro-steps
+        if self._spec:
+            # any draftable sequence should take the speculative path
+            # next step instead of chaining 1-token micro-steps
             from candle_vllm_tpu.engine.spec import ngram_draft
 
-            if ngram_draft(
-                prev.row_seqs[0].get_token_ids(),
-                self._spec_draft, self._spec_ngram,
+            if any(
+                ngram_draft(
+                    seq.get_token_ids(), self._spec_draft,
+                    self._spec_ngram,
+                )
+                for seq in prev.row_seqs
             ):
                 return False
         K = prev.n_steps
@@ -972,29 +975,36 @@ class LLMEngine:
             for sg in sched_out.scheduled
             for sid, q in sg.token_chunks.items()
         ]
-        # speculative decode: a lone greedy decode row with an n-gram
-        # draft runs as a verify chunk instead (engine/spec.py); falls
-        # through to the normal path when no draft matches
+        # speculative decode (engine/spec.py): greedy decode rows with
+        # n-gram drafts run as verify chunks instead.  A lone sequence
+        # takes the chained DEVICE loop (_spec_step); a batch of 2+
+        # verifies per-sequence drafts in one ragged chunk dispatch
+        # (_batch_spec_step).  Falls through when nothing drafts.
         if (
             self._spec
-            and len(sched_rows) == 1
-            and sched_rows[0][2] == 1
+            and sched_rows
+            and all(q == 1 for _, _, q in sched_rows)
             and not sched_out.blocks_to_copy
             and not hasattr(self.model, "make_caches")
             and not getattr(self.model, "has_dsa", False)
+            and all(
+                g.sampling_params.is_greedy
+                and not g.sampling_params.has_penalties
+                and g.sampling_params.n == 1
+                and len(g.seqs) == 1
+                and s.num_computed_tokens == s.get_len() - 1
+                for g, s, _ in sched_rows
+            )
         ):
-            g0, seq0, _ = sched_rows[0]
-            sp0 = g0.sampling_params
-            if (
-                sp0.is_greedy
-                and not sp0.has_penalties
-                and sp0.n == 1
-                and len(g0.seqs) == 1
-                and seq0.num_computed_tokens == seq0.get_len() - 1
-            ):
+            if len(sched_rows) == 1:
+                g0, seq0, _ = sched_rows[0]
                 out = self._spec_step(sched_out, g0, seq0, step_start)
-                if out is not None:
-                    return out
+            else:
+                out = self._batch_spec_step(
+                    sched_out, sched_rows, step_start
+                )
+            if out is not None:
+                return out
         if sched_rows:
             # latency-sensitive requests can cap the fused micro-steps
             # (decode_steps=1 restores per-token streaming cadence); the
@@ -1447,6 +1457,159 @@ class LLMEngine:
                     break
             if seq.is_finished:
                 break  # discard speculatively decoded tails
+        finished_groups = self.scheduler.free_finished()
+        self.stats.requests_finished += len(finished_groups)
+        self.stats.record_step(
+            prefill_tokens=0,
+            decode_tokens=appended,
+            step_time=time.monotonic() - step_start,
+        )
+        return self._collect_outputs(finished_groups, sched_out)
+
+    def _batch_spec_step(self, sched_out, sched_rows, step_start):
+        """Batched speculative verify: every drafting sequence
+        contributes a [last, d1..dk] causal chunk to ONE ragged
+        dispatch (non-drafting rows ride along with q_len=1), and the
+        logits slots cover EVERY packed row — so the weight pass and
+        each sequence's KV stream are paid once for up to k+1 tokens
+        per sequence.  The aggregate analogue of the single-sequence
+        device loop; acceptance semantics identical (bit-exact greedy).
+        Returns None when no row drafts (normal multistep path wins)."""
+        from candle_vllm_tpu.engine.input_builder import (
+            _SEQ_BUCKETS, _TOKEN_BUCKETS, bucket,
+        )
+        from candle_vllm_tpu.engine.spec import ngram_draft
+        from candle_vllm_tpu.ops.kv_cache import INVALID_SLOT
+
+        mml = self.scheduler_config.max_model_len
+        page = self.cache_config.block_size
+        # per-row draft budget keeps the chunk inside the T=256 bucket
+        D = min(self._spec_draft, max(1, 256 // len(sched_rows) - 1), 15)
+        rows = []
+        any_draft = False
+        for g, seq, _ in sched_rows:
+            draft = ngram_draft(
+                seq.get_token_ids(), D, self._spec_ngram
+            )
+            L = 1 + len(draft)
+            if (
+                draft
+                and seq.get_len() + L <= mml
+                and self.block_engine.allocate_extend_for_chunk(
+                    seq, seq.get_len() - 1 + L
+                )
+            ):
+                any_draft = True
+            else:
+                draft = []
+                L = 1
+            rows.append((g, seq, draft, L))
+        if not any_draft:
+            return None
+
+        total = sum(L for _, _, _, L in rows)
+        T = bucket(total, _TOKEN_BUCKETS)
+        # one logits slot per packed row: S covers the token count
+        S = bucket(total, _SEQ_BUCKETS)
+        maxp = (mml + page - 1) // page
+        token_ids = np.zeros(T, np.int32)
+        positions = np.zeros(T, np.int32)
+        slots = np.full(T, INVALID_SLOT, np.int32)
+        kv_lens = np.zeros(S, np.int32)
+        pt = np.zeros((S, maxp), np.int32)
+        cu = np.zeros(S + 1, np.int32)
+        t = 0
+        for i, (g, seq, draft, L) in enumerate(rows):
+            start = seq.num_computed_tokens
+            token_ids[t] = seq.get_token_ids()[-1]
+            token_ids[t + 1 : t + L] = draft
+            pos = np.arange(start, start + L, dtype=np.int32)
+            positions[t : t + L] = pos
+            bids = np.asarray(
+                self.block_engine.get_block_ids(seq), np.int32
+            )
+            slots[t : t + L] = bids[pos // page] * page + pos % page
+            kv_lens[i] = start + L
+            pt[i, : len(bids)] = bids
+            t += L
+            cu[i + 1] = t
+        cu[len(rows) + 1 :] = t
+        logits_idx = np.minimum(
+            np.arange(S, dtype=np.int32), max(t - 1, 0)
+        )
+        step = StepInput(
+            token_ids=token_ids,
+            positions=positions,
+            slot_mapping=slots,
+            kv_lens=kv_lens,
+            page_tables=pt,
+            cu_q_lens=cu,
+            logits_idx=logits_idx,
+            decode_only=False,
+        )
+        params_rows = [g.sampling_params for g, _, _, _ in rows]
+        st = SamplingTensors.build(
+            params_rows, [[] for _ in rows],
+            self.model_config.vocab_size, pad_to=S,
+            positions=[s.get_output_len() for _, s, _, _ in rows],
+            sub_indices=[0] * len(rows),
+        )
+        wl = max((p.logprobs or 0) for p in params_rows)
+        want_logprobs = 0 if wl == 0 else (8 if wl <= 8 else 20)
+        packed, top_vals, top_ids, _nxt, self.kv_pages = self._jit_step(
+            self.params, self.kv_pages, step, _NO_COPY, _NO_COPY, st,
+            np.int32(self._step_counter),
+            want_logprobs=want_logprobs,
+            greedy_only=True,
+            penalties=False,
+            dsa_prefill=False,
+            n_steps=1,
+            do_copy=False,
+            emit_next=False,
+        )
+        self._step_counter += 1
+        packed = np.asarray(packed)          # [1, 2, S]
+        toks_out = packed[0, 0].astype(np.int64)
+        lps = packed[0, 1]
+        if want_logprobs:
+            top_vals = np.asarray(top_vals)
+            top_ids = np.asarray(top_ids)
+
+        now = time.monotonic()
+        appended = 0
+        t = 0
+        for g, seq, draft, L in rows:
+            base = t
+            t += L
+            a = 0
+            while a < len(draft) and int(toks_out[base + a]) == draft[a]:
+                a += 1
+            self.stats.spec_drafted += len(draft)
+            self.stats.spec_accepted += a
+            if g.metrics.get("first_token_time") is None:
+                g.metrics["first_token_time"] = now
+            sp = g.sampling_params
+            for i in range(a + 1):
+                seq.num_computed_tokens += 1
+                tok = int(toks_out[base + i])
+                seq.append_token(tok, float(lps[base + i]))
+                appended += 1
+                if sp.logprobs and want_logprobs:
+                    kk = min(sp.logprobs, top_ids.shape[2])
+                    seq.output_logprobs.append(
+                        {
+                            "token": tok,
+                            "logprob": float(lps[base + i]),
+                            "top": {
+                                int(top_ids[0, base + i, j]):
+                                float(top_vals[0, base + i, j])
+                                for j in range(kk)
+                            },
+                        }
+                    )
+                self._maybe_finish(seq, g)
+                if seq.is_finished:
+                    break
         finished_groups = self.scheduler.free_finished()
         self.stats.requests_finished += len(finished_groups)
         self.stats.record_step(

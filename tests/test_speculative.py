@@ -138,13 +138,35 @@ def test_spec_stop_token_mid_draft():
     assert g.finish_reason == b.finish_reason
 
 
-def test_spec_skipped_for_multi_request_batches():
-    """Two concurrent requests never take the spec path (batch rows are
-    real work, not padding) — outputs still match non-spec."""
+def test_batch_spec_mixed_draftable_matches_greedy():
+    """Two concurrent requests (one repetitive, one random) take the
+    BATCHED verify path — per-sequence drafts in one ragged chunk —
+    and outputs stay bit-identical to non-spec decode."""
     rng = np.random.default_rng(5)
     p2 = rng.integers(0, 128, size=21).tolist()
     base = _gen(_make_engine(None), [REPETITIVE, p2])
-    got = _gen(_make_engine("ngram"), [REPETITIVE, p2])
+    eng = _make_engine("ngram")
+    got = _gen(eng, [REPETITIVE, p2])
+    assert got == base
+    assert eng.stats.spec_drafted > 0
+
+
+def test_batch_spec_four_sequences():
+    prompts = [
+        REPETITIVE,
+        [21, 22, 23] * 8 + [21, 22],
+        np.random.default_rng(9).integers(0, 128, size=17).tolist(),
+        [5, 6] * 12 + [5],
+    ]
+    base = _gen(_make_engine(None), prompts, max_tokens=40)
+    got = _gen(_make_engine("ngram"), prompts, max_tokens=40)
+    assert got == base
+
+
+def test_batch_spec_with_prefix_caching():
+    prompts = [REPETITIVE, [31, 32, 33, 34] * 7 + [31, 32, 33]]
+    base = _gen(_make_engine(None, prefix_cache=True), prompts)
+    got = _gen(_make_engine("ngram", prefix_cache=True), prompts)
     assert got == base
 
 
