@@ -528,6 +528,7 @@ def main() -> None:
 
     # ---- speculative decode demo (opt-in, labeled) -------------------
     spec_tok_s = spec_adj_tok_s = spec_accept = spec_tpd = None
+    spec_agg_tok_s = spec_agg_adj_tok_s = None
     if args.spec_demo:
         from candle_vllm_tpu.config import SchedulerConfig
         from candle_vllm_tpu.engine.llm_engine import LLMEngine
@@ -545,10 +546,15 @@ def main() -> None:
                 rtts.append(time.time() - t0)
             rtt = min(rtts)
         bs = args.block_size
+        n_spec = min(args.concurrency or 0, 8)
         eng2 = LLMEngine(
             cfg,
-            CacheConfig(block_size=bs, num_gpu_blocks=mml // bs + 8,
-                        num_cpu_blocks=0, kv_cache_dtype=args.kv_dtype),
+            CacheConfig(
+                block_size=bs,
+                num_gpu_blocks=(n_spec + 1)
+                * ((CTX + 2048) // bs + 3) + 8,
+                num_cpu_blocks=0, kv_cache_dtype=args.kv_dtype,
+            ),
             SchedulerConfig(max_model_len=mml,
                             enable_prefix_caching=False,
                             speculative="ngram", spec_draft_len=31),
@@ -589,6 +595,40 @@ def main() -> None:
         if drafted:
             spec_accept = (eng2.stats.spec_accepted - a0) / drafted
         eng2.abort_request("spec")
+        eng2.step()
+        while eng2.has_unfinished_requests():
+            eng2.step()
+
+        # batched speculative verify: N cyclic requests share ragged
+        # chunk dispatches (per-seq drafts; _batch_spec_step)
+        if n_spec >= 2:
+            for r in range(n_spec):
+                cy = rng.integers(0, cfg.vocab_size, size=64).astype(
+                    np.int32
+                )
+                pr = np.tile(cy, -(-CTX // 64))[:CTX]
+                eng2.add_request(f"sd{r}", prompt_token_ids=list(pr),
+                                 sampling_params=sp3)
+            for _ in range(n_spec + 4):  # prefills + warm chunk shapes
+                eng2.step()
+            sseqs = [eng2._groups[f"sd{r}"].get_seqs()[0]
+                     for r in range(n_spec)]
+            n0 = sum(s.get_output_len() for s in sseqs)
+            n_calls = 0
+            t0 = time.time()
+            while (sum(s.get_output_len() for s in sseqs) - n0
+                   < 192 * n_spec and eng2.has_unfinished_requests()):
+                eng2.step()
+                n_calls += 1
+            d_sagg = time.time() - t0
+            produced = sum(s.get_output_len() for s in sseqs) - n0
+            if produced and n_calls:
+                spec_agg_tok_s = produced / d_sagg
+                spec_agg_adj_tok_s = produced / max(
+                    d_sagg - rtt * n_calls, 0.5 * d_sagg
+                )
+            for r in range(n_spec):
+                eng2.abort_request(f"sd{r}")
 
     hbm_bw = 819e9  # v5e
     sol_toks = hbm_bw / (stream_bytes + kv_stream_bytes)
@@ -640,6 +680,10 @@ def main() -> None:
             if spec_accept is not None else None,
             "spec_demo_tokens_per_dispatch": round(spec_tpd, 2)
             if spec_tpd else None,
+            "spec_demo_agg_tok_s": round(spec_agg_tok_s, 1)
+            if spec_agg_tok_s else None,
+            "spec_demo_agg_rtt_adj_tok_s": round(spec_agg_adj_tok_s, 1)
+            if spec_agg_adj_tok_s else None,
             "tunnel_rtt_ms_adjusted": True,
             "tunnel_rtt_ms": round(rtt * 1e3, 1)
             if not args.skip_engine or args.spec_demo else None,
