@@ -546,13 +546,14 @@ def main() -> None:
                 rtts.append(time.time() - t0)
             rtt = min(rtts)
         bs = args.block_size
-        n_spec = min(args.concurrency or 0, 8)
+        # 4 batched requests keep the demo KV under ~5 GB next to the
+        # 4.9 GB params + prefill workspace (8 OOM'd at 4k ctx, r5c)
+        n_spec = min(args.concurrency or 0, 4)
         eng2 = LLMEngine(
             cfg,
             CacheConfig(
                 block_size=bs,
-                num_gpu_blocks=(n_spec + 1)
-                * ((CTX + 2048) // bs + 3) + 8,
+                num_gpu_blocks=(n_spec + 1) * (mml // bs + 2) + 8,
                 num_cpu_blocks=0, kv_cache_dtype=args.kv_dtype,
             ),
             SchedulerConfig(max_model_len=mml,
