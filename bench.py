@@ -546,9 +546,14 @@ def main() -> None:
                 rtts.append(time.time() - t0)
             rtt = min(rtts)
         bs = args.block_size
-        # 4 batched requests keep the demo KV under ~5 GB next to the
-        # 4.9 GB params + prefill workspace (8 OOM'd at 4k ctx, r5c)
-        n_spec = min(args.concurrency or 0, 4)
+        # the BATCH spec phase needs (N+1) full-context KV allocations;
+        # after the kernel+engine phases the backend pins enough HBM
+        # that it OOMs (measured r5c), so it only runs standalone
+        # (--skip-kernel --skip-engine --spec-demo --concurrency N)
+        n_spec = (
+            min(args.concurrency or 0, 8)
+            if (args.skip_engine and args.skip_kernel) else 0
+        )
         eng2 = LLMEngine(
             cfg,
             CacheConfig(
