@@ -1466,150 +1466,241 @@ class LLMEngine:
         )
         return self._collect_outputs(finished_groups, sched_out)
 
-    def _batch_spec_step(self, sched_out, sched_rows, step_start):
-        """Batched speculative verify: every drafting sequence
-        contributes a [last, d1..dk] causal chunk to ONE ragged
-        dispatch (non-drafting rows ride along with q_len=1), and the
-        logits slots cover EVERY packed row — so the weight pass and
-        each sequence's KV stream are paid once for up to k+1 tokens
-        per sequence.  The aggregate analogue of the single-sequence
-        device loop; acceptance semantics identical (bit-exact greedy).
-        Returns None when no row drafts (normal multistep path wins)."""
-        from candle_vllm_tpu.engine.input_builder import (
-            _SEQ_BUCKETS, _TOKEN_BUCKETS, bucket,
-        )
-        from candle_vllm_tpu.engine.spec import ngram_draft
+    def _device_batch_spec_loop(
+        self,
+        params,
+        kv_pages,
+        hist,        # [N, HL] i32 per-sequence histories
+        cur_lens,    # [N] i32
+        pts,         # [N, MAXP] i32 page tables
+        st,          # SamplingTensors (greedy rows, pad_to = T)
+        key_idx,     # [] i32
+        *,
+        n_steps: int,
+        want_logprobs: int,
+    ):
+        """Device-chained BATCHED speculation: the N-sequence analogue
+        of _device_spec_loop.  Every micro-step proposes per-sequence
+        n-gram drafts (vmapped lookup over the [N, HL] histories),
+        verifies all of them in ONE fixed-layout chunk (sequence i owns
+        rows [8i, 8i+8): last token + 7 drafts), and feeds each
+        sequence's accepted run back — K micro-steps per host
+        round-trip.  Inactive padding sequences (cur_len 0) mask out
+        via INVALID slots + empty cu spans."""
         from candle_vllm_tpu.ops.kv_cache import INVALID_SLOT
 
-        mml = self.scheduler_config.max_model_len
+        D = 7
+        L = D + 1
+        G = self._spec_ngram
         page = self.cache_config.block_size
-        # per-row draft budget keeps the chunk inside the T=256 bucket
-        D = min(self._spec_draft, max(1, 256 // len(sched_rows) - 1), 15)
-        rows = []
-        any_draft = False
-        for g, seq, _ in sched_rows:
-            draft = ngram_draft(
-                seq.get_token_ids(), D, self._spec_ngram
-            )
-            L = 1 + len(draft)
-            if (
-                draft
-                and seq.get_len() + L <= mml
-                and self.block_engine.allocate_extend_for_chunk(
-                    seq, seq.get_len() - 1 + L
-                )
-            ):
-                any_draft = True
-            else:
-                draft = []
-                L = 1
-            rows.append((g, seq, draft, L))
-        if not any_draft:
-            return None
+        N, HL = hist.shape
+        T = N * L
+        win_idx = (
+            jnp.arange(HL - G, dtype=jnp.int32)[:, None]
+            + jnp.arange(G, dtype=jnp.int32)[None, :]
+        )                                                  # [HL-G, G]
+        j_range = jnp.arange(HL - G, dtype=jnp.int32)
+        seq_rows = jnp.arange(N, dtype=jnp.int32)
 
-        total = sum(L for _, _, _, L in rows)
-        T = bucket(total, _TOKEN_BUCKETS)
-        # one logits slot per packed row: S covers the token count
-        S = bucket(total, _SEQ_BUCKETS)
+        def propose_one(h, cl):
+            key_g = jax.lax.dynamic_slice(h, (jnp.maximum(cl - G, 0),), (G,))
+            windows = h[win_idx]
+            valid = j_range <= cl - G - 1
+            match = (windows == key_g[None, :]).all(axis=1) & valid
+            full = match & (j_range + G + D <= cl)
+            pick_full = jnp.max(jnp.where(full, j_range, -1))
+            pick_any = jnp.max(jnp.where(match, j_range, -1))
+            j = jnp.where(pick_full >= 0, pick_full, pick_any)
+            has = j >= 0
+            start_d = jnp.clip(jnp.where(has, j + G, cl - 1), 0, HL - D)
+            draft = jax.lax.dynamic_slice(h, (start_d,), (D,))
+            last = h[jnp.maximum(cl - 1, 0)]
+            return last, jnp.where(has, draft, jnp.full((D,), last))
+
+        def micro(k, carry):
+            kv_pages, hist, cur_lens, out_pk, out_tv, out_ti = carry
+            active = cur_lens > 0                          # [N]
+            lasts, drafts = jax.vmap(propose_one)(hist, cur_lens)
+            toks_in = jnp.concatenate(
+                [lasts[:, None], drafts], axis=1
+            )                                              # [N, L]
+            pos = (cur_lens - 1)[:, None] + jnp.arange(L, dtype=jnp.int32)
+            pos = jnp.maximum(pos, 0)                      # [N, L]
+            slot = jnp.take_along_axis(
+                pts, pos // page, axis=1
+            ) * page + pos % page
+            slot = jnp.where(active[:, None], slot, INVALID_SLOT)
+            kv_lens = jnp.where(active, cur_lens - 1 + L, 0)
+            # fixed layout: sequence i owns rows [i*L, (i+1)*L); empty
+            # span (cu[i+1] == cu[i]) for inactive sequences would
+            # break the fixed row ownership, so inactive rows keep
+            # their span but mask via kv_len 0 + INVALID slots
+            cu = jnp.arange(N + 1, dtype=jnp.int32) * L
+            s_k = StepInput(
+                token_ids=toks_in.reshape(T),
+                positions=pos.reshape(T),
+                slot_mapping=slot.reshape(T),
+                kv_lens=kv_lens,
+                page_tables=pts,
+                cu_q_lens=cu,
+                logits_idx=jnp.arange(T, dtype=jnp.int32),
+                decode_only=False,
+            )
+            logits, kv_pages = self.model.forward(params, kv_pages, s_k)
+            st_k = SamplingTensors(
+                temperature=st.temperature, top_k=st.top_k, top_p=st.top_p,
+                min_p=st.min_p, presence=st.presence, frequency=st.frequency,
+                repetition=st.repetition, last_tokens=st.last_tokens,
+                greedy=st.greedy, seeds=st.seeds,
+                seed_pos=st.seed_pos + k, seed_sub=st.seed_sub,
+            )
+            key = jax.random.fold_in(
+                jax.random.fold_in(self._base_key, key_idx), k
+            )
+            toks, lps = sample(
+                logits, st_k, key, greedy_only=True, penalties=False
+            )                                              # [T], [T]
+            toks2 = toks.reshape(N, L)
+            eq = (toks2[:, :D] == drafts).astype(jnp.int32)
+            counts = 1 + jnp.sum(jnp.cumprod(eq, axis=1), axis=1)  # [N]
+            counts = jnp.where(active, counts, 0)
+            out_pk = out_pk.at[k].set(jnp.stack([
+                toks.astype(jnp.float32), lps,
+                jnp.repeat(counts.astype(jnp.float32), L),
+            ]))
+            if want_logprobs:
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                tv, ti = jax.lax.top_k(logp, want_logprobs)
+                out_tv = out_tv.at[k].set(tv)
+                out_ti = out_ti.at[k].set(ti)
+            hist = jax.vmap(
+                lambda h, t, cl: jax.lax.dynamic_update_slice(h, t, (cl,))
+            )(hist, toks2, cur_lens)
+            cur_lens = cur_lens + counts
+            return kv_pages, hist, cur_lens, out_pk, out_tv, out_ti
+
+        out_pk = jnp.zeros((n_steps, 3, T), jnp.float32)
+        out_tv = jnp.zeros((n_steps, T, max(want_logprobs, 1)), jnp.float32)
+        out_ti = jnp.zeros((n_steps, T, max(want_logprobs, 1)), jnp.int32)
+        kv_pages, hist, cur_lens, out_pk, out_tv, out_ti = (
+            jax.lax.fori_loop(
+                0, n_steps, micro,
+                (kv_pages, hist, cur_lens, out_pk, out_tv, out_ti),
+            )
+        )
+        if not want_logprobs:
+            out_tv = out_ti = None
+        return out_pk, out_tv, out_ti, kv_pages
+
+    def _batch_spec_step(self, sched_out, sched_rows, step_start):
+        """Dispatch the device-chained BATCHED speculative loop: K
+        micro-steps, each verifying 7 drafts per sequence in one
+        fixed-layout chunk — the weight pass and every sequence's KV
+        stream are paid once per micro-step for up to 8 tokens per
+        sequence, and the chain never touches the host.  Acceptance
+        semantics identical to sequential greedy (bit-exact).  Returns
+        None when nothing drafts or the chain doesn't fit (the normal
+        multistep path wins then)."""
+        from candle_vllm_tpu.engine.spec import ngram_draft
+
+        if not any(
+            ngram_draft(seq.get_token_ids(), 7, self._spec_ngram)
+            for _, seq, _ in sched_rows
+        ):
+            return None
+        N_real = len(sched_rows)
+        if N_real > 32:
+            return None
+        K = max(1, self._multistep)
+        L = 8
+        mml = self.scheduler_config.max_model_len
+        for g, seq, _ in sched_rows:
+            if seq.get_len() < self._spec_ngram + 2:
+                return None
+            if seq.get_len() + L * K + L > mml:
+                return None
+            if not self.block_engine.allocate_extend_for_chunk(
+                seq, seq.get_len() + L * K
+            ):
+                return None
+
+        # batch-size bucket keeps the compiled-variant set closed
+        N = next(b for b in (2, 4, 8, 16, 32) if b >= N_real)
+        T = N * L
+        page = self.cache_config.block_size
         maxp = (mml + page - 1) // page
-        token_ids = np.zeros(T, np.int32)
-        positions = np.zeros(T, np.int32)
-        slots = np.full(T, INVALID_SLOT, np.int32)
-        kv_lens = np.zeros(S, np.int32)
-        pt = np.zeros((S, maxp), np.int32)
-        cu = np.zeros(S + 1, np.int32)
-        t = 0
-        for i, (g, seq, draft, L) in enumerate(rows):
-            start = seq.num_computed_tokens
-            token_ids[t] = seq.get_token_ids()[-1]
-            token_ids[t + 1 : t + L] = draft
-            pos = np.arange(start, start + L, dtype=np.int32)
-            positions[t : t + L] = pos
+        HL = mml + L * (K + 1)
+        hist = np.zeros((N, HL), np.int32)
+        cur_lens = np.zeros(N, np.int32)
+        pts = np.zeros((N, maxp), np.int32)
+        for i, (g, seq, _) in enumerate(sched_rows):
+            toks = seq.get_token_ids()
+            hist[i, : len(toks)] = toks
+            cur_lens[i] = len(toks)
             bids = np.asarray(
                 self.block_engine.get_block_ids(seq), np.int32
             )
-            slots[t : t + L] = bids[pos // page] * page + pos % page
-            kv_lens[i] = start + L
-            pt[i, : len(bids)] = bids
-            t += L
-            cu[i + 1] = t
-        cu[len(rows) + 1 :] = t
-        logits_idx = np.minimum(
-            np.arange(S, dtype=np.int32), max(t - 1, 0)
-        )
-        step = StepInput(
-            token_ids=token_ids,
-            positions=positions,
-            slot_mapping=slots,
-            kv_lens=kv_lens,
-            page_tables=pt,
-            cu_q_lens=cu,
-            logits_idx=logits_idx,
-            decode_only=False,
-        )
-        params_rows = [g.sampling_params for g, _, _, _ in rows]
+            pts[i, : len(bids)] = bids
+        params_rows = [g.sampling_params for g, _, _ in sched_rows]
         st = SamplingTensors.build(
-            params_rows, [[] for _ in rows],
-            self.model_config.vocab_size, pad_to=S,
-            positions=[s.get_output_len() for _, s, _, _ in rows],
-            sub_indices=[0] * len(rows),
+            params_rows, [[] for _ in sched_rows],
+            self.model_config.vocab_size, pad_to=T,
+            positions=[s.get_output_len() for _, s, _ in sched_rows],
+            sub_indices=[0] * len(sched_rows),
         )
         wl = max((p.logprobs or 0) for p in params_rows)
         want_logprobs = 0 if wl == 0 else (8 if wl <= 8 else 20)
-        packed, top_vals, top_ids, _nxt, self.kv_pages = self._jit_step(
-            self.params, self.kv_pages, step, _NO_COPY, _NO_COPY, st,
+        if not hasattr(self, "_jit_bspec"):
+            self._jit_bspec = jax.jit(
+                self._device_batch_spec_loop, donate_argnums=(1,),
+                static_argnames=("n_steps", "want_logprobs"),
+            )
+        out_pk, top_vals, top_ids, self.kv_pages = self._jit_bspec(
+            self.params, self.kv_pages, jnp.asarray(hist),
+            jnp.asarray(cur_lens), jnp.asarray(pts), st,
             np.int32(self._step_counter),
-            want_logprobs=want_logprobs,
-            greedy_only=True,
-            penalties=False,
-            dsa_prefill=False,
-            n_steps=1,
-            do_copy=False,
-            emit_next=False,
+            n_steps=K, want_logprobs=want_logprobs,
         )
         self._step_counter += 1
-        packed = np.asarray(packed)          # [1, 2, S]
-        toks_out = packed[0, 0].astype(np.int64)
-        lps = packed[0, 1]
+        out_pk = np.asarray(out_pk)          # [K, 3, T] (row 2 = counts)
         if want_logprobs:
             top_vals = np.asarray(top_vals)
             top_ids = np.asarray(top_ids)
 
         now = time.monotonic()
         appended = 0
-        t = 0
-        for g, seq, draft, L in rows:
-            base = t
-            t += L
-            a = 0
-            while a < len(draft) and int(toks_out[base + a]) == draft[a]:
-                a += 1
-            self.stats.spec_drafted += len(draft)
-            self.stats.spec_accepted += a
+        for i, (g, seq, _) in enumerate(sched_rows):
+            base = i * L
+            sp = g.sampling_params
             if g.metrics.get("first_token_time") is None:
                 g.metrics["first_token_time"] = now
-            sp = g.sampling_params
-            for i in range(a + 1):
-                seq.num_computed_tokens += 1
-                tok = int(toks_out[base + i])
-                seq.append_token(tok, float(lps[base + i]))
-                appended += 1
-                if sp.logprobs and want_logprobs:
-                    kk = min(sp.logprobs, top_ids.shape[2])
-                    seq.output_logprobs.append(
-                        {
-                            "token": tok,
-                            "logprob": float(lps[base + i]),
-                            "top": {
-                                int(top_ids[0, base + i, j]):
-                                float(top_vals[0, base + i, j])
-                                for j in range(kk)
-                            },
-                        }
-                    )
-                self._maybe_finish(seq, g)
+            for k in range(K):
                 if seq.is_finished:
-                    break
+                    break  # discard speculatively decoded tails
+                cnt = int(out_pk[k, 2, base])
+                self.stats.spec_drafted += L - 1
+                self.stats.spec_accepted += max(cnt - 1, 0)
+                for j in range(cnt):
+                    seq.num_computed_tokens += 1
+                    tok = int(out_pk[k, 0, base + j])
+                    seq.append_token(tok, float(out_pk[k, 1, base + j]))
+                    appended += 1
+                    if sp.logprobs and want_logprobs:
+                        kk = min(sp.logprobs, top_ids.shape[2])
+                        seq.output_logprobs.append(
+                            {
+                                "token": tok,
+                                "logprob": float(out_pk[k, 1, base + j]),
+                                "top": {
+                                    int(top_ids[k, base + j, m]):
+                                    float(top_vals[k, base + j, m])
+                                    for m in range(kk)
+                                },
+                            }
+                        )
+                    self._maybe_finish(seq, g)
+                    if seq.is_finished:
+                        break
         finished_groups = self.scheduler.free_finished()
         self.stats.requests_finished += len(finished_groups)
         self.stats.record_step(
