@@ -558,7 +558,10 @@ def main() -> None:
             cfg,
             CacheConfig(
                 block_size=bs,
-                num_gpu_blocks=(n_spec + 1) * (mml // bs + 2) + 8,
+                # ~13.3 GB total with the 8B params; chain reservations
+                # that outgrow the pool fall back to normal decode
+                num_gpu_blocks=(n_spec + 1)
+                * ((CTX + 2048) // bs + 3) + 8,
                 num_cpu_blocks=0, kv_cache_dtype=args.kv_dtype,
             ),
             SchedulerConfig(max_model_len=mml,
