@@ -1545,6 +1545,7 @@ class LLMEngine:
                 cu_q_lens=cu,
                 logits_idx=jnp.arange(T, dtype=jnp.int32),
                 decode_only=False,
+                chunk_bq=L,  # one attention block per sequence slot
             )
             logits, kv_pages = self.model.forward(params, kv_pages, s_k)
             st_k = SamplingTensors(

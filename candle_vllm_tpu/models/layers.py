@@ -375,6 +375,7 @@ def paged_attention_with_write(
                 q, pages, step.kv_lens, step.page_tables, step.cu_q_lens,
                 spec=spec, kv_scales=scales,
                 decode_only=step.decode_only,
+                chunk_bq=step.chunk_bq,
             )
             if unrotate is not None:
                 out = (out.astype(jnp.float32) @ unrotate).astype(out.dtype)
@@ -384,6 +385,7 @@ def paged_attention_with_write(
         out = ragged_paged_attention(
             q, kv_pages, step.kv_lens, step.page_tables, step.cu_q_lens,
             spec=spec, decode_only=step.decode_only,
+                chunk_bq=step.chunk_bq,
         )
         return out, kv_pages
 
@@ -426,6 +428,7 @@ def paged_attention_with_write(
             out = ragged_paged_attention(
                 q, pages, kv_lens, pt, cu, spec=local_spec, kv_scales=scales,
                 decode_only=step.decode_only,
+                chunk_bq=step.chunk_bq,
             )
             return out, pages, scales
 
@@ -448,6 +451,7 @@ def paged_attention_with_write(
         out = ragged_paged_attention(
             q, kv_pages, kv_lens, pt, cu, spec=local_spec,
             decode_only=step.decode_only,
+                chunk_bq=step.chunk_bq,
         )
         return out, kv_pages
 

@@ -52,6 +52,12 @@ class StepInput:
     # decode-specialized kernel; jit variants key on it, which matches
     # the engine's existing decode-vs-prefill shape bucketing.
     decode_only: bool = field(default=False, metadata=dict(static=True))
+    # STATIC: query-block size hint for the attention kernel.  The
+    # speculative verify chunks lay sequences out in fixed L-row slots;
+    # bq == L aligns one block per sequence — zero cross-sequence
+    # masked-row waste AND each sequence's pages stream exactly once
+    # (0 = kernel default).
+    chunk_bq: int = field(default=0, metadata=dict(static=True))
 
     @property
     def num_tokens(self) -> int:

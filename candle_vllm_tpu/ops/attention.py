@@ -78,6 +78,7 @@ def ragged_paged_attention(
     sinks: Optional[jnp.ndarray] = None,      # [H] per-head sink logits
     impl: str = "auto",
     decode_only: bool = False,
+    chunk_bq: int = 0,
 ) -> jnp.ndarray:
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
@@ -96,6 +97,7 @@ def ragged_paged_attention(
         return ragged_paged_attention_pallas(
             q, kv_pages, kv_lens, page_tables, cu_q_lens, spec=spec,
             kv_scales=kv_scales, sinks=sinks, decode_only=decode_only,
+            **({"bq": chunk_bq} if chunk_bq else {}),
         )
     return _ragged_paged_attention_jnp(
         q, kv_pages, kv_lens, page_tables, cu_q_lens, spec=spec,
