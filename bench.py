@@ -309,6 +309,7 @@ def main() -> None:
     # host token fetch per step (reference harness: examples/benchmark.py
     # measures the same serving path).
     engine_tok_s = engine_ttft_ms = engine_ttft_cold_ms = agg_tok_s = None
+    agg_t3_tok_s = None
     wallclock_tok_s = wallclock_adj_tok_s = None
     rates = host_ms = None
     if not args.skip_engine:
@@ -483,7 +484,7 @@ def main() -> None:
         # the single request pads), so device time/step is ~unchanged
         # and the weight stream amortizes N ways — continuous batching is
         # the framework's actual value proposition (VERDICT r4 weak #2).
-        agg_tok_s = None
+        agg_tok_s = agg_t3_tok_s = None
         if args.concurrency:
             N = args.concurrency
             seqs = []
@@ -525,6 +526,61 @@ def main() -> None:
             agg_tok_s = sorted(agg_rates)[1]
             for r in range(N):
                 eng.abort_request(f"agg{r}")
+            eng.step()
+            while eng.has_unfinished_requests():
+                eng.step()
+
+        # ---- turbo3-KV aggregate (the measured serving tier) --------
+        # small engine (turbo3 KV ~1/4 the bytes) so the serving
+        # headline — continuous batching on the throughput tier — is on
+        # the driver record next to the bf16 numbers
+        if args.concurrency and args.kv_dtype == "auto":
+            N = args.concurrency
+            del eng
+            eng = LLMEngine(
+                cfg,
+                CacheConfig(
+                    block_size=bs,
+                    num_gpu_blocks=N * ((CTX + 704) // bs + 2) + 12,
+                    num_cpu_blocks=0, kv_cache_dtype="turbo3",
+                ),
+                SchedulerConfig(max_model_len=mml,
+                                enable_prefix_caching=False,
+                                decode_steps=8),
+                params=params,
+            )
+            for r in range(N):
+                pr = rng.integers(0, cfg.vocab_size, size=CTX).astype(
+                    np.int32
+                )
+                eng.add_request(f"t3a{r}", prompt_token_ids=list(pr),
+                                sampling_params=sp)
+            for _ in range(N + 6):
+                eng.step()
+            seqs = [eng._groups[f"t3a{r}"].get_seqs()[0] for r in range(N)]
+            t3_rates = []
+            for _rep in range(3):
+                n0 = sum(s.get_output_len() for s in seqs)
+                n_calls = 0
+                t0 = time.time()
+                while (
+                    sum(s.get_output_len() for s in seqs) - n0
+                    < args.engine_steps * N
+                    and eng.has_unfinished_requests()
+                ):
+                    eng.step()
+                    n_calls += 1
+                d_eng = time.time() - t0
+                produced = sum(s.get_output_len() for s in seqs) - n0
+                per_call = produced / max(n_calls, 1)
+                wall_call = max(
+                    d_eng / max(n_calls, 1) - rtt,
+                    0.5 * d_eng / max(n_calls, 1),
+                )
+                t3_rates.append(per_call / wall_call)
+            agg_t3_tok_s = sorted(t3_rates)[1]
+            for r in range(N):
+                eng.abort_request(f"t3a{r}")
 
     # ---- speculative decode demo (opt-in, labeled) -------------------
     spec_tok_s = spec_adj_tok_s = spec_accept = spec_tpd = None
@@ -678,6 +734,8 @@ def main() -> None:
             "is the model-free check, engine_agg_tok_s is wall-based"
             if not args.skip_engine else None,
             "engine_agg_tok_s": round(agg_tok_s, 1) if agg_tok_s else None,
+            "engine_agg_turbo3_tok_s": round(agg_t3_tok_s, 1)
+            if agg_t3_tok_s else None,
             "engine_agg_concurrency": args.concurrency or None,
             "engine_ttft_ms": round(engine_ttft_ms, 1) if engine_ttft_ms else None,
             "engine_ttft_cold_ms": round(engine_ttft_cold_ms, 1)
