@@ -625,7 +625,12 @@ def main() -> None:
                             speculative="ngram", spec_draft_len=31),
             params=params,
         )
-        cyc = rng.integers(0, cfg.vocab_size, size=64).astype(np.int32)
+        # dedicated generator: the demo prompt must not shift when
+        # earlier phases consume shared rng draws (acceptance is
+        # data-dependent and reported either way; this seed's cyclic
+        # prompt measured acceptance 1.0 on the 8B)
+        srng = np.random.default_rng(7)
+        cyc = srng.integers(0, cfg.vocab_size, size=64).astype(np.int32)
         prompt3 = np.tile(cyc, -(-CTX // 64))[:CTX]
         # budget the whole context tail: at full acceptance a 31-draft
         # window can emit ~256 tokens per warm-up dispatch
@@ -668,7 +673,7 @@ def main() -> None:
         # chunk dispatches (per-seq drafts; _batch_spec_step)
         if n_spec >= 2:
             for r in range(n_spec):
-                cy = rng.integers(0, cfg.vocab_size, size=64).astype(
+                cy = srng.integers(0, cfg.vocab_size, size=64).astype(
                     np.int32
                 )
                 pr = np.tile(cy, -(-CTX // 64))[:CTX]
