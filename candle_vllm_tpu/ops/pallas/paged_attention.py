@@ -599,10 +599,16 @@ def ragged_paged_attention_pallas(
     # (r5: 16-way aggregate collapsed 460 -> 257 tok/s before this)
     # bq=2 default (r5 A/B): single-request 119-120 vs 118 (wash) and
     # aggregate decode +23-32% (8-way turbo3 674 vs 549; 16-way 821 —
-    # the O(bq) masked rows per (seq, page-group) step dominate there)
+    # the O(bq) masked rows per (seq, page-group) step dominate there).
+    # bq*G must be a MULTIPLE of 8 (f32 sublane tiling): odd GQA ratios
+    # (qwen2-0.5b G=7 -> BQG=14) hit a Mosaic vreg assert otherwise
+    # (caught by the r5 server drive), so round bq up until it divides.
     if decode_only or T <= 8:
         bq_want = int(os.environ.get("CVT_ATTN_BQ", "2"))
-        bq = min(bq, max(bq_want, -(-8 // G)))
+        b = max(bq_want, -(-8 // G))
+        while (b * G) % 8 and b < 8:
+            b += 1
+        bq = min(bq, b)
     T_pad = pl.cdiv(T, bq) * bq
     if T_pad != T:
         q = jnp.pad(q, ((0, T_pad - T), (0, 0), (0, 0)))

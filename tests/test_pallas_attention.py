@@ -178,6 +178,39 @@ def test_attention_sinks():
     assert not np.allclose(np.asarray(ref[:T]), np.asarray(base[:T]))
 
 
+def test_odd_gqa_ratio_decode_vs_oracle():
+    """G=7 (qwen2-0.5b class): the decode bq shrink must keep bq*G a
+    multiple of 8 (f32 sublane tiling) — odd ratios hit a Mosaic vreg
+    assert on real TPU otherwise (r5 server drive).  Interpret mode
+    checks the block-layout math at the shapes that triggered it."""
+    from candle_vllm_tpu.ops.attention import (
+        AttentionSpec, ragged_paged_attention,
+    )
+    from candle_vllm_tpu.ops.kv_cache import allocate_kv_pages, write_kv
+
+    rng = np.random.default_rng(21)
+    H, K, D, ps = 14, 2, 64, 16
+    spec = AttentionSpec(num_q_heads=H, num_kv_heads=K, head_dim=D,
+                         sm_scale=D ** -0.5)
+    pages = allocate_kv_pages(1, 8, ps, K, D, dtype=jnp.float32)[0]
+    Tctx = 12
+    k = jnp.asarray(rng.standard_normal((Tctx, K, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((Tctx, K, D)), jnp.float32)
+    slots = jnp.arange(Tctx, dtype=jnp.int32) + ps
+    pages = write_kv(pages, k, v, slots)
+    # decode-shaped batch: T=8 rows, one real
+    q = jnp.asarray(rng.standard_normal((8, H, D)), jnp.float32)
+    kv_lens = jnp.asarray([Tctx] + [0] * 7, jnp.int32)
+    pt = jnp.zeros((8, 4), jnp.int32).at[0, 0].set(1)
+    cu = jnp.asarray([0, 1, 1, 1, 1, 1, 1, 1, 1], jnp.int32)
+    want = ragged_paged_attention(q, pages, kv_lens, pt, cu, spec=spec,
+                                  impl="jnp", decode_only=True)
+    got = ragged_paged_attention(q, pages, kv_lens, pt, cu, spec=spec,
+                                 impl="pallas", decode_only=True)
+    np.testing.assert_allclose(np.asarray(got[:1]), np.asarray(want[:1]),
+                               atol=2e-2, rtol=2e-2)
+
+
 def test_kv_shared_pallas_vs_oracle():
     """MLA single-plane (k==v) pages: kernel vs oracle, bf16 and int8
     (reference stores the latent once — cache_engine.rs:172-184)."""
